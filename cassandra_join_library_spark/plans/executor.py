@@ -1,0 +1,339 @@
+"""JoinExecutor — the reference's fluent query API compiled to one
+Spark DataFrame plan.
+
+Reference surface (``cassandra_joinlib/join_executor.py:95-152``):
+``join / leftJoin / rightJoin / fullOuterJoin / select / filter_by``
+queued lazily, then ``execute()``.  The reference then interprets the
+queue into per-table CQL + a hand-rolled grace-hash or block-nested-
+loop join pipeline (SURVEY.md §3).  Here the queue compiles into a
+single declarative DataFrame chain and Catalyst/Tungsten do the rest:
+
+- join algorithm selection (broadcast / shuffled-hash / sort-merge /
+  BNLJ) replaces ``_decide_join`` (``hash_join.py:787-868``) and the
+  asizeof build-side pick (``hash_join.py:990-1003``);
+- the shuffle *is* the grace hash join (``utils.py:232-286``), with
+  native spilling instead of the 0.7*RAM budget
+  (``join_executor.py:64-66``);
+- predicate/projection pushdown replaces parseFilter/addColumn
+  (``hash_join.py:59-141``) — without the nested-join OR bug
+  (``nested_join.py:131-134``), which we deliberately do not replicate;
+- chained left-deep joins (``hash_join.py:295-339``) become chained
+  ``.join`` calls; Spark's EnsureRequirements reuses the output
+  partitioning across joins on the same key, which is what the
+  reference's ``next_join_info`` pre-partitioning hand-implements.
+
+Semantic choices (SURVEY.md §4):
+(a) ``filter_by`` conditions are attached AFTER the final join — the
+    reference evaluates them at result-save time (``hash_join.py:
+    1224-1261``).  Catalyst pushes them down only where legal, so
+    outer-join results match the reference.
+(b) theta-join comparisons apply the reference's float coercion
+    (``nested_join.py:981-998``): if both sides cast to double, compare
+    numerically, else compare raw.
+(c) NULL join keys follow ANSI semantics (never match; preserved side
+    kept by outer joins) — the reference's null-key quirks
+    (``intermediate_result.py:66-75``) are documented bugs we skip.
+
+Scale: every operator here is a pure transformation — no collect(), no
+driver-side loops — so the same plan runs unchanged on a 1000-executor
+cluster; AQE handles skew and partition sizing at runtime.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from ..sources.catalog import Catalog, ParquetCatalog, qualify
+from .condition import Condition
+from .table_info import TableInfo
+
+_HOW = {"inner": "inner", "left": "left", "right": "right", "full": "full"}
+_THETA_OPS = {"=", "<", ">", "<=", ">=", "!="}
+
+
+class JoinExecutor:
+    """Fluent builder over a :class:`Catalog` of named tables.
+
+    One executor class: the reference's HashJoinExecutor /
+    NestedJoinExecutor split (equi vs theta) collapses because Spark
+    picks the physical join itself — pass ``operator`` to any join
+    method for theta semantics (``nested_join.py:1000-1036``).
+    """
+
+    def __init__(self, spark: SparkSession, source: Union[Catalog, str]):
+        self.spark = spark
+        self.catalog: Catalog = (
+            ParquetCatalog(source) if isinstance(source, str) else source
+        )
+        self._joins: List[dict] = []
+        self._scan: Optional[TableInfo] = None
+        self._selected: Dict[str, Set[str]] = {}
+        self._filters: List[Condition] = []
+        self.time_elapsed: Dict[str, float] = {}
+        self._result: Optional[DataFrame] = None
+
+    # ------------------------------------------------------------------
+    # fluent surface (reference: join_executor.py:95-152)
+    # ------------------------------------------------------------------
+    def join(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        return self._add_join("inner", left, right, operator)
+
+    def leftJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        return self._add_join("left", left, right, operator)
+
+    def rightJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        return self._add_join("right", left, right, operator)
+
+    def fullOuterJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        return self._add_join("full", left, right, operator)
+
+    def scan(self, table: TableInfo) -> "JoinExecutor":
+        """Single-table query (extension — the reference always joins)."""
+        self._scan = table
+        return self
+
+    def select(self, table: str, columns: "Set[str] | Sequence[str]") -> "JoinExecutor":
+        """Per-table projection; set-union merged across repeated calls
+        (reference: join_executor.py:133-140)."""
+        self._selected.setdefault(table, set()).update(columns)
+        return self
+
+    def filter_by(self, condition: Condition) -> "JoinExecutor":
+        """Queue a post-join filter (reference: join_executor.py:148-152;
+        applied at save time, hash_join.py:1224-1261)."""
+        self._filters.append(condition)
+        return self
+
+    def _add_join(self, how: str, left: TableInfo, right: TableInfo, operator: str) -> "JoinExecutor":
+        if operator not in _THETA_OPS:
+            raise ValueError(f"join operator must be one of {sorted(_THETA_OPS)}")
+        # J8: right join column None => reuse left's column name(s)
+        if right.join_column is None and left.join_column is not None:
+            right = TableInfo(right.table_name, left.join_column, right.alias)
+        self._joins.append({"how": how, "left": left, "right": right, "op": operator})
+        return self
+
+    # ------------------------------------------------------------------
+    # validation (reference: selects_validation, join_executor.py:155-212)
+    # ------------------------------------------------------------------
+    def _validate_selections(self) -> None:
+        for spec in self._joins:
+            for ti in (spec["left"], spec["right"]):
+                sel = self._selected.get(ti.name)
+                if sel is None:
+                    continue  # implicit select-all (P3)
+                missing = [c for c in ti.key_columns() if c not in sel]
+                if missing:
+                    raise ValueError(
+                        f"join column(s) {missing} of table {ti.name!r} are not "
+                        f"in its select() set {sorted(sel)} (reference rejects "
+                        "this: join_executor.py:155-212)"
+                    )
+
+    # ------------------------------------------------------------------
+    # compilation
+    # ------------------------------------------------------------------
+    def _filter_refs(self) -> Dict[str, Set[str]]:
+        """Columns referenced by filters, per table — the reference
+        force-adds these to the scan's SELECT list (addColumn,
+        hash_join.py:59-89) so residual filters can see them."""
+        refs: Dict[str, Set[str]] = {}
+        for cond in self._filters:
+            for ref in cond.references():
+                tbl, _, col = ref.partition(".")
+                refs.setdefault(tbl, set()).add(col)
+        return refs
+
+    def _load(self, ti: TableInfo, extra_cols: Set[str]) -> DataFrame:
+        df = self.catalog.load(self.spark, ti.table_name)
+        q = qualify(df, ti.name)
+        sel = self._selected.get(ti.name)
+        if sel is not None:
+            keep = sel | set(ti.key_columns()) | extra_cols
+            cols = [f"{ti.name}_{c}" for c in df.columns if c in keep]
+            q = q.select(cols)
+        return q
+
+    def _theta_condition(self, lcols: "List[Column]", rcols: "List[Column]",
+                         op: str, numeric: "List[bool]") -> Column:
+        def cmp(lc: Column, rc: Column, o: str, is_num: bool) -> Column:
+            if not is_num and o != "=" and o != "!=":
+                lc2, rc2 = lc.try_cast("double"), rc.try_cast("double")
+                both = lc2.isNotNull() & rc2.isNotNull()
+                return F.when(both, _apply(lc2, rc2, o)).otherwise(_apply(lc, rc, o))
+            return _apply(lc, rc, o)
+
+        def _apply(a: Column, b: Column, o: str) -> Column:
+            return {
+                "=": a == b, "!=": a != b, "<": a < b,
+                ">": a > b, "<=": a <= b, ">=": a >= b,
+            }[o]
+
+        n = len(lcols)
+        if n == 1:
+            return cmp(lcols[0], rcols[0], op, numeric[0])
+        # composite key: lexicographic tuple comparison (Python tuple
+        # semantics, as the reference compares key tuples directly)
+        eq_all = F.lit(True)
+        for lc, rc in zip(lcols, rcols):
+            eq_all = eq_all & (lc == rc)
+        if op == "=":
+            return eq_all
+        if op == "!=":
+            return ~eq_all
+        strict = F.lit(False)
+        prefix_eq = F.lit(True)
+        base = "<" if op in ("<", "<=") else ">"
+        for i, (lc, rc) in enumerate(zip(lcols, rcols)):
+            strict = strict | (prefix_eq & cmp(lc, rc, base, numeric[i]))
+            prefix_eq = prefix_eq & (lc == rc)
+        if op in ("<=", ">="):
+            return strict | eq_all
+        return strict
+
+    def _compile(self) -> DataFrame:
+        self._validate_selections()
+        frefs = self._filter_refs()
+        loaded: Dict[str, DataFrame] = {}
+        order: List[TableInfo] = []
+        current: Optional[DataFrame] = None
+
+        if self._scan is not None and not self._joins:
+            ti = self._scan
+            current = self._load(ti, frefs.get(ti.name, set()))
+            loaded[ti.name] = current
+            order.append(ti)
+
+        for spec in self._joins:
+            left, right, how, op = spec["left"], spec["right"], spec["how"], spec["op"]
+            if current is None:
+                current = self._load(left, frefs.get(left.name, set()))
+                loaded[left.name] = current
+                order.append(left)
+            elif left.name not in loaded:
+                raise ValueError(
+                    f"left table {left.name!r} of join #{len(order)} is not part "
+                    "of the accumulated result — the reference chains left-deep "
+                    "(result of join k is the left input of join k+1, "
+                    "hash_join.py:295-339)"
+                )
+            if right.name in loaded:
+                raise ValueError(
+                    f"table {right.name!r} already joined; use an alias for "
+                    "self-joins (TableInfo(..., alias=...), commands.py:44-49)"
+                )
+            rdf = self._load(right, frefs.get(right.name, set()))
+
+            lkeys = [f"{left.name}_{c}" for c in left.key_columns()]
+            rkeys = [f"{right.name}_{c}" for c in right.key_columns()]
+            if len(lkeys) != len(rkeys) or not lkeys:
+                raise ValueError("left/right join key arity mismatch")
+            for k, side in [(k, "left") for k in lkeys] + [(k, "right") for k in rkeys]:
+                cols = current.columns if side == "left" else rdf.columns
+                if k not in cols:
+                    raise ValueError(
+                        f"join column {k!r} not found on the {side} side "
+                        f"(available: {cols})"
+                    )
+            ltypes = dict((f.name, f.dataType) for f in current.schema.fields)
+            rtypes = dict((f.name, f.dataType) for f in rdf.schema.fields)
+            numeric = [
+                isinstance(ltypes[lk], NumericType) and isinstance(rtypes[rk], NumericType)
+                for lk, rk in zip(lkeys, rkeys)
+            ]
+            if op == "=":
+                cond = None
+                for lk, rk in zip(lkeys, rkeys):
+                    c = current[lk] == rdf[rk]
+                    cond = c if cond is None else (cond & c)
+            else:
+                cond = self._theta_condition(
+                    [current[k] for k in lkeys], [rdf[k] for k in rkeys], op, numeric
+                )
+            current = current.join(rdf, on=cond, how=_HOW[how])
+            loaded[right.name] = rdf
+            order.append(right)
+
+        if current is None:
+            raise ValueError("no joins or scan queued — nothing to execute")
+
+        # post-join filters (semantic choice (a) in the module docstring)
+        if self._filters:
+            resolver = self._make_resolver(current)
+            pred = None
+            for cond in self._filters:
+                c = cond.compile(resolver)
+                pred = c if pred is None else (pred & c)
+            current = current.filter(pred)
+
+        # final projection: selected ∪ filter-referenced columns, in
+        # table order then source column order (reference output is the
+        # dict union of per-table projections)
+        out_cols: List[str] = []
+        for ti in order:
+            sel = self._selected.get(ti.name)
+            for c in loaded[ti.name].columns:
+                bare = c[len(ti.name) + 1:]
+                if sel is None or bare in sel or bare in frefs.get(ti.name, set()) \
+                        or bare in ti.key_columns():
+                    out_cols.append(c)
+        return current.select(out_cols)
+
+    def _make_resolver(self, df: DataFrame) -> Callable[[Any], Optional[Column]]:
+        names = set(df.columns)
+        types = {f.name: f.dataType for f in df.schema.fields}
+
+        def resolve(ref: Any) -> Optional[Column]:
+            if isinstance(ref, str) and "." in ref:
+                flat = ref.replace(".", "_", 1)
+                if flat in names:
+                    return df[flat]
+            return None
+
+        def dtype(ref: str):
+            flat = ref.replace(".", "_", 1)
+            return types.get(flat)
+
+        resolve.dtype = dtype  # type: ignore[attr-defined]
+        return resolve
+
+    # ------------------------------------------------------------------
+    # execution surface
+    # ------------------------------------------------------------------
+    def execute(self) -> DataFrame:
+        """Compile the queued commands into a (lazy) DataFrame."""
+        t0 = time.time()
+        self._result = self._compile()
+        self.time_elapsed["plan"] = time.time() - t0
+        return self._result
+
+    def to_df(self) -> DataFrame:
+        return self._result if self._result is not None else self.execute()
+
+    def save_result(self, path: str, mode: str = "overwrite",
+                    single_file: bool = False) -> None:
+        """JSON-lines result writer (K1, ``hash_join.py:1195-1269``).
+
+        ``single_file=True`` mimics the reference's one-file output via
+        coalesce(1) — never use it at scale."""
+        df = self.to_df()
+        t0 = time.time()
+        (df.coalesce(1) if single_file else df).write.mode(mode).json(path)
+        dt = time.time() - t0
+        # Spark pipelines scan+join+write in one job, so the reference's
+        # data_fetch/join split (join_executor.py:214-231) collapses.
+        self.time_elapsed.update({"data_fetch": 0.0, "join": dt, "total": dt})
+
+    def show_result(self, n: int = 20, truncate: bool = False) -> None:
+        """Tabulated printer (K3, ``utils.py:39-127``)."""
+        self.to_df().show(n, truncate=truncate)
+
+    def get_time_elapsed(self) -> Dict[str, float]:
+        """Timing surface kept name-compatible with the reference
+        (``join_executor.py:214-231``)."""
+        return dict(self.time_elapsed)

@@ -1,0 +1,129 @@
+"""Table sources.
+
+The reference discovers tables dynamically from Cassandra's
+``system_schema.columns`` and scans them with hand-built CQL + token
+ranges (``cassandra_joinlib/hash_join.py:184-272,371-439``).  On Spark
+a source is just ``spark.read.<format>`` — the connector (or parquet
+split planner) supplies token/split-aligned parallelism natively, and
+``df.schema`` replaces the schema probe (SURVEY.md §2.1 S1-S4).
+
+``ParquetCatalog`` is the default source used by tests/bench/driver: a
+directory of ``<table>.parquet`` files.  ``CassandraCatalog`` is the
+faithful-to-the-reference source; it requires the (not bundled)
+spark-cassandra-connector jar, so it is import-gated and untested here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """A named-table resolver: ``load(spark, table) -> DataFrame``."""
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        raise NotImplementedError
+
+    def table_names(self) -> "list[str]":
+        raise NotImplementedError
+
+
+class ParquetCatalog(Catalog):
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        path = os.path.join(self.directory, f"{table}.parquet")
+        return spark.read.parquet(path)
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.directory)
+            if f.endswith(".parquet")
+        )
+
+
+class CsvCatalog(Catalog):
+    def __init__(self, directory: str, header: bool = True, infer_schema: bool = True):
+        self.directory = directory
+        self.header = header
+        self.infer_schema = infer_schema
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        path = os.path.join(self.directory, f"{table}.csv")
+        return (
+            spark.read.option("header", str(self.header).lower())
+            .option("inferSchema", str(self.infer_schema).lower())
+            .csv(path)
+        )
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            f[: -len(".csv")] for f in os.listdir(self.directory) if f.endswith(".csv")
+        )
+
+
+class JsonLinesCatalog(Catalog):
+    """Reads the reference's own result format (one JSON object per
+    line, ``cassandra_joinlib/hash_join.py:1195-1264``) back as a table."""
+
+    def __init__(self, directory: str, suffix: str = ".json"):
+        self.directory = directory
+        self.suffix = suffix
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.json(os.path.join(self.directory, f"{table}{self.suffix}"))
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            f[: -len(self.suffix)]
+            for f in os.listdir(self.directory)
+            if f.endswith(self.suffix)
+        )
+
+
+class CassandraCatalog(Catalog):
+    """Cassandra source via the spark-cassandra-connector.
+
+    Replaces the reference's entire scan stack: full-table CQL scan
+    (S1), token-range parallel scan (S2, ``commands.py:161-175``) and
+    the DSE direct-join fetch (S3, ``hash_join.py:613-646``) are all
+    native connector behaviors (one input split per token range;
+    DirectJoin pushdown).  Requires
+    ``--packages com.datastax.spark:spark-cassandra-connector_2.13:3.5.x``
+    on the session; not bundled in this environment.
+    """
+
+    FORMAT = "org.apache.spark.sql.cassandra"
+
+    def __init__(self, keyspace: str, tables: "list[str] | None" = None):
+        self.keyspace = keyspace
+        self._tables = tables or []
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        try:
+            return (
+                spark.read.format(self.FORMAT)
+                .options(keyspace=self.keyspace, table=table)
+                .load()
+            )
+        except Exception as exc:  # pragma: no cover - connector not bundled
+            raise RuntimeError(
+                "CassandraCatalog requires the spark-cassandra-connector "
+                "package on the Spark session"
+            ) from exc
+
+    def table_names(self) -> "list[str]":
+        return list(self._tables)
+
+
+def qualify(df: DataFrame, alias: str) -> DataFrame:
+    """Flatten the reference's ``(column, table)`` tuple row keys
+    (``cassandra_joinlib/hash_join.py:418-426``) into ``{alias}_{col}``
+    column names.  A plain ``select`` of aliased columns keeps Catalyst
+    column pruning / filter pushdown intact (rename is a no-op in the
+    physical plan)."""
+    return df.select([df[c].alias(f"{alias}_{c}") for c in df.columns])
