@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — the full operator inventory from
+SURVEY.md §2 plus the LLM-pipeline extensions, registered in
+:mod:`cassandra_join_library_spark.registry`; the driver compares each
+query against its DuckDB oracle at sf=0.01 (row count + schema +
+order-insensitive value hash).  Queries without an oracle entry are
+genuinely non-SQL-expressible (LSH candidate generation, stateful
+streaming, xxhash64-based sketches) and take the rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +16,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cassandra_join_library_spark.registry import all_oracles, all_queries
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    3-table chained left-deep join through the JoinExecutor façade with
+    projection + condition-algebra filter (J10 + P1 + F1)."""
+    from cassandra_join_library_spark.queries.core import join_chain3
+
+    return join_chain3(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

@@ -1,0 +1,47 @@
+"""Scalar/aggregate helper expressions.
+
+The reference has no scalar-function library (SURVEY.md §2.6) — these
+exist for the engine's extended surface and for oracle-exact parity.
+
+``dsum``/``davg`` implement the repo-wide parity convention: double
+"money" columns are summed as DECIMAL(18,6).  Decimal addition is
+exact and associative, so the result is independent of Spark's
+partitioning / aggregation order — the same number DuckDB computes —
+unlike a double sum, which varies in the last ULP with partition count.
+At 100 TB this also means results are stable across reruns and cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: "Column | str", alias: "str | None" = None) -> Column:
+    """Order-independent exact sum of a money column, emitted as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: "Column | str", alias: "str | None" = None) -> Column:
+    """Deterministic average: exact decimal sum cast to double, divided
+    by the count (double division of identical operands is exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def bigint(col: Column, alias: "str | None" = None) -> Column:
+    """Computed-integer parity convention: always BIGINT."""
+    out = col.cast("bigint")
+    return out.alias(alias) if alias else out
+
+
+# SQL-side mirrors (DuckDB snippets), kept next to their Spark twins so
+# the convention can't drift:
+SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({x})"

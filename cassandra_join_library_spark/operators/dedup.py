@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (it has no dedup); designed for the
+100 TB training-data path:
+
+- exact dedup: hash-groupBy on content — one shuffle, map-side combine;
+- MinHash + LSH: shingle → k minhashes → band-bucket join → verify.
+  Candidate generation touches only bucket-colliding pairs, never the
+  full O(n^2) cross product;
+- exact n-gram Jaccard via a posting-list (inverted-index) join:
+  pairs are generated per shared shingle, so cost is proportional to
+  actual overlap, and a document-frequency cap drops degenerate
+  stop-shingles (the classic scale trick);
+- SimHash: 64-bit signatures + pigeonhole chunk-join for Hamming
+  radius search — exact for radius <= chunks-1, no cross product.
+
+All operators are pure DataFrame pipelines (JVM-side, no Python UDFs,
+no driver collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokenization into a ``words`` array column."""
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Documents shorter than ``n`` words produce no shingles (guarded —
+    Spark's ``sequence(0, negative)`` would count backwards)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.array_distinct(grams).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: "list[str]") -> DataFrame:
+    """Exact duplicate grouping: one row per distinct content, keeping
+    the minimum id as the canonical representative plus the group size.
+    Single hash-shuffle on the content key; at scale, hash the content
+    to a 128-bit digest first so the shuffle key is fixed-width."""
+    return (
+        df.groupBy(*content_cols)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies", *content_cols)
+    )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via posting-list join.
+
+    ``jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|)`` computed from the
+    count of shared shingles (inverted-index self-join), never
+    materializing the n^2 pair space.  ``max_doc_freq`` drops shingles
+    appearing in more than that many docs (stop-shingle cap) — at 100 TB
+    this bounds the worst bucket; left None for oracle-exact parity.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") <= max_doc_freq).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (F.col("common") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 24) -> DataFrame:
+    """k minhashes per doc from (doc, shingle) rows.
+
+    Hash family: ``xxhash64(i, shingle)`` — k independent seeded
+    64-bit hashes, all computed JVM-side in one aggregate pass."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 24,
+    rows_per_band: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Bands of ``rows_per_band`` minhashes are bucket keys; documents
+    sharing any band bucket become candidates (the only pairs ever
+    joined), then candidates are verified with exact shingle-set
+    Jaccard so the output contains no false positives.  With r=1, b=24
+    the candidate recall at j=0.5 is 1 - (1-j)^24 ≈ 1 - 6e-8 —
+    statistically indistinguishable from exact.  At larger scale raise
+    ``rows_per_band`` to 2-4 to keep buckets sparse (fewer, better
+    candidates) at a small recall cost.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    sh = shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(sh, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col("doc"), F.explode(F.array(*band_structs)).alias("bh")
+    ).select("doc", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact shingle-set jaccard (no false positives)
+    sets_a = sh.groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    sets_b = sets_a.select(F.col("doc").alias("doc_b_key"), F.col("set_a").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(sets_a.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(sets_b, F.col("doc_b") == F.col("doc_b_key"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of word-hash bits,
+    weighted by term frequency (each occurrence votes)."""
+    w = tokenize(df, text_col).select(
+        F.col(id_col).alias("doc"), F.explode("words").alias("word")
+    )
+    w = w.withColumn("h", F.xxhash64("word"))
+    sums = w.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: a 64-bit fingerprint split into
+    ``max_hamming + 1`` chunks — any pair within the radius must agree
+    exactly on at least one chunk, so joining per-chunk finds ALL such
+    pairs without a cross product (exact, not approximate)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunks = fps.select(
+        "doc", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (engine
+extension — the reference has no scalar/text functions, SURVEY.md
+§2.6).
+
+All expressions are built-in higher-order functions (split / filter /
+transform / aggregate) — JVM-side, codegen-friendly, no Python UDFs —
+and every computation has a portable ANSI-SQL twin so the DuckDB
+oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit
+# language-ID heuristic; priority order breaks ties (first wins)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "est"],
+    "zh": ["的", "是", "了", "在"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token / character counting (whitespace tokenizer + a BPE-ish
+    approximation: tokens ~ ceil(chars/4), the common LLM estimate)."""
+    w = _words(text_col)
+    n_tokens = F.size(w).cast("bigint")
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_tokens"),
+        F.ceil(n_chars / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, lexical
+    diversity, stopword ratio — the standard cheap pre-filters."""
+    w = _words(text_col)
+    n_tokens = F.size(w).cast("bigint")
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("bigint")
+    uniq_ratio = F.round(F.size(F.array_distinct(w)) * F.lit(1.0) / n_tokens, 6)
+    avg_tok_len = F.round(alpha_chars * F.lit(1.0) / n_tokens, 6)
+    stop_ratio = F.round(stop_hits * F.lit(1.0) / n_tokens, 6)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_tokens >= 10) & (uniq_ratio >= 0.1) & (avg_tok_len <= 15.0)
+        ).alias("is_quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: score each language by stopword
+    matches, pick the max (priority order breaks ties)."""
+    w = _words(text_col)
+    scores = {}
+    for lang, stops in STOPWORDS.items():
+        arr = F.array([F.lit(s) for s in stops])
+        scores[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x))).cast("bigint")
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    pred = None
+    for lang in reversed(LANG_PRIORITY):
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed() + otherwise-chaining makes the FIRST priority language
+    # win ties (en before de before ...)
+    sel = [F.col(id_col)]
+    for lang in LANG_PRIORITY:
+        sel.append(scores[lang].alias(f"score_{lang}"))
+    sel.append(pred.alias("lang_pred"))
+    return df.select(*sel)
+
+
+FP_MULT = 1000003
+FP_MOD = 2147483647
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    Each word maps to a small portable integer (first/last char codes +
+    length), folded left-to-right as ``acc = (acc*1000003 + wi) mod
+    (2^31-1)``.  Portable on purpose (ascii/reverse/length exist in any
+    SQL engine) so the oracle can verify; a production pipeline would
+    swap the word hash for xxhash64 with the identical fold shape."""
+    w = _words(text_col)
+    word_ints = F.transform(
+        w,
+        lambda x: (
+            F.ascii(x).cast("bigint") * 65536
+            + F.ascii(F.reverse(x)).cast("bigint") * 256
+            + F.length(x).cast("bigint")
+        ),
+    )
+    fp = F.aggregate(
+        word_ints,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,129 @@
+"""Event-time windowing over the ``events`` table (batch semantics;
+the same aggregations run as Structured Streaming in
+``streaming/windows.py`` — these batch twins are what the DuckDB
+oracle can check).
+
+Window starts are emitted as epoch-second BIGINTs (parity convention):
+Spark's ``window()`` buckets are epoch-aligned, mirrored in SQL with
+``floor(epoch(ts)/width)*width``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..registry import register
+from ..sources.catalog import load_events
+
+
+def _t(spark, sf_dir, name):
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register("events_tumbling", oracle="""
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@register("events_sliding", oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS s, value FROM events
+), expanded AS (
+  SELECT s AS window_start, value FROM b
+  UNION ALL
+  SELECT s - 1800 AS window_start, value FROM b
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1
+""")
+def events_sliding(spark, sf_dir):
+    """Sliding windows (1 h length, 30 min slide) — each event lands in
+    exactly length/slide = 2 windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+@register("events_session", oracle="""
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM y
+GROUP BY user_id, sess_id
+""")
+def events_session(spark, sf_dir):
+    """Session windows with a 10-minute inactivity gap per user —
+    Spark ``session_window``; the oracle is the classic
+    gaps-and-islands rewrite (sessions are half-open: a gap of exactly
+    10 min starts a new session)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("session_start_epoch"),
+            "n_events", "total_value",
+        )
+    )
+
+
+@register("events_enrich_join", oracle="""
+SELECT e.event_id, e.event_type, e.value,
+       c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('purchase', 'signup')
+""")
+def events_enrich_join(spark, sf_dir):
+    """Stream-enrichment shape: fact stream joined to a small dimension
+    — the dimension is explicitly broadcast (no shuffle of the fact
+    side; at 100 TB this is the only sane plan)."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select("event_id", "event_type", "value", "c_name", "c_mktsegment")
+    )

@@ -1,0 +1,73 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+The synthetic vectors are near-orthogonal (max pairwise cosine ≈ 0.51
+at sf0.01), so pair thresholds are set at 0.4 to exercise real result
+sets.  Oracle cosine uses ``list_cosine_similarity`` over DOUBLE[]
+with both sides rounded to 6 decimals; the Spark side folds the dot
+product sequentially in doubles, so rounded values agree.
+
+``ann_lsh_cosine`` (hyperplane LSH) is approximate by construction →
+rows-only check (the exact twin ``ann_topk_bruteforce`` carries the
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..registry import register
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register("ann_topk_bruteforce", oracle="""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM ranked WHERE rank <= 5
+""")
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries x streamed corpus, no corpus shuffle."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register("embedding_cosine_pairs", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+""")
+def embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.4), exact all-pairs
+    baseline — the LSH variant below is the scale path."""
+    return S.cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
+
+
+@register("ann_lsh_cosine")  # approximate candidate set -> rows-only check
+def ann_lsh_cosine(spark, sf_dir):
+    """Hyperplane-LSH bucketed near-dup pairs (verified cosine >= 0.4):
+    deterministic pseudo-random hyperplanes, candidates only from
+    bucket collisions."""
+    return S.lsh_cosine_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        dim=64, n_planes=10, n_tables=6, threshold=0.4,
+    )

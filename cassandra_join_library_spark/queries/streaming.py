@@ -1,0 +1,54 @@
+"""Streaming queries (driver-graded).
+
+``stream_tumbling`` runs a REAL Structured Streaming job
+(Trigger.AvailableNow → memory sink) and returns the materialized
+result; without a watermark in complete mode every window is emitted,
+so the result equals the batch computation and the DuckDB oracle from
+``events_tumbling`` applies verbatim.  ``stream_dedup`` exercises the
+stateful dedup operator → rows-only check (stateful streaming has no
+SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..registry import register
+from ..streaming import windows as W
+
+
+@register("stream_tumbling", oracle="""
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation executed through the streaming
+    engine (AvailableNow), result identical to the batch twin."""
+    stream = W.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    name, _ = W.run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+@register("stream_dedup")  # stateful streaming -> rows-only check
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup on (user_id, event_type) with watermarked
+    state eviction."""
+    stream = W.read_events_stream(spark, sf_dir)
+    deduped = W.dedup_stream(stream, ["user_id", "event_type"],
+                             watermark="2 hours", within_watermark=True)
+    out = deduped.select("event_id", "user_id", "event_type")
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)

@@ -1,0 +1,92 @@
+"""Text-analysis queries over ``documents`` (driver-graded), each with
+an exact DuckDB oracle mirroring the Spark expression 1:1.
+"""
+
+from __future__ import annotations
+
+from ..operators import text as T
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register("text_token_stats", oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(ceil(CAST(length(text) AS BIGINT) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-estimate)."""
+    return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_quality", oracle="""
+WITH x AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(alpha_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+       round(len(list_distinct(w)) * 1.0 / n_tokens, 6) AS uniq_ratio,
+       round(len(list_filter(w, t -> list_contains(['the','a','and','of','to','is'], t))) * 1.0
+             / n_tokens, 6) AS stopword_ratio,
+       (n_tokens >= 10
+        AND round(len(list_distinct(w)) * 1.0 / n_tokens, 6) >= 0.1
+        AND round(alpha_chars * 1.0 / n_tokens, 6) <= 15.0) AS is_quality
+FROM x
+""")
+def text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length / diversity / stopword ratios)."""
+    return T.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_lang_id", oracle="""
+WITH x AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, t -> list_contains(['the','a','and','of','to','is'], t))) AS BIGINT) AS score_en,
+    CAST(len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS score_de,
+    CAST(len(list_filter(w, t -> list_contains(['el','la','los','que','y'], t))) AS BIGINT) AS score_es,
+    CAST(len(list_filter(w, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS score_fr,
+    CAST(len(list_filter(w, t -> list_contains(['的','是','了','在'], t))) AS BIGINT) AS score_zh
+  FROM x
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM s
+""")
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic (priority order breaks ties)."""
+    return T.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_fingerprint", oracle="""
+WITH x AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(ascii(t) AS BIGINT) * 65536
+                             + CAST(ascii(reverse(t)) AS BIGINT) * 256
+                             + CAST(length(t) AS BIGINT)) AS wi
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), wi),
+                   (acc, v) -> (acc * 1000003 + v) % 2147483647) AS fingerprint
+FROM x
+""")
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (portable fold)."""
+    return T.fingerprints(_docs(spark, sf_dir), "doc_id", "text")

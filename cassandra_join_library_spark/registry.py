@@ -1,0 +1,75 @@
+"""Query registry — the single source for the driver contract.
+
+Every implemented operator registers (a) a Spark callable
+``(spark, sf_dir) -> DataFrame`` and (b) optionally an equivalent ANSI
+SQL string that DuckDB runs on the same parquet tables.  The driver
+compares the two at sf=0.01 (row count + schema + order-insensitive
+value hash), so both sides must agree EXACTLY:
+
+Parity conventions (applied on BOTH sides):
+- money/double aggregates: sum over ``CAST(x AS DECIMAL(18,6))`` (exact,
+  order-independent), final result cast back to DOUBLE;
+- computed integers (lengths, years, counts): cast to BIGINT;
+- timestamps in output: epoch seconds as BIGINT (``unix_timestamp`` /
+  ``epoch(...)``) — sidesteps ms-vs-ns parquet precision;
+- every computed column aliased identically in Spark and SQL;
+- LIMIT/top-k queries carry a total order (tiebreak on a key column).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: Dict[str, QueryFn] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: register a query, optionally with its DuckDB oracle.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (genuinely non-SQL-expressible ops: LSH candidate generation,
+    stateful streaming, stubs)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> Dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> Dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    """Import every query-defining module exactly once."""
+    global _loaded
+    if _loaded:
+        return
+    from .queries import (  # noqa: F401
+        core,
+        relational,
+        events,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming,
+    )
+    _loaded = True

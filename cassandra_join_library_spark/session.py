@@ -42,6 +42,10 @@ def get_spark(app_name: str = "cassandra-join-library-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries nanosecond timestamps, which the
+        # vectorized reader rejects; read them as long and normalize in
+        # sources.catalog.load_events
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

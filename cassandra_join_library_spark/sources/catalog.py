@@ -120,6 +120,21 @@ class CassandraCatalog(Catalog):
         return list(self._tables)
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table loader normalizing the nanosecond ``ts`` column.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the ns timestamps
+    arrive as raw longs; convert to microsecond timestamps (truncating
+    division — Spark's native precision)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def qualify(df: DataFrame, alias: str) -> DataFrame:
     """Flatten the reference's ``(column, table)`` tuple row keys
     (``cassandra_joinlib/hash_join.py:418-426``) into ``{alias}_{col}``

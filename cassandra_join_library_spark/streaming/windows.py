@@ -1,0 +1,125 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.6); this is part
+of the engine's extension mandate.  Pattern: ``readStream`` (file
+source standing in for Kafka/Kinesis) → event-time windowed
+aggregation with watermarks → sink.  Batch twins of these
+aggregations live in ``queries/events.py`` where the DuckDB oracle can
+check them; here the SAME logical plan runs through the streaming
+engine (Trigger.AvailableNow), proving the operators are
+streaming-safe.
+
+Scale notes: watermark + windowed aggregation keeps state bounded
+(windows close and are evicted); ``dropDuplicatesWithinWatermark``
+bounds dedup state the same way.  State lives in the state store
+(RocksDB on a real cluster), partitioned by grouping key.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based stream of the events table (schema pinned from the
+    batch read — streaming sources require a declared schema)."""
+    from pyspark.sql.types import LongType
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source requires a directory: stream the table's
+    # parent dir with a glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        # nanosecond timestamps read as long (see sources.catalog.load_events)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-safe)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "10 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows in streaming mode (state merges as events
+    arrive; watermark closes sessions)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("session_start_epoch"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: "list[str]",
+                 watermark: "str | None" = "2 hours",
+                 within_watermark: bool = True) -> DataFrame:
+    """Streaming exact dedup on key columns.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` so
+    state is evicted once the watermark passes — the only sane mode for
+    an unbounded 100 TB stream.  ``False`` falls back to global
+    ``dropDuplicates`` (unbounded state; bounded replays only)."""
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+        if within_watermark:
+            return stream.dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
+def run_to_memory(result: DataFrame, output_mode: str = "complete",
+                  name: "str | None" = None) -> "tuple[str, object]":
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    an in-memory table; returns (table_name, query).  Test/driver
+    harness — production sinks are kafka/delta/parquet via the same
+    ``writeStream`` call."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return name, q

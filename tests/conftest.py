@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cassandra_join_library_spark import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the same views the driver pre-registers."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
