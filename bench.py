@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with ``count()`` (full compute, no driver-side
+result transfer).  Wall-clock includes Catalyst planning — that is the
+honest number a user sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from cassandra_join_library_spark import get_spark
+from cassandra_join_library_spark.registry import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # reference-surface core
+    "join_chain3",          # chained left-deep 3-table join (J10)
+    "join_composite",       # composite-key self equi-join (J7)
+    "theta_lt",             # block-nested-loop theta join (J6)
+    "join_full",            # full outer many-to-many (J4)
+    # relational extension
+    "agg_pricing_summary",  # TPC-H Q1 shape
+    "topk_customers",       # agg + top-k
+    "window_rank",          # ranking window
+    "events_session",       # session windows
+    # LLM-pipeline extension
+    "dedup_jaccard_exact",  # posting-list jaccard pairs
+    "dedup_minhash_lsh",    # minhash LSH + verify
+    "ann_topk_bruteforce",  # embedding top-k
+    "text_quality",         # text scoring
+    "mm_decode_features",   # Arrow mapInPandas plumbing
+]
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # warm the JVM / codegen / parquet reader so timings measure query
+    # execution, not session spin-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
+    timings: "dict[str, float]" = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

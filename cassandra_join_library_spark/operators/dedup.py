@@ -34,17 +34,32 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame
 
     Documents shorter than ``n`` words produce no shingles (guarded —
     Spark's ``sequence(0, negative)`` would count backwards)."""
-    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("w")
+    )
+    # parallelize the (CPU-heavy) shingle transform: small corpora often
+    # arrive as a single input split; hash-repartition on doc spreads the
+    # work AND pre-partitions for the per-doc groupBys downstream
+    # (EnsureRequirements reuses this exchange, so it costs one tiny
+    # shuffle and saves the wide ones)
+    # explicit partition count: AQE coalesces column-only repartitions
+    # of small inputs back to 1-2 partitions, serializing the transform
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
     grams = F.when(
-        F.size(words) >= n,
-        F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
-        ),
+        F.size(F.col("w")) >= n,
+        F.expr(f"transform(sequence(0, size(w) - {n}), "
+               f"i -> concat_ws(' ', slice(w, i + 1, {n})))"),
     ).otherwise(F.array().cast("array<string>"))
+    # distinct AFTER explode: array_distinct would be O(k^2) string
+    # compares per doc; the exploded dropDuplicates is linear and its
+    # shuffle is on (doc, shingle) which downstream per-doc groupBys
+    # partially reuse
     return (
-        df.select(F.col(id_col).alias("doc"), F.array_distinct(grams).alias("sh"))
+        base.select("doc", grams.alias("sh"))
         .select("doc", F.explode("sh").alias("shingle"))
+        .dropDuplicates(["doc", "shingle"])
     )
 
 
@@ -82,6 +97,8 @@ def jaccard_pairs_exact(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = shingles(df, id_col, text_col, n).persist()
+    sh.count()  # eager materialization: three consumers below would
+    # otherwise race the cache and recompute the transform concurrently
     if max_doc_freq is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
@@ -143,20 +160,37 @@ def minhash_lsh_pairs(
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
     sh = shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(sh, num_hashes)
-    n_bands = num_hashes // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
+    sh.count()  # eager materialization (see jaccard_pairs_exact)
+    if rows_per_band == 1:
+        # fast path: each minhash IS a band key, so skip the wide
+        # 24-buffer signature aggregate (expensive to codegen-compile)
+        # and keep the data tall: (doc, band, minhash) via explode +
+        # a plain 2-key min aggregate
+        hash_structs = F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     F.xxhash64(F.lit(i), F.col("shingle")).alias("h"))
+            for i in range(num_hashes)
+        ])
+        bands = (
+            sh.select("doc", F.explode(hash_structs).alias("x"))
+            .groupBy("doc", F.col("x.i").alias("band"))
+            .agg(F.min("x.h").alias("bucket"))
         )
-        for b in range(n_bands)
-    ]
-    bands = sig.select(
-        F.col("doc"), F.explode(F.array(*band_structs)).alias("bh")
-    ).select("doc", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+    else:
+        sig = minhash_signatures(sh, num_hashes)
+        n_bands = num_hashes // rows_per_band
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+        bands = sig.select(
+            F.col("doc"), F.explode(F.array(*band_structs)).alias("bh")
+        ).select("doc", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
