@@ -16,9 +16,12 @@ Null semantics (deliberate, documented): the reference's base
 comparisons are null-rejecting Python booleans (``lhs is not None and
 ...``, ``commands.py:109-147``), so ``~cond`` over a NULL operand keeps
 the row (NOT False = True) where ANSI SQL would drop it (NOT NULL =
-NULL).  We replicate the reference by wrapping every base comparison in
-``coalesce(pred, false)``; oracle SQL must mirror with
-``COALESCE(pred, FALSE)``.
+NULL).  We replicate the reference by wrapping base comparisons in
+``coalesce(pred, false)`` — but ONLY under a NOT: in positive filter
+contexts (including AND/OR) a NULL predicate drops the row either way,
+and an unconditional wrapper would defeat Catalyst's parquet filter
+pushdown (coalesce isn't a pushable predicate).  Oracle SQL mirrors
+with ``COALESCE(pred, FALSE)`` (harmless in positive contexts).
 """
 
 from __future__ import annotations
@@ -74,7 +77,10 @@ class Condition:
         col = resolve(value) if isinstance(value, str) else None
         return col if col is not None else F.lit(value)
 
-    def compile(self, resolve: Resolver) -> Column:
+    def compile(self, resolve: Resolver, null_safe: bool = False) -> Column:
+        """Compile to a Column.  ``null_safe=True`` (set by an ancestor
+        NOT) wraps the comparison in coalesce(pred, false) to replicate
+        the reference's null-rejecting booleans under negation."""
         lhs = self._operand(self.lhs, resolve)
         op = self.operator
         if op == "IN":
@@ -98,8 +104,10 @@ class Condition:
                 pred = lhs <= rhs
             else:
                 pred = lhs >= rhs
-        # reference base comparisons are null-rejecting booleans
-        return F.coalesce(pred, F.lit(False))
+        # reference base comparisons are null-rejecting booleans; the
+        # wrapper only matters under NOT and would block predicate
+        # pushdown elsewhere, so it is applied on demand
+        return F.coalesce(pred, F.lit(False)) if null_safe else pred
 
     def _contains(self, lhs: Column, resolve: Resolver) -> Column:
         dtype = None
@@ -133,8 +141,8 @@ class _And(Condition):
     def __init__(self, left: Condition, right: Condition):
         self.left, self.right = left, right
 
-    def compile(self, resolve: Resolver) -> Column:
-        return self.left.compile(resolve) & self.right.compile(resolve)
+    def compile(self, resolve: Resolver, null_safe: bool = False) -> Column:
+        return self.left.compile(resolve, null_safe) & self.right.compile(resolve, null_safe)
 
     def is_always_and(self) -> bool:
         return self.left.is_always_and() and self.right.is_always_and()
@@ -150,8 +158,8 @@ class _Or(Condition):
     def __init__(self, left: Condition, right: Condition):
         self.left, self.right = left, right
 
-    def compile(self, resolve: Resolver) -> Column:
-        return self.left.compile(resolve) | self.right.compile(resolve)
+    def compile(self, resolve: Resolver, null_safe: bool = False) -> Column:
+        return self.left.compile(resolve, null_safe) | self.right.compile(resolve, null_safe)
 
     def is_always_and(self) -> bool:
         return False
@@ -167,8 +175,9 @@ class _Not(Condition):
     def __init__(self, inner: Condition):
         self.inner = inner
 
-    def compile(self, resolve: Resolver) -> Column:
-        return ~self.inner.compile(resolve)
+    def compile(self, resolve: Resolver, null_safe: bool = False) -> Column:
+        # everything under a NOT needs reference null semantics
+        return ~self.inner.compile(resolve, True)
 
     def is_always_and(self) -> bool:
         return self.inner.is_always_and()

@@ -165,7 +165,13 @@ class JoinExecutor:
             if not is_num and o != "=" and o != "!=":
                 lc2, rc2 = lc.try_cast("double"), rc.try_cast("double")
                 both = lc2.isNotNull() & rc2.isNotNull()
-                return F.when(both, _apply(lc2, rc2, o)).otherwise(_apply(lc, rc, o))
+                # fallback when either side is non-numeric: compare as
+                # strings — a deterministic total order where the
+                # reference (Python 3 mixed-type compare) would crash;
+                # ANSI mode also forbids the implicit string<->int cast
+                return F.when(both, _apply(lc2, rc2, o)).otherwise(
+                    _apply(lc.cast("string"), rc.cast("string"), o)
+                )
             return _apply(lc, rc, o)
 
         def _apply(a: Column, b: Column, o: str) -> Column:

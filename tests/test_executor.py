@@ -1,0 +1,175 @@
+"""Reference-semantics tests for the JoinExecutor façade — the
+SURVEY.md §5 test matrix, each case anchored to a reference behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_join_library_spark import Condition, JoinExecutor, TableInfo
+from cassandra_join_library_spark.sources.catalog import Catalog
+
+from .conftest import SF_SMOKE
+
+
+class MemCatalog(Catalog):
+    """In-memory tables for null/coercion edge cases."""
+
+    def __init__(self, spark, tables: dict):
+        self._dfs = {name: spark.createDataFrame(rows) for name, rows in tables.items()}
+
+    def load(self, spark, table):
+        return self._dfs[table]
+
+    def table_names(self):
+        return sorted(self._dfs)
+
+
+def test_four_join_types_match_sql(spark):
+    """J1-J4 (intermediate_result.py:126-403) against spark.sql."""
+    for how, sql_kind in [("join", "JOIN"), ("leftJoin", "LEFT JOIN"),
+                          ("rightJoin", "RIGHT JOIN"), ("fullOuterJoin", "FULL OUTER JOIN")]:
+        ex = JoinExecutor(spark, SF_SMOKE)
+        getattr(ex, how)(TableInfo("supplier", "s_nationkey"), TableInfo("customer", "c_nationkey"))
+        got = ex.execute().count()
+        s = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+        c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        want = s.join(c, s.s_nationkey == c.c_nationkey,
+                      {"join": "inner", "leftJoin": "left", "rightJoin": "right",
+                       "fullOuterJoin": "full"}[how]).count()
+        assert got == want, f"{how}: {got} != {want}"
+
+
+def test_null_keys_never_match_inner_preserved_outer(spark):
+    """Null join keys: dropped by inner, preserved (padded) by outer —
+    SQL semantics; the reference's null quirks (intermediate_result.py:
+    66-75) are deliberately not replicated (SURVEY.md §2.5)."""
+    cat = MemCatalog(spark, {
+        "l": [Row(k=1, a="x"), Row(k=None, a="y"), Row(k=2, a="z")],
+        "r": [Row(k=1, b="p"), Row(k=None, b="q")],
+    })
+    inner = (JoinExecutor(spark, cat)
+             .join(TableInfo("l", "k"), TableInfo("r", "k")).execute())
+    assert inner.count() == 1  # only k=1; nulls never match nulls
+    left = (JoinExecutor(spark, cat)
+            .leftJoin(TableInfo("l", "k"), TableInfo("r", "k")).execute())
+    assert left.count() == 3
+    null_padded = left.filter(F.col("l_k").isNull() | (F.col("l_k") == 2))
+    assert null_padded.filter(F.col("r_b").isNotNull()).count() == 0
+
+
+def test_theta_float_coercion_string_vs_number(spark):
+    """nested_join.py:981-998: '5' < 10 compares numerically when both
+    sides cast to float; raw comparison otherwise."""
+    cat = MemCatalog(spark, {
+        "l": [Row(k="5", a=1), Row(k="30", a=2), Row(k="abc", a=3)],
+        "r": [Row(k=10, b=1)],
+    })
+    out = (JoinExecutor(spark, cat)
+           .join(TableInfo("l", "k"), TableInfo("r", "k"), operator="<")
+           .execute())
+    keys = {r["l_k"] for r in out.collect()}
+    # numeric coercion: "5" < 10 matches, "30" does not (string compare
+    # would say "30" < "10" is false anyway, but "5" < "10" is false as
+    # strings — numeric semantics must win)
+    assert keys == {"5"}
+
+
+def test_composite_theta_lexicographic(spark):
+    """J7 x J6: tuple keys compare lexicographically (utils.py:512-525 +
+    Python tuple semantics)."""
+    cat = MemCatalog(spark, {
+        "l": [Row(x=1, y=5, id="a"), Row(x=2, y=0, id="b")],
+        "r": [Row(x=1, y=7, id="c"), Row(x=2, y=0, id="d")],
+    })
+    out = (JoinExecutor(spark, cat)
+           .join(TableInfo("l", ("x", "y")), TableInfo("r", ("x", "y")), operator="<")
+           .execute())
+    pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # (1,5) < (1,7) and (1,5) < (2,0); (2,0) < nothing
+    assert pairs == {("a", "c"), ("a", "d")}
+
+
+def test_post_join_filter_placement_outer(spark):
+    """F2 semantic delta (SURVEY.md §4a): filter_by applies AFTER the
+    final join (hash_join.py:1224-1261), so a filter on the right side
+    of a left join drops NULL-padded rows — unlike an ON-clause filter."""
+    cat = MemCatalog(spark, {
+        "l": [Row(k=1), Row(k=2)],
+        "r": [Row(k=1, v=10)],
+    })
+    out = (JoinExecutor(spark, cat)
+           .leftJoin(TableInfo("l", "k"), TableInfo("r", "k"))
+           .filter_by(Condition("r.v", ">", 5))
+           .execute())
+    assert out.count() == 1  # k=2's padded row fails the post-join filter
+
+
+def test_not_over_null_keeps_row(spark):
+    """Reference base comparisons are null-rejecting booleans, so
+    ~cond over NULL keeps the row (commands.py:109-147)."""
+    cat = MemCatalog(spark, {
+        "l": [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=3)],
+        "r": [Row(k=1), Row(k=2), Row(k=3)],
+    })
+    out = (JoinExecutor(spark, cat)
+           .join(TableInfo("l", "k"), TableInfo("r", "k"))
+           .filter_by(~Condition("l.v", ">", 5))
+           .execute())
+    keys = {r["l_k"] for r in out.collect()}
+    assert keys == {2, 3}  # NULL v: NOT(FALSE) = TRUE -> kept
+
+
+def test_projection_validation_rejects_missing_join_column(spark):
+    """P2 (join_executor.py:155-212)."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_nationkey"), TableInfo("nation", "n_nationkey"))
+          .select("customer", {"c_name"}))
+    with pytest.raises(ValueError, match="join column"):
+        ex.execute()
+
+
+def test_selects_merge_union(spark):
+    """P1: repeated select() calls set-union (join_executor.py:133-140)."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_nationkey"), TableInfo("nation", "n_nationkey"))
+          .select("customer", {"c_nationkey"})
+          .select("customer", {"c_name"})
+          .select("nation", {"n_nationkey"}))
+    cols = set(ex.execute().columns)
+    assert cols == {"customer_c_nationkey", "customer_c_name", "nation_n_nationkey"}
+
+
+def test_same_name_shorthand(spark):
+    """J8: right join_column None reuses the left's (hash_join.py:164-165)."""
+    cat = MemCatalog(spark, {
+        "l": [Row(k=1, a="x")],
+        "r": [Row(k=1, b="y")],
+    })
+    out = (JoinExecutor(spark, cat)
+           .join(TableInfo("l", "k"), TableInfo("r")).execute())
+    assert out.count() == 1
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """K1 sink: JSON-lines output readable back (hash_join.py:1195-1269)."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("region", "r_regionkey"), TableInfo("nation", "n_regionkey")))
+    ex.execute()
+    path = str(tmp_path / "out")
+    ex.save_result(path)
+    back = spark.read.json(path)
+    assert back.count() == ex.to_df().count()
+    assert set(back.columns) == set(ex.to_df().columns)
+
+
+def test_left_deep_chain_requires_joined_left(spark):
+    """J10: join k+1's left table must already be in the chain
+    (hash_join.py:295-339)."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_nationkey"), TableInfo("nation", "n_nationkey"))
+          .join(TableInfo("part", "p_partkey"), TableInfo("orders", "o_orderkey")))
+    with pytest.raises(ValueError, match="left-deep"):
+        ex.execute()
