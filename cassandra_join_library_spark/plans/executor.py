@@ -52,7 +52,8 @@ from ..sources.catalog import Catalog, ParquetCatalog, qualify
 from .condition import Condition
 from .table_info import TableInfo
 
-_HOW = {"inner": "inner", "left": "left", "right": "right", "full": "full"}
+_HOW = {"inner": "inner", "left": "left", "right": "right", "full": "full",
+        "semi": "left_semi", "anti": "left_anti"}
 _THETA_OPS = {"=", "<", ">", "<=", ">=", "!="}
 
 
@@ -91,6 +92,16 @@ class JoinExecutor:
 
     def fullOuterJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
         return self._add_join("full", left, right, operator)
+
+    def semiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        """Left-semi join (engine extension: EXISTS filter — the
+        reference has no semi/anti surface).  Output carries only
+        left-side columns."""
+        return self._add_join("semi", left, right, operator)
+
+    def antiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+        """Left-anti join (NOT EXISTS filter, engine extension)."""
+        return self._add_join("anti", left, right, operator)
 
     def scan(self, table: TableInfo) -> "JoinExecutor":
         """Single-table query (extension — the reference always joins)."""
@@ -263,7 +274,9 @@ class JoinExecutor:
                 )
             current = current.join(rdf, on=cond, how=_HOW[how])
             loaded[right.name] = rdf
-            order.append(right)
+            if how not in ("semi", "anti"):
+                # semi/anti output carries no right-side columns
+                order.append(right)
 
         if current is None:
             raise ValueError("no joins or scan queued — nothing to execute")

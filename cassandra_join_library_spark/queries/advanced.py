@@ -1,0 +1,157 @@
+"""Advanced relational surface: semi/anti joins, full-SQL passthrough
+(Catalyst is the engine's SQL front end), pivot, exact percentiles.
+
+The SQL-passthrough queries register the catalog tables as temp views
+and run ``spark.sql`` — showing a reference user can bring whole ANSI
+queries, not just the fluent façade; the same text (modulo dialect)
+runs on DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.executor import JoinExecutor
+from ..plans.table_info import TableInfo
+from ..registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _view(spark, sf_dir, name):
+    df = _t(spark, sf_dir, name)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+@register("join_semi", oracle="""
+SELECT c.c_custkey AS customer_c_custkey, c.c_name AS customer_c_name,
+       c.c_acctbal AS customer_c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_semi(spark, sf_dir):
+    """Left-semi join via the façade: customers that have orders."""
+    return (
+        JoinExecutor(spark, sf_dir)
+        .semiJoin(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+        .select("customer", {"c_custkey", "c_name", "c_acctbal"})
+        .execute()
+    )
+
+
+@register("join_anti", oracle="""
+SELECT c.c_custkey AS customer_c_custkey, c.c_name AS customer_c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    """Left-anti join via the façade: customers with no orders."""
+    return (
+        JoinExecutor(spark, sf_dir)
+        .antiJoin(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+        .select("customer", {"c_custkey", "c_name"})
+        .execute()
+    )
+
+
+_Q3ISH = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, year(o_orderdate), o_orderpriority
+"""
+
+
+@register("sql_q3_shipping_priority", oracle=_Q3ISH)
+def sql_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped query through the full-SQL front end (spark.sql
+    on registered views) — identical text runs on DuckDB."""
+    for t in ("customer", "orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q3ISH)
+
+
+_Q5ISH = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("sql_q5_local_volume", oracle=_Q5ISH)
+def sql_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join pipeline through spark.sql."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q5ISH)
+
+
+@register("pivot_status_by_year", oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS status_F,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS status_O,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS status_P
+FROM orders
+GROUP BY 1
+""")
+def pivot_status_by_year(spark, sf_dir):
+    """Pivot (explicit value list for a deterministic schema — at scale
+    never let pivot infer its columns with an extra pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "order_year",
+            F.col("F").alias("status_F"),
+            F.col("O").alias("status_O"),
+            F.col("P").alias("status_P"),
+        )
+    )
+
+
+@register("percentiles_exact", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both 1-based linear interpolation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register("approx_distinct_parts")  # approximate (HLL) -> rows-only check
+def approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality
+    path; approximate by design, so no SQL oracle (exact twin:
+    agg_count_distinct)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )

@@ -63,6 +63,7 @@ def _load_all() -> None:
     if _loaded:
         return
     from .queries import (  # noqa: F401
+        advanced,
         core,
         relational,
         events,
