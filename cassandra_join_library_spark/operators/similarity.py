@@ -105,6 +105,86 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 32,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, search only the query's ``nprobe``
+    closest lists.
+
+    Centroids are chosen deterministically (every ``centroid_stride``-th
+    vector by id) instead of k-means — no RNG, no iteration; at 100 TB
+    you'd precompute real centroids offline and broadcast them exactly
+    the same way.  Assignment is a map-side broadcast join (centroid
+    set is small); the probe join touches only ``nprobe/num_centroids``
+    of the corpus — the scale path when brute force is too wide.
+
+    Returns (query_id, neighbor_id, rank, cosine_sim).
+    """
+    from pyspark.sql import Window
+
+    cent = with_norm(
+        corpus.filter((F.col(id_col) % centroid_stride) == 0), vec_col
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("_vec").alias("cent_vec"), F.col("_norm").alias("cent_norm"),
+    )
+
+    def assign(side: DataFrame, sid: str, n_lists: int) -> DataFrame:
+        """nearest-`n_lists` centroid ids per vector (broadcast argmin)."""
+        sim = cosine(F.col("_vec"), F.col("cent_vec"), F.col("_norm"), F.col("cent_norm"))
+        w = Window.partitionBy(sid).orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
+        return (
+            side.join(F.broadcast(cent), F.lit(True))
+            .withColumn("_csim", sim)
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n_lists)
+            .drop("_csim", "_crank", "cent_vec", "cent_norm")
+        )
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec"), F.col("_norm"),
+    )
+    c_assigned = assign(c, "neighbor_id", 1).select(
+        "neighbor_id", F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"), F.col("cent_id").alias("list_id"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vec"), F.col("_norm"),
+    )
+    q_assigned = assign(q, "query_id", nprobe).select(
+        "query_id", F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"), F.col("cent_id").alias("list_id"),
+    )
+
+    sim = F.round(
+        cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")),
+        round_to,
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane coefficients: a fixed
     integer hash of (plane, dim-index) mapped into [-1, 1].  No RNG —
@@ -129,9 +209,12 @@ def lsh_cosine_pairs(
 
     ``n_tables`` independent signatures of ``n_planes`` sign bits each;
     vectors sharing any full signature become candidates, verified with
-    exact cosine (no false positives).  For cos θ = 0.9, a 12-bit
-    signature collides with p = (1 - θ/π)^12 ≈ 0.65 per table → 4
-    tables give ~98.5% recall; tune both knobs upward at scale.
+    exact cosine (no false positives).  Collision probability per
+    table is (1 - θ/π)^n_planes, so the method shines for NEAR-DUP
+    thresholds: at cos θ = 0.9 a 12-bit signature collides with ~0.65
+    per table (4 tables → ~98.5% recall).  At loose thresholds like
+    cos 0.4 (θ ≈ 66°) recall degrades fundamentally — fewer planes /
+    more tables trade candidate volume back toward brute force.
     Candidate join touches only bucket-colliding ids — no cross product.
     """
     n = with_norm(df, vec_col).select(

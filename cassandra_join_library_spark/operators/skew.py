@@ -1,0 +1,64 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join splitting (enabled in ``session.py``) handles most
+skew at runtime; ``salted_join`` is the explicit fallback for the
+pathological case AQE can't fix: a many-to-many hot key where ONE
+shuffle partition exceeds executor memory no matter how it is split
+on one side.
+
+Salting replicates the small side R times and scatters the big side's
+hot keys across R sub-partitions — trading R× duplication of the
+small side for an even shuffle.  Deterministic salt (hash of a
+stable column, not rand()) keeps results reproducible across retries
+— a task retry with rand() salt would double-or-drop rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: "list[tuple[str, str]]",
+    how: str = "inner",
+    salt_buckets: int = 8,
+    salt_source: "str | None" = None,
+) -> DataFrame:
+    """Equi-join with a salted key to spread skewed build groups.
+
+    ``on`` is a list of (big_col, small_col) equality pairs.  The big
+    side gets ``salt = pmod(xxhash64(salt_source or first key-col +
+    row-local columns), salt_buckets)``; the small side is exploded
+    across all salt values.  Output columns match a plain join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (skew is a "
+                         "big-side problem; other joins re-shuffle anyway)")
+    salt_col = salt_source or on[0][0]
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col), F.monotonically_increasing_id()),
+                        F.lit(salt_buckets)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond: "Column | None" = None
+    for bc, sc in on:
+        c = big_s[bc] == small_s[sc]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (big_s["_salt"] == small_s["_salt"])
+    return big_s.join(small_s, cond, how).drop("_salt")
+
+
+def key_histogram(df: DataFrame, key_cols: "list[str]", top: int = 20) -> DataFrame:
+    """Hot-key diagnostic: per-key row counts, heaviest first — run
+    this before choosing salt_buckets."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy(F.col("rows").desc())
+        .limit(top)
+    )

@@ -1,0 +1,160 @@
+"""Additional relational/text breadth: string similarity, array
+explode, cube/grouping-sets, regex extraction, n-gram frequencies,
+null handling, sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register("string_similarity", oracle="""
+SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+""")
+def string_similarity(spark, sf_dir):
+    """Edit-distance pair matching (fuzzy key dedup shape)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+@register("explode_tokens", oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 10
+""")
+def explode_tokens(spark, sf_dir):
+    """Array explode / unnest (token stream shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+@register("agg_cube", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register("regexp_extract_priority", oracle="""
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\\d+)-(\\w+)', 1) AS prio_num,
+       regexp_extract(o_orderpriority, '^(\\d+)-(\\w+)', 2) AS prio_word,
+       CAST(regexp_matches(o_orderpriority, '^[12]-') AS BOOLEAN) AS is_urgent
+FROM orders
+""")
+def regexp_extract_priority(spark, sf_dir):
+    """Regex extraction and matching."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-(\w+)", 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-(\w+)", 2).alias("prio_word"),
+        F.col("o_orderpriority").rlike("^[12]-").alias("is_urgent"),
+    )
+
+
+@register("ngram_topk", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words
+)
+SELECT bigram, COUNT(*) AS freq
+FROM grams
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+""")
+def ngram_topk(spark, sf_dir):
+    """Corpus-level bigram frequency top-k (vocabulary analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.split("text", " ").alias("w"))
+    bigrams = w.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), "
+                   "i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register("null_handling", oracle="""
+WITH padded AS (
+  SELECT c.c_custkey, o.o_totalprice
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT c_custkey,
+       COALESCE(o_totalprice, 0.0) AS price_filled,
+       (o_totalprice IS NULL) AS was_null
+FROM padded
+""")
+def null_handling(spark, sf_dir):
+    """NULL handling: fillna/coalesce + null flags over outer-join
+    padding."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    padded = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return padded.select(
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_filled"),
+        F.col("o_totalprice").isNull().alias("was_null"),
+    )
+
+
+@register("distinct_rows", oracle="""
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""")
+def distinct_rows(spark, sf_dir):
+    """Row-level DISTINCT."""
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register("deterministic_sample", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 20 = 3
+""")
+def deterministic_sample(spark, sf_dir):
+    """Deterministic systematic sampling (hash/mod) — at 100 TB,
+    mod-sampling on a key is reproducible across runs and engines,
+    unlike Bernoulli TABLESAMPLE."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 20 == 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -62,6 +62,17 @@ def embedding_cosine_pairs(spark, sf_dir):
     return S.cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
 
 
+@register("ann_ivf_topk")  # approximate (probe subset) -> rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF inverted-list top-k (deterministic centroids, nprobe=4) —
+    the bounded-search scale path; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding",
+                      k=5, centroid_stride=32, nprobe=4)
+
+
 @register("ann_lsh_cosine")  # approximate candidate set -> rows-only check
 def ann_lsh_cosine(spark, sf_dir):
     """Hyperplane-LSH bucketed near-dup pairs (verified cosine >= 0.4):
@@ -69,5 +80,5 @@ def ann_lsh_cosine(spark, sf_dir):
     bucket collisions."""
     return S.lsh_cosine_pairs(
         _emb(spark, sf_dir), "vec_id", "embedding",
-        dim=64, n_planes=10, n_tables=6, threshold=0.4,
+        dim=64, n_planes=6, n_tables=8, threshold=0.4,
     )

@@ -65,6 +65,7 @@ def _load_all() -> None:
     from .queries import (  # noqa: F401
         advanced,
         core,
+        extras,
         relational,
         events,
         dedup,

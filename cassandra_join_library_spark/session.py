@@ -47,6 +47,8 @@ def get_spark(app_name: str = "cassandra-join-library-spark",
         # sources.catalog.load_events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,52 @@
+"""Output sinks beyond the reference's JSON-lines file (K1).
+
+At 100 TB the sink layout IS the performance of every downstream read:
+- ``write_partitioned``: hive-style directory partitioning on low-
+  cardinality columns → partition pruning for free on read;
+- ``write_bucketed``: stable hash bucketing on join/agg keys → bucketed
+  tables join without a shuffle (the persistent version of the
+  reference's "pre-partition on the next join key",
+  ``hash_join.py:302-328``);
+- ``write_sorted_parquet``: per-file ordering → parquet min/max row-
+  group pruning on range predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite",
+                     single_file: bool = False) -> None:
+    """The reference's result format (one JSON object per line,
+    ``hash_join.py:1195-1269``)."""
+    (df.coalesce(1) if single_file else df).write.mode(mode).json(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: "list[str]",
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet; readers prune on partition_cols."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: "list[str]",
+                   num_buckets: int = 32, sort_cols: "list[str] | None" = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (and optionally sorted) managed table — co-located
+    joins/aggregations on the bucket key skip the shuffle."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: "list[str]",
+                         mode: str = "overwrite") -> None:
+    """Range-partition + sort within files: maximizes parquet row-group
+    min/max pruning for range predicates on sort_cols."""
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
