@@ -71,3 +71,30 @@ def test_stream_dedup_within_watermark(spark):
     want = load_events(spark, SF_SMOKE).select("user_id", "event_type").distinct()
     assert got.count() == want.count()
     assert got.distinct().count() == want.count()
+
+
+def test_stateful_running_user_stats(spark):
+    """applyInPandasWithState custom operator: final per-user snapshot
+    must equal the batch aggregate."""
+    from cassandra_join_library_spark.streaming.stateful import running_user_stats
+
+    stream = W.read_events_stream(spark, SF_SMOKE)
+    out = running_user_stats(stream)
+    name, q = W.run_to_memory(out, output_mode="update")
+    # update mode: take the LAST emitted snapshot per user
+    snap = spark.table(name)
+    latest = (
+        snap.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value").alias("total_value"),
+             F.max("max_value").alias("max_value"))
+    )
+    e = load_events(spark, SF_SMOKE)
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in latest.collect()}
+    exp = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert got == exp
