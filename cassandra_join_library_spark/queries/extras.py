@@ -158,3 +158,49 @@ def deterministic_sample(spark, sf_dir):
         o.filter(F.col("o_orderkey") % 20 == 3)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register("band_join_acctbal", oracle="""
+SELECT s.s_suppkey, s.s_acctbal, c.c_custkey, c.c_acctbal
+FROM supplier s JOIN customer c ON abs(s.s_acctbal - c.c_acctbal) <= 25.0
+""")
+def band_join_acctbal(spark, sf_dir):
+    """Band theta join (|a-b| <= w) via the bucketized equi-join
+    rewrite (operators/range_join.py) — O(N*M) BNLJ becomes a shuffle
+    join on quantized buckets."""
+    from ..operators.range_join import band_join
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return band_join(s, "s_acctbal", c, "c_acctbal", width=25.0)
+
+
+@register("interval_join_shipdate", oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_epoch,
+       o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch
+FROM lineitem l
+JOIN orders o
+  ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+ AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 604800
+WHERE o.o_orderkey % 100 = 0
+""")
+def interval_join_shipdate(spark, sf_dir):
+    """Point-in-interval join via bucketization: lineitems shipped
+    within 7 days of (a sampled set of) order dates."""
+    from ..operators.range_join import interval_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.unix_timestamp("l_shipdate").cast("bigint").alias("ship_epoch"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("order_epoch"),
+    )
+    iv = o.withColumn("end_epoch", F.col("order_epoch") + 604800)
+    out = interval_join(l, "ship_epoch", iv, "order_epoch", "end_epoch",
+                        bucket_width=604800)
+    return out.select("l_orderkey", "l_linenumber", "ship_epoch",
+                      "o_orderkey", "order_epoch")
