@@ -52,14 +52,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame
         F.expr(f"transform(sequence(0, size(w) - {n}), "
                f"i -> concat_ws(' ', slice(w, i + 1, {n})))"),
     ).otherwise(F.array().cast("array<string>"))
-    # distinct AFTER explode: array_distinct would be O(k^2) string
-    # compares per doc; the exploded dropDuplicates is linear and its
-    # shuffle is on (doc, shingle) which downstream per-doc groupBys
-    # partially reuse
+    # per-doc distinct is row-LOCAL: sort the array (O(k log k)) and
+    # drop adjacent duplicates — no shuffle, unlike dropDuplicates, and
+    # no O(k^2) array_distinct scan
+    deduped = F.expr(
+        "filter(array_sort(sh), (x, i) -> i == 0 OR x != array_sort(sh)[i - 1])"
+    )
     return (
         base.select("doc", grams.alias("sh"))
-        .select("doc", F.explode("sh").alias("shingle"))
-        .dropDuplicates(["doc", "shingle"])
+        .select("doc", F.explode(deduped).alias("shingle"))
     )
 
 

@@ -204,3 +204,37 @@ def interval_join_shipdate(spark, sf_dir):
                         bucket_width=604800)
     return out.select("l_orderkey", "l_linenumber", "ship_epoch",
                       "o_orderkey", "order_epoch")
+
+
+@register("agg_collect_sorted", oracle="""
+SELECT s_nationkey,
+       array_to_string(list_sort(list(s_suppkey)), ',') AS suppliers
+FROM supplier
+GROUP BY s_nationkey
+""")
+def agg_collect_sorted(spark, sf_dir):
+    """Grouped collection aggregate — sorted then serialized so the
+    result is deterministic under any partitioning (bare collect_list
+    order is partition-dependent; never expose it raw)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("s_suppkey")), ",")
+        .alias("suppliers")
+    )
+
+
+@register("unpivot_metrics", oracle="""
+SELECT c_custkey, metric, value FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+)
+""")
+def unpivot_metrics(spark, sf_dir):
+    """Unpivot / melt wide columns into (key, metric, value) rows."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
