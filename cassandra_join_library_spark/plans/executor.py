@@ -67,7 +67,9 @@ class JoinExecutor:
     """
 
     def __init__(self, spark: SparkSession, source: Union[Catalog, str]):
-        self.spark = spark
+        from ..sources.catalog import ensure_session_confs
+
+        self.spark = ensure_session_confs(spark)
         self.catalog: Catalog = (
             ParquetCatalog(source) if isinstance(source, str) else source
         )

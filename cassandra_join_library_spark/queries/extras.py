@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum
 from ..registry import register
+from ..sources.catalog import ensure_session_confs
 
 
 def _t(spark, sf_dir, name):
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..registry import register
+from ..sources.catalog import ensure_session_confs
 
 
 def _emb(spark, sf_dir):
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -120,6 +120,28 @@ class CassandraCatalog(Catalog):
         return list(self._tables)
 
 
+# Runtime-settable confs the engine's results depend on.  The driver
+# may hand us a bare SparkSession (no session.py builder), so every
+# query entry point pins these defensively:
+# - nanosAsLong: events.parquet has ns timestamps the vectorized
+#   reader otherwise rejects;
+# - UTC session TZ: unix_timestamp()/window() interpret naive
+#   timestamps in session TZ — parity with DuckDB's epoch() needs UTC.
+RUNTIME_PARITY_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_PARITY_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - read-only conf on some builds
+            pass
+    return spark
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table loader normalizing the nanosecond ``ts`` column.
 
@@ -129,6 +151,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

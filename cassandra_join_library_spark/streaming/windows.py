@@ -32,6 +32,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     batch read — streaming sources require a declared schema)."""
     from pyspark.sql.types import LongType
 
+    from ..sources.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source requires a directory: stream the table's
     # parent dir with a glob filter selecting just the events file
