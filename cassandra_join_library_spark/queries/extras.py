@@ -240,3 +240,79 @@ def unpivot_metrics(spark, sf_dir):
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register("scalar_conditional", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 150000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'other' END AS status_word,
+       (o_totalprice >= 150000 AND o_orderstatus = 'O') AS big_open
+FROM orders
+""")
+def scalar_conditional(spark, sf_dir):
+    """Conditional expressions: searched CASE, simple CASE, boolean."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small").alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other").alias("status_word"),
+        ((F.col("o_totalprice") >= 150000) & (F.col("o_orderstatus") == "O"))
+        .alias("big_open"),
+    )
+
+
+@register("scalar_date_arith", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS days_since_95,
+       strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_plus_30,
+       strftime(date_trunc('quarter', l_shipdate), '%Y-%m-%d') AS quarter_start,
+       CAST(dayofweek(l_shipdate) AS BIGINT) AS dow_sunday0
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""")
+def scalar_date_arith(spark, sf_dir):
+    """Date arithmetic: datediff, interval add, quarter truncation,
+    day-of-week (normalized to DuckDB's Sunday=0 convention)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since_95"),
+        F.date_format(F.date_add(F.col("l_shipdate"), 30), "yyyy-MM-dd")
+        .alias("ship_plus_30"),
+        F.date_format(F.date_trunc("quarter", F.col("l_shipdate")), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        (F.dayofweek("l_shipdate") - 1).cast("bigint").alias("dow_sunday0"),
+    )
+
+
+@register("scalar_string2", oracle="""
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       trim(p_name) AS trimmed,
+       split_part(p_type, ' ', 1) AS type_first_word,
+       reverse(p_brand) AS brand_rev,
+       CAST(ascii(p_name) AS BIGINT) AS first_char_code,
+       repeat(p_brand, 2) AS brand_twice
+FROM part
+""")
+def scalar_string2(spark, sf_dir):
+    """String functions batch 2: pad/trim/split_part/reverse/ascii/repeat."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim("p_name").alias("trimmed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.ascii("p_name").cast("bigint").alias("first_char_code"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    )
