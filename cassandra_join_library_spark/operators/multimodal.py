@@ -69,6 +69,81 @@ def _fake_decode(doc_id: int, text: str) -> "tuple[int, int, int, int, int]":
     return byte_len, width, height, channels, checksum
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", LongType()),
+    StructField("out_height", LongType()),
+    StructField("scale_num", LongType()),    # scale factor as a ratio —
+    StructField("scale_den", LongType()),    # keeps the stub integral/exact
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_checksum", LongType()),
+])
+
+
+def resize_images(df: DataFrame, id_col: str, text_col: str,
+                  target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image-resize step over opaque payloads via ``mapInPandas``.
+
+    REAL CODEC NOT AVAILABLE HERE — production swaps the body for
+    ``PIL.Image.open(io.BytesIO(payload)).resize(...)``; the Spark
+    plumbing (schema, Arrow batching, partition preservation) is real.
+    The stub derives the "source dimensions" from the payload exactly
+    like ``_fake_decode`` and emits the letterboxed output size."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                byte_len, w, h, _, _ = _fake_decode(int(i), t)
+                w, h = max(w, 1), max(h, 1)
+                # integer letterbox: scale = min(tw/w, th/h) as a ratio
+                if target_w * h <= target_h * w:
+                    num, den = target_w, w
+                else:
+                    num, den = target_h, h
+                rows.append((int(i), w * num // den, h * num // den, num, den))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_width", "out_height",
+                               "scale_num", "scale_den"],
+            )
+
+    return src.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str, text_col: str,
+                  every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling step: one output row per sampled frame.
+
+    REAL CODEC NOT AVAILABLE HERE — production decodes with pyav/ffmpeg;
+    the stub treats every ``every_n`` bytes of payload as a "frame" and
+    emits a deterministic checksum per frame.  Demonstrates the 1→N
+    row-expanding UDF shape (mapInPandas yields more rows than input)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = t.encode("utf-8")
+                n_frames = min(max_frames, max(len(data) // every_n, 0))
+                for f in range(n_frames):
+                    chunk = data[f * every_n:(f + 1) * every_n]
+                    rows.append((int(i), f, sum(chunk) % 997))
+                if n_frames == 0 and len(data):
+                    # short payload: emit one whole-payload frame
+                    rows.append((int(i), 0, sum(data) % 997))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_checksum"],
+            )
+
+    return src.mapInPandas(batches, FRAMES_SCHEMA)
+
+
 def decode_features(df: DataFrame, id_col: str, text_col: str,
                     batch_hint: int = 10_000) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas``: each partition streams

@@ -45,3 +45,48 @@ def mm_decode_features(spark, sf_dir):
     """Arrow-batched (mapInPandas) stub decode of binary payloads —
     exercises the real multimodal UDF plumbing end-to-end."""
     return M.decode_features(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("mm_resize", oracle="""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS bl FROM documents
+), dims AS (
+  SELECT doc_id,
+         greatest(bl % 640, 1) AS w,
+         greatest((bl * 7) % 480, 1) AS h
+  FROM d
+)
+SELECT doc_id,
+       w * 224 // (CASE WHEN h <= w THEN w ELSE h END) AS out_width,
+       h * 224 // (CASE WHEN h <= w THEN w ELSE h END) AS out_height,
+       CAST(224 AS BIGINT) AS scale_num,
+       CAST(CASE WHEN h <= w THEN w ELSE h END AS BIGINT) AS scale_den
+FROM dims
+""")
+def mm_resize(spark, sf_dir):
+    """Stubbed image-resize (letterbox to 224x224) via mapInPandas —
+    integer-ratio math so the oracle is exact."""
+    return M.resize_images(_docs(spark, sf_dir), "doc_id", "text",
+                           target_w=224, target_h=224)
+
+
+@register("mm_frame_sample", oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS bl FROM documents
+), f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, least(8, bl // 10) - 1)) AS frame_idx
+  FROM d WHERE bl >= 10
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(generate_series(1, 10),
+                                    i -> ascii(text[frame_idx * 10 + i]))) % 997
+            AS BIGINT) AS frame_checksum
+FROM f
+""")
+def mm_frame_sample(spark, sf_dir):
+    """Stubbed video frame sampling (every 10 bytes = one 'frame',
+    max 8) — demonstrates the row-expanding 1->N mapInPandas shape;
+    documents are ASCII so the char-indexed oracle is byte-exact."""
+    return M.sample_frames(_docs(spark, sf_dir), "doc_id", "text",
+                           every_n=10, max_frames=8)

@@ -126,3 +126,30 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete",
     )
     q.awaitTermination()
     return name, q
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                watermark: str = "2 hours",
+                                max_lag: str = "5 minutes") -> DataFrame:
+    """Stream-stream inner join: pair each left event with the same
+    user's right events that happen within ``max_lag`` AFTER it.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range — that's what lets the engine evict join state
+    (unbounded-range stream joins would keep everything forever)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"), F.col("event_type").alias("r_type"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_event") != F.col("r_event"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )

@@ -98,3 +98,32 @@ def test_stateful_running_user_stats(spark):
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in latest.collect()}
     exp = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
     assert got == exp
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Watermarked stream-stream join with a bounded event-time range
+    must equal the batch interval join."""
+    s1 = W.read_events_stream(spark, SF_SMOKE)
+    s2 = W.read_events_stream(spark, SF_SMOKE)
+    joined = W.stream_stream_interval_join(s1, s2, max_lag="5 minutes")
+    name, q = W.run_to_memory(
+        joined.select("l_event", "r_event"), output_mode="append"
+    )
+    got = {(r["l_event"], r["r_event"]) for r in spark.table(name).collect()}
+
+    e = load_events(spark, SF_SMOKE)
+    l = e.select(F.col("user_id").alias("l_user"), F.col("event_id").alias("l_event"),
+                 F.col("ts").alias("l_ts"))
+    r = e.select(F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event"),
+                 F.col("ts").alias("r_ts"))
+    want = {
+        (x["l_event"], x["r_event"])
+        for x in l.join(
+            r,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("l_event") != F.col("r_event"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert got == want
