@@ -26,7 +26,7 @@ with ``COALESCE(pred, FALSE)`` (harmless in positive contexts).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

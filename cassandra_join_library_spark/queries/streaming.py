@@ -52,3 +52,15 @@ def stream_dedup(spark, sf_dir):
     out = deduped.select("event_id", "user_id", "event_type")
     name, _ = W.run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+@register("stream_stateful_stats")  # custom state transition -> rows-only
+def stream_stateful_stats(spark, sf_dir):
+    """Custom applyInPandasWithState accumulator (per-user running
+    count/sum/max) through the streaming engine; equality with the
+    batch aggregate is asserted in tests/test_streaming.py."""
+    from ..streaming.stateful import running_user_stats
+
+    stream = W.read_events_stream(spark, sf_dir)
+    name, _ = W.run_to_memory(running_user_stats(stream), output_mode="update")
+    return spark.table(name)
