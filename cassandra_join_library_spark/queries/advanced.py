@@ -157,3 +157,68 @@ def approx_distinct_parts(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )
+
+
+_Q6ISH = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@register("sql_q6_forecast_revenue", oracle=_Q6ISH)
+def sql_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped scan-heavy filter+aggregate (no joins): the
+    pushdown showcase — every predicate reaches the parquet scan."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6ISH)
+
+
+_Q10ISH = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+@register("sql_q10_returned_items", oracle=_Q10ISH)
+def sql_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item revenue (4-table join + agg)."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q10ISH)
+
+
+_Q18ISH = """
+SELECT c_custkey, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+GROUP BY c_custkey, o_orderkey, o_totalprice
+"""
+
+
+@register("sql_q18_large_orders", oracle=_Q18ISH)
+def sql_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: IN-subquery (planned as a
+    semi join) + HAVING over a grouped aggregate."""
+    for t in ("customer", "orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q18ISH)
