@@ -354,6 +354,15 @@ class JoinExecutor:
         """Tabulated printer (K3, ``utils.py:39-127``)."""
         self.to_df().show(n, truncate=truncate)
 
+    def explain(self, mode: str = "formatted") -> str:
+        """Return the physical plan as a string (extension — the
+        reference has no plan introspection; on Spark the plan is the
+        first thing to read before running at scale)."""
+        df = self.to_df()
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def get_time_elapsed(self) -> Dict[str, float]:
         """Timing surface kept name-compatible with the reference
         (``join_executor.py:214-231``)."""
