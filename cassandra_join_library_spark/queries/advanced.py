@@ -222,3 +222,47 @@ def sql_q18_large_orders(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         _view(spark, sf_dir, t)
     return spark.sql(_Q18ISH)
+
+
+_Q4ISH = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_q4_order_priority", oracle=_Q4ISH)
+def sql_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped: CORRELATED EXISTS subquery — Catalyst
+    decorrelates it into a left-semi join."""
+    for t in ("orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q4ISH)
+
+
+_Q16ISH = """
+SELECT p_brand, p_type,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand != 'Brand#1'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0
+  )
+GROUP BY p_brand, p_type
+"""
+
+
+@register("sql_q16_supplier_variety", oracle=_Q16ISH)
+def sql_q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16-shaped: NOT IN subquery (null-aware anti join) +
+    distinct aggregation."""
+    for t in ("lineitem", "part", "supplier"):
+        _view(spark, sf_dir, t)
+    return spark.sql(_Q16ISH)
