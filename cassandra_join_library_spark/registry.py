@@ -36,10 +36,22 @@ def register(name: str, oracle: Optional[str] = None):
     stateful streaming, stubs)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            # the driver passes its own (bare) session — pin the
+            # runtime confs results depend on, for EVERY query,
+            # regardless of which loader the query module uses
+            from .sources.catalog import ensure_session_confs
+
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
