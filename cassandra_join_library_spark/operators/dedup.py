@@ -216,6 +216,64 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Input: (doc_a, doc_b) similar pairs (undirected edges).  Output:
+    (doc_id, cluster_id) where cluster_id is the minimum doc id
+    reachable through the similarity graph — the canonical
+    representative every member dedups to.
+
+    Algorithm: iterative min-label propagation (the standard
+    DataFrame-only connected components): each round, every node takes
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds.  Near-dup graphs have tiny diameters
+    (dup clusters are quasi-cliques), so a handful of shuffles total.
+    Each iteration materializes via localCheckpoint to truncate the
+    growing lineage — the standard iterative-algorithm pattern on
+    Spark.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
                          bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: sign-sum of word-hash bits,

@@ -77,3 +77,46 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk join."""
     return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+@register("dedup_clusters", oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sim AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sim
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM sim
+), reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b
+  FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id
+FROM reach GROUP BY a
+""")
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: exact-Jaccard pairs -> connected
+    components (iterative min-label propagation); the oracle computes
+    the same components via a recursive transitive-closure CTE."""
+    pairs = D.jaccard_pairs_exact(_docs(spark, sf_dir), "doc_id", "text",
+                                  n=5, threshold=0.5)
+    return D.duplicate_clusters(pairs)
