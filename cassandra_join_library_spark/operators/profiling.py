@@ -1,0 +1,101 @@
+"""Data-quality profiling operators.
+
+Pipeline hygiene for 100 TB ingests: per-column null/distinct/range
+stats (one pass, all columns aggregated together — never one job per
+column), PII pattern flagging, and Gopher-style repetition scores for
+text corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+# conservative, recall-oriented patterns (production would use a
+# dedicated PII library; these are the cheap first-pass filters)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Narrow per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str) — ONE aggregation job for every column at once,
+    min/max serialized to strings so the schema is uniform."""
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_str"),
+                F.max(F.col(c)).cast("string").alias("max_str"),
+            ).alias(c)
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(F.array(*[F.col(f.name) for f in df.schema.fields])).alias("p")
+    )
+    return stacked.select(
+        "p.column", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str"
+    )
+
+
+def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII pattern counts + an any-hit flag (the
+    drop/redact decision input)."""
+    cols = [F.col(id_col)]
+    any_hit = F.lit(False)
+    for name, pat in PII_PATTERNS.items():
+        # idx=0 (whole match): Spark defaults to capture group 1 and
+        # errors at runtime on group-less patterns once a match occurs
+        cnt = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("bigint")
+        cols.append(cnt.alias(f"n_{name}"))
+        any_hit = any_hit | (cnt > 0)
+    cols.append(any_hit.alias("has_pii"))
+    return df.select(*cols)
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition metrics: top-word frequency ratio and
+    duplicate-bigram ratio — the standard cheap signals for degenerate
+    (looping) text.  Computed via explode + per-doc aggregation, not
+    per-row O(k^2) lambdas."""
+    words = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("w")
+    )
+    top_word = (
+        words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_tokens"))
+    )
+    base = df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("w"))
+    bigrams = base.select(
+        "doc",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.sum("c").alias("n_bigrams"),
+             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bigrams"))
+    )
+    return (
+        top_word.join(bg_stats, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("top_word_count") * F.lit(1.0) / F.col("n_tokens"), 6)
+            .alias("top_word_ratio"),
+            F.round(F.col("dup_bigrams") * F.lit(1.0) / F.col("n_bigrams"), 6)
+            .alias("dup_bigram_ratio"),
+        )
+    )

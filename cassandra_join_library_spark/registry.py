@@ -84,6 +84,7 @@ def _load_all() -> None:
         similarity,
         text,
         multimodal,
+        profiling,
         streaming,
     )
     _loaded = True
