@@ -129,3 +129,81 @@ def events_enrich_join(spark, sf_dir):
         .join(F.broadcast(c), e.user_id == c.c_custkey)
         .select("event_id", "event_type", "value", "c_name", "c_mktsegment")
     )
+
+
+@register("asof_purchase_click", oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       c.event_id AS matched_event_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (operators/asof.py union+window pattern —
+    one shuffle; DuckDB's native ASOF JOIN is the oracle)."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts", right_id="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("purchase_epoch"),
+        "matched_event_id",
+    )
+
+
+@register("events_rollup_daily", oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_start,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(hour_start // 86400 * 86400 AS BIGINT) AS day_start,
+       event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(total_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM hourly
+GROUP BY 1, 2
+""")
+def events_rollup_daily(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: the daily aggregate is
+    built FROM the hourly aggregate (sum of partial sums — the
+    continuous-aggregate pattern: coarser resolutions reuse finer ones
+    instead of rescanning raw data)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("hour_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    return (
+        hourly.groupBy(
+            (F.floor(F.col("hour_start") / 86400) * 86400).cast("bigint").alias("day_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            dsum("total_value", "total_value"),
+        )
+    )

@@ -173,3 +173,25 @@ def test_left_deep_chain_requires_joined_left(spark):
           .join(TableInfo("part", "p_partkey"), TableInfo("orders", "o_orderkey")))
     with pytest.raises(ValueError, match="left-deep"):
         ex.execute()
+
+
+def test_asof_join_semantics(spark):
+    """As-of join edges: <= tie matches, no-prior-row gives NULL,
+    latest-of-several wins."""
+    import datetime as dt
+
+    from cassandra_join_library_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [Row(event_id=100, user_id=1, ts=T(10)),
+         Row(event_id=101, user_id=1, ts=T(5)),
+         Row(event_id=102, user_id=2, ts=T(3))])
+    right = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=T(2)),
+         Row(event_id=2, user_id=1, ts=T(5)),   # exact tie with 101
+         Row(event_id=3, user_id=1, ts=T(7)),
+         Row(event_id=4, user_id=2, ts=T(9))])  # after 102 -> no match
+    out = {r["event_id"]: r["matched_event_id"]
+           for r in asof_join(left, right, key="user_id").collect()}
+    assert out == {100: 3, 101: 2, 102: None}
