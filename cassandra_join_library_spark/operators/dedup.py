@@ -97,6 +97,8 @@ def jaccard_pairs_exact(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # NB: the cache backs the returned (lazy) DataFrame, so it stays
+    # registered for the session; Spark evicts LRU under memory pressure.
     sh = shingles(df, id_col, text_col, n).persist()
     sh.count()  # eager materialization: three consumers below would
     # otherwise race the cache and recompute the transform concurrently
@@ -270,6 +272,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the bound) — raise "
+            "max_iterations; returning partial labels would silently "
+            "split clusters"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -76,12 +76,14 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_tokens"))
     )
     base = df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("w"))
-    bigrams = base.select(
-        "doc",
-        F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
-        ).alias("bg"),
-    )
+    # guard: size(w)<2 would make sequence(0, -1) count DOWN and
+    # w[i+1] index out of bounds (ANSI crash) — same hazard shingles()
+    # guards in operators/dedup.py
+    bigram_expr = F.when(
+        F.size(F.col("w")) >= 2,
+        F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select("doc", F.explode(bigram_expr).alias("bg"))
     bg_stats = (
         bigrams.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc")

@@ -167,6 +167,13 @@ class JoinExecutor:
         q = qualify(df, ti.name)
         sel = self._selected.get(ti.name)
         if sel is not None:
+            unknown = sorted(sel - set(df.columns))
+            if unknown:
+                raise ValueError(
+                    f"select() for table {ti.name!r} names unknown column(s) "
+                    f"{unknown} (available: {df.columns}) — the reference "
+                    "rejects invalid selections (join_executor.py:155-212)"
+                )
             keep = sel | set(ti.key_columns()) | extra_cols
             cols = [f"{ti.name}_{c}" for c in df.columns if c in keep]
             q = q.select(cols)
@@ -222,6 +229,11 @@ class JoinExecutor:
         order: List[TableInfo] = []
         current: Optional[DataFrame] = None
 
+        if self._scan is not None and self._joins:
+            raise ValueError(
+                "scan() and join() cannot be combined — scan is the "
+                "single-table entry point; queue joins only"
+            )
         if self._scan is not None and not self._joins:
             ti = self._scan
             current = self._load(ti, frefs.get(ti.name, set()))
@@ -285,7 +297,7 @@ class JoinExecutor:
 
         # post-join filters (semantic choice (a) in the module docstring)
         if self._filters:
-            resolver = self._make_resolver(current)
+            resolver = self._make_resolver(current, set(loaded))
             pred = None
             for cond in self._filters:
                 c = cond.compile(resolver)
@@ -305,15 +317,26 @@ class JoinExecutor:
                     out_cols.append(c)
         return current.select(out_cols)
 
-    def _make_resolver(self, df: DataFrame) -> Callable[[Any], Optional[Column]]:
+    def _make_resolver(self, df: DataFrame,
+                       known_tables: "Set[str] | None" = None) -> Callable[[Any], Optional[Column]]:
         names = set(df.columns)
         types = {f.name: f.dataType for f in df.schema.fields}
+        known = known_tables or set()
 
         def resolve(ref: Any) -> Optional[Column]:
             if isinstance(ref, str) and "." in ref:
                 flat = ref.replace(".", "_", 1)
                 if flat in names:
                     return df[flat]
+                # a dotted string whose prefix IS a table in this plan
+                # can only be a mistyped/unavailable column ref — fail
+                # loudly instead of silently comparing a string literal
+                prefix = ref.split(".", 1)[0]
+                if prefix in known:
+                    raise ValueError(
+                        f"filter references {ref!r} but column {flat!r} is "
+                        f"not in the joined result (available: {sorted(names)})"
+                    )
             return None
 
         def dtype(ref: str):

@@ -14,12 +14,12 @@ from pyspark.sql import functions as F
 from ..plans.executor import JoinExecutor
 from ..plans.table_info import TableInfo
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 
 
 def _t(spark, sf_dir, name):
-    ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _view(spark, sf_dir, name):

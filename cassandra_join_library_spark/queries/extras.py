@@ -9,12 +9,12 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 
 
 def _t(spark, sf_dir, name):
-    ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 @register("string_similarity", oracle="""
@@ -102,12 +102,14 @@ def ngram_topk(spark, sf_dir):
     """Corpus-level bigram frequency top-k (vocabulary analysis)."""
     d = _t(spark, sf_dir, "documents")
     w = d.select(F.split("text", " ").alias("w"))
-    bigrams = w.select(
-        F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), "
-                   "i -> concat(w[i], ' ', w[i+1]))")
-        ).alias("bigram")
-    )
+    # short-doc guard (sequence(0, -1) counts down; w[i+1] OOB crashes
+    # under ANSI) — mirrors shingles() in operators/dedup.py
+    bigram_expr = F.when(
+        F.size(F.col("w")) >= 2,
+        F.expr("transform(sequence(0, size(w) - 2), "
+               "i -> concat(w[i], ' ', w[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = w.select(F.explode(bigram_expr).alias("bigram"))
     return (
         bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())

@@ -10,12 +10,12 @@ from __future__ import annotations
 
 from ..operators import multimodal as M
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 
 
 def _docs(spark, sf_dir):
-    ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 @register("mm_binary_metadata", oracle="""
@@ -83,6 +83,11 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                                     i -> ascii(text[frame_idx * 10 + i]))) % 997
             AS BIGINT) AS frame_checksum
 FROM f
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT),
+       CAST(list_sum(list_transform(generate_series(1, bl),
+                                    i -> ascii(text[i]))) % 997 AS BIGINT)
+FROM d WHERE bl > 0 AND bl < 10
 """)
 def mm_frame_sample(spark, sf_dir):
     """Stubbed video frame sampling (every 10 bytes = one 'frame',

@@ -6,10 +6,11 @@ from pyspark.sql import functions as F
 
 from ..operators import profiling as P
 from ..registry import register
+from ..sources.catalog import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 @register("profile_orders", oracle="""

@@ -16,15 +16,13 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import davg, dsum
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 from ..sources.catalog import load_events
 
 
 def _t(spark, sf_dir, name):
-    ensure_session_confs(spark)
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 @register("agg_pricing_summary", oracle="""

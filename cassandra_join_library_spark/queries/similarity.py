@@ -17,12 +17,12 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 
 
 def _emb(spark, sf_dir):
-    ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return load_table(spark, sf_dir, "embeddings")
 
 
 @register("ann_topk_bruteforce", oracle="""

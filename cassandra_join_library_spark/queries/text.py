@@ -6,12 +6,12 @@ from __future__ import annotations
 
 from ..operators import text as T
 from ..registry import register
+from ..sources.catalog import load_table
 from ..sources.catalog import ensure_session_confs
 
 
 def _docs(spark, sf_dir):
-    ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 @register("text_token_stats", oracle="""

@@ -158,6 +158,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shared test-data table loader: pins runtime parity confs and
+    routes ``events`` through its ns-timestamp normalizer.  Query
+    modules delegate here so conf/path handling can't drift."""
+    ensure_session_confs(spark)
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def qualify(df: DataFrame, alias: str) -> DataFrame:
     """Flatten the reference's ``(column, table)`` tuple row keys
     (``cassandra_joinlib/hash_join.py:418-426``) into ``{alias}_{col}``

@@ -1,0 +1,37 @@
+"""Edge cases surfaced by code review: short documents through every
+text operator, unconverged clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from cassandra_join_library_spark.operators import profiling as P
+from cassandra_join_library_spark.operators.dedup import duplicate_clusters
+
+
+def test_short_docs_through_repetition_and_bigrams(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="single"),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="two words"),
+        Row(doc_id=4, text="a a a a"),
+    ])
+    out = {r["doc_id"]: r for r in
+           P.repetition_scores(df, "doc_id", "text").collect()}
+    # docs with <2 tokens produce no bigram stats -> dropped by the
+    # inner join; no crash under ANSI
+    assert set(out) == {3, 4}
+    assert out[4]["dup_bigram_ratio"] == 1.0
+
+
+def test_unconverged_clustering_raises(spark):
+    # chain of diameter 5 with max_iterations=2 must refuse, not return
+    # silently split clusters
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(6)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iterations=2)
+    ok = duplicate_clusters(pairs, max_iterations=10)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}

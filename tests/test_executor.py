@@ -195,3 +195,30 @@ def test_asof_join_semantics(spark):
     out = {r["event_id"]: r["matched_event_id"]
            for r in asof_join(left, right, key="user_id").collect()}
     assert out == {100: 3, 101: 2, 102: None}
+
+
+def test_select_unknown_column_rejected(spark):
+    """select() typos fail loudly (reference selects_validation)."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+          .select("customer", {"c_custkey", "c_namee"}))
+    with pytest.raises(ValueError, match="unknown column"):
+        ex.execute()
+
+
+def test_filter_typo_column_rejected(spark):
+    """A dotted filter ref whose prefix is a known table but whose
+    column doesn't exist raises instead of comparing a string literal."""
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+          .filter_by(Condition("customer.c_acctbol", ">", 1000)))
+    with pytest.raises(ValueError, match="not in the joined result"):
+        ex.execute()
+
+
+def test_scan_plus_join_rejected(spark):
+    ex = (JoinExecutor(spark, SF_SMOKE)
+          .scan(TableInfo("part"))
+          .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey")))
+    with pytest.raises(ValueError, match="scan"):
+        ex.execute()
