@@ -4,9 +4,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is forced with ``count()`` (full compute, no driver-side
-result transfer).  Wall-clock includes Catalyst planning — that is the
-honest number a user sees.
+Each query is forced with a ``noop``-format write: unlike ``count()``
+(which lets Catalyst prune every unused column — a windowed projection
+can "run" without evaluating the window), the noop sink computes every
+output column and discards it, with no driver-side transfer.
+Wall-clock includes Catalyst planning — the honest number a user sees.
 """
 
 from __future__ import annotations
@@ -63,7 +65,7 @@ def main() -> None:
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         total += timings[name]
