@@ -266,3 +266,20 @@ def sql_q16_supplier_variety(spark, sf_dir):
     for t in ("lineitem", "part", "supplier"):
         _view(spark, sf_dir, t)
     return spark.sql(_Q16ISH)
+
+
+_Q2ISH = """
+SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+
+@register("sql_q2_min_cost", oracle=_Q2ISH)
+def sql_q2_min_cost(spark, sf_dir):
+    """TPC-H Q2-shaped: CORRELATED SCALAR subquery (cheapest part per
+    type) — Catalyst decorrelates into an aggregate + join."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(_Q2ISH)
