@@ -15,6 +15,7 @@ from .sources.catalog import (
     CassandraCatalog,
     CsvCatalog,
     JsonLinesCatalog,
+    MemoryCatalog,
     ParquetCatalog,
     qualify,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "CassandraCatalog",
     "CsvCatalog",
     "JsonLinesCatalog",
+    "MemoryCatalog",
     "ParquetCatalog",
     "qualify",
 ]

@@ -66,13 +66,16 @@ class JoinExecutor:
     method for theta semantics (``nested_join.py:1000-1036``).
     """
 
-    def __init__(self, spark: SparkSession, source: Union[Catalog, str]):
+    def __init__(self, spark: SparkSession, source: Union[Catalog, str],
+                 auto_range_join: bool = True):
         from ..sources.catalog import ensure_session_confs
 
         self.spark = ensure_session_confs(spark)
         self.catalog: Catalog = (
             ParquetCatalog(source) if isinstance(source, str) else source
         )
+        self.auto_range_join = auto_range_join
+        self.plan_notes: List[str] = []
         self._joins: List[dict] = []
         self._scan: Optional[TableInfo] = None
         self._selected: Dict[str, Set[str]] = {}
@@ -222,6 +225,120 @@ class JoinExecutor:
             return strict | eq_all
         return strict
 
+    # ------------------------------------------------------------------
+    # theta → bucketized range-join auto-rewrite
+    # ------------------------------------------------------------------
+    def _conjunct_leaves(self) -> "List[Condition]":
+        """Base comparisons guaranteed to hold on every output row: the
+        queued filters are AND-ed together, so top-level _And trees
+        flatten into conjuncts; anything under OR/NOT is excluded."""
+        from .condition import _And
+
+        out: List[Condition] = []
+
+        def walk(c: Condition) -> None:
+            if isinstance(c, _And):
+                walk(c.left)
+                walk(c.right)
+            elif type(c) is Condition:
+                out.append(c)
+
+        for c in self._filters:
+            walk(c)
+        return out
+
+    def _try_interval_rewrite(self, current: DataFrame, rdf: DataFrame,
+                              lkeys: "List[str]", rkeys: "List[str]",
+                              op: str, how: str,
+                              numeric: "List[bool]") -> Optional[DataFrame]:
+        """Rewrite an inner theta join whose predicate, combined with a
+        queued filter, forms a point-in-interval containment
+        (``lo <= p <= hi`` with ``lo``/``hi`` on one side and ``p`` on
+        the other) into a bucketized equi-join.
+
+        A BroadcastNestedLoopJoin is O(N·M) comparisons and must hold a
+        whole side on every executor; the bucketized form quantizes
+        values to width-``w`` buckets, explodes each interval across the
+        buckets it overlaps, equi-joins on the bucket key, and re-applies
+        the exact predicates — so shuffle/AQE/skew machinery does the
+        work and the plan survives big × big inputs.  Bucket width is
+        chosen adaptively from one tiny 2-column aggregate over the
+        intervals side (avg width, capped so no interval explodes into
+        more than ~256 buckets).  The exact theta predicate is re-applied
+        immediately and the upper/lower-bound filter stays queued, so
+        results are bit-identical to the un-rewritten plan.
+        """
+        if not self.auto_range_join or how != "inner":
+            return None
+        if op not in ("<", "<=", ">", ">=") or len(lkeys) != 1 or not numeric[0]:
+            return None
+        a, b = lkeys[0], rkeys[0]
+        side_cols = {"left": set(current.columns), "right": set(rdf.columns)}
+        # normalize the join predicate to jA <= jB (strictness re-applied
+        # exactly later; it does not affect bucket assignment)
+        if op in (">", ">="):
+            jA, jB, sideA, sideB = b, a, "right", "left"
+        else:
+            jA, jB, sideA, sideB = a, b, "left", "right"
+
+        plan = None
+        for leaf in self._conjunct_leaves():
+            if leaf.operator not in ("<", "<=", ">", ">="):
+                continue
+            if not (isinstance(leaf.lhs, str) and "." in leaf.lhs
+                    and isinstance(leaf.rhs, str) and "." in leaf.rhs):
+                continue
+            x = leaf.lhs.replace(".", "_", 1)
+            y = leaf.rhs.replace(".", "_", 1)
+            u, v = (x, y) if leaf.operator in ("<", "<=") else (y, x)  # u <= v
+            # reading (i): p = jB bounded above by v on jA's side
+            if u == jB and v != jA and v in side_cols[sideA]:
+                plan = (jB, sideB, jA, v, sideA)
+                break
+            # reading (ii): p = jA bounded below by u on jB's side
+            if v == jA and u != jB and u in side_cols[sideB]:
+                plan = (jA, sideA, u, jB, sideB)
+                break
+        if plan is None:
+            return None
+        p, pside, lo, hi, iside = plan
+
+        pdf = current if pside == "left" else rdf
+        idf = current if iside == "left" else rdf
+        itypes = {f.name: f.dataType for f in idf.schema.fields}
+        if not all(isinstance(itypes.get(c), NumericType) for c in (lo, hi)):
+            return None
+        # adaptive bucket width: one 2-column aggregate over the
+        # intervals side (reads two numeric columns, prunes the rest)
+        stats = idf.select(
+            F.avg(F.col(hi) - F.col(lo)).alias("aw"),
+            F.max(F.col(hi) - F.col(lo)).alias("mw"),
+        ).first()
+        if stats is None or stats["aw"] is None:
+            return None
+        bucket = max(float(stats["aw"]), float(stats["mw"]) / 256.0, 1e-9)
+
+        B = "_cjl_bucket"
+        pb = pdf.withColumn(B, F.floor(F.col(p) / F.lit(bucket)).cast("long"))
+        ib = idf.filter(F.col(hi) >= F.col(lo)).withColumn(
+            B,
+            F.explode(F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket)).cast("long"),
+                F.floor(F.col(hi) / F.lit(bucket)).cast("long"),
+            )),
+        )
+        lframe, rframe = (pb, ib) if pside == "left" else (ib, pb)
+        exact = {
+            "<": F.col(a) < F.col(b), "<=": F.col(a) <= F.col(b),
+            ">": F.col(a) > F.col(b), ">=": F.col(a) >= F.col(b),
+        }[op]
+        self.plan_notes.append(
+            f"interval-rewrite: theta {a} {op} {b} with bound "
+            f"{lo} <= {p} <= {hi} -> bucketized equi-join "
+            f"(bucket_width={bucket:.6g})"
+        )
+        return lframe.join(rframe, B, "inner").drop(B).filter(exact)
+
     def _compile(self) -> DataFrame:
         self._validate_selections()
         frefs = self._filter_refs()
@@ -282,11 +399,19 @@ class JoinExecutor:
                 for lk, rk in zip(lkeys, rkeys):
                     c = current[lk] == rdf[rk]
                     cond = c if cond is None else (cond & c)
+                current = current.join(rdf, on=cond, how=_HOW[how])
             else:
-                cond = self._theta_condition(
-                    [current[k] for k in lkeys], [rdf[k] for k in rkeys], op, numeric
+                rewritten = self._try_interval_rewrite(
+                    current, rdf, lkeys, rkeys, op, how, numeric
                 )
-            current = current.join(rdf, on=cond, how=_HOW[how])
+                if rewritten is not None:
+                    current = rewritten
+                else:
+                    cond = self._theta_condition(
+                        [current[k] for k in lkeys], [rdf[k] for k in rkeys],
+                        op, numeric
+                    )
+                    current = current.join(rdf, on=cond, how=_HOW[how])
             loaded[right.name] = rdf
             if how not in ("semi", "anti"):
                 # semi/anti output carries no right-side columns

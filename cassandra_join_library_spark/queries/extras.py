@@ -210,6 +210,52 @@ def interval_join_shipdate(spark, sf_dir):
                       "o_orderkey", "order_epoch")
 
 
+@register("interval_join_facade", oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_epoch,
+       o.o_orderkey AS iv_key,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS lo_epoch,
+       CAST(epoch(o.o_orderdate) AS BIGINT) + 604800 AS hi_epoch
+FROM lineitem l JOIN orders o
+  ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+ AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 604800
+WHERE o.o_orderkey % 100 = 0
+""")
+def interval_join_facade(spark, sf_dir):
+    """The same point-in-interval query driven through the JoinExecutor
+    façade: a theta join (``>=``) plus a ``filter_by`` upper bound is
+    pattern-matched and auto-rewritten into the bucketized equi-join
+    (executor.py:_try_interval_rewrite) — the reference would run this
+    as an O(N*M) block nested loop (``nested_join.py:809-846``)."""
+    from ..plans.condition import Condition
+    from ..plans.executor import JoinExecutor
+    from ..plans.table_info import TableInfo
+    from ..sources.catalog import MemoryCatalog
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.unix_timestamp("l_shipdate").cast("bigint").alias("ship_epoch"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("iv_key"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("lo_epoch"),
+    )
+    iv = o.withColumn("hi_epoch", F.col("lo_epoch") + F.lit(604800))
+    ex = (
+        JoinExecutor(spark, MemoryCatalog({"pts": l, "iv": iv}))
+        .join(TableInfo("pts", "ship_epoch"), TableInfo("iv", "lo_epoch"), ">=")
+        .filter_by(Condition("pts.ship_epoch", "<=", "iv.hi_epoch"))
+    )
+    return ex.execute().select(
+        F.col("pts_l_orderkey").alias("l_orderkey"),
+        F.col("pts_l_linenumber").alias("l_linenumber"),
+        F.col("pts_ship_epoch").alias("ship_epoch"),
+        F.col("iv_iv_key").alias("iv_key"),
+        F.col("iv_lo_epoch").alias("lo_epoch"),
+        F.col("iv_hi_epoch").alias("hi_epoch"),
+    )
+
+
 @register("agg_collect_sorted", oracle="""
 SELECT s_nationkey,
        array_to_string(list_sort(list(s_suppkey)), ',') AS suppliers

@@ -85,6 +85,27 @@ class JsonLinesCatalog(Catalog):
         )
 
 
+class MemoryCatalog(Catalog):
+    """In-memory named-DataFrame catalog — lets the façade join derived
+    frames (staged intervals, subquery results, streaming snapshots)
+    alongside or instead of file tables.  The reference has no analog
+    (every input is a Cassandra table); on Spark any DataFrame is a
+    first-class relation, so the catalog is just a name → frame map."""
+
+    def __init__(self, frames: "dict[str, DataFrame]"):
+        self.frames = dict(frames)
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        if table not in self.frames:
+            raise KeyError(
+                f"unknown table {table!r}; registered: {sorted(self.frames)}"
+            )
+        return self.frames[table]
+
+    def table_names(self) -> "list[str]":
+        return sorted(self.frames)
+
+
 class CassandraCatalog(Catalog):
     """Cassandra source via the spark-cassandra-connector.
 
