@@ -86,5 +86,6 @@ def _load_all() -> None:
         multimodal,
         profiling,
         streaming,
+        tpch2,
     )
     _loaded = True
