@@ -1,0 +1,300 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(engine extension — beyond the reference surface, SURVEY.md §2.6).
+
+The ops a 100 TB pre-training corpus build actually needs between
+ingest and tokenization: term weighting, deterministic train/test
+splitting, quantile-based quality filtering, benchmark-contamination
+checks, composition reporting, sequence chunking, and embedding
+clustering.  Everything except k-means is pure built-in-function
+DataFrame code (JVM-side, codegen) with a portable ANSI-SQL twin so
+the DuckDB oracle verifies it exactly; k-means is iterative
+(non-SQL-expressible) but fully deterministic — decimal-exact centroid
+updates make re-runs and re-partitioning bit-stable.
+
+Scale notes per operator are in the docstrings; the common theme is
+that every shuffle is on a bounded key (term, (cluster, pos), shingle
+with a doc-frequency cap upstream) and per-row work is map-side.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+# Knuth multiplicative-hash constant; modulus 2^31-1 keeps every
+# intermediate inside BIGINT in any engine
+_HASH_MULT = 2654435761
+_HASH_MOD = 2147483647
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-document term count, idf = ln((N+1)/(df+1)) (smoothed),
+    score rounded to 6 dp BEFORE ranking so the ranking is identical
+    across engines (term breaks ties).  Shuffles: one per aggregate,
+    each on a bounded key (term / doc); the doc-frequency side is one
+    row per distinct term — broadcast-sized even for web-scale vocab
+    after minDF pruning.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    ndocs = df.select(F.count_distinct(id_col).cast("bigint").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    test_per_mille: int = 100,
+) -> DataFrame:
+    """Deterministic hash-based train/test split, stratified.
+
+    bucket = ((id·2654435761) + ascii(strata)·7919) mod (2^31-1) mod
+    1000 — a pure function of the row, so the split is reproducible
+    across runs, engines, and cluster sizes (unlike Bernoulli
+    TABLESAMPLE), and rows never migrate between splits when data is
+    appended.  Map-only: zero shuffles.
+    """
+    h = (
+        F.col(id_col).cast("bigint") * _HASH_MULT
+        + F.ascii(F.col(strata_col)).cast("bigint") * 7919
+    ) % _HASH_MOD
+    bucket = (h % 1000).alias("bucket")
+    return df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        bucket,
+        F.when(h % 1000 < test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by token count.
+
+    percent_rank over a TOTAL order (n_tokens desc, id) is
+    (row_number-1)/(n-1) — identical in any engine, so the kept set is
+    deterministic.  One shuffle on the group key; per-group state is a
+    sort, which range-partitions at cluster scale.  This is the
+    standard "keep the best X% per language" corpus filter.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    return (
+        base.withColumn("_pr", pr)
+        .filter(F.col("_pr") <= keep_frac)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_tokens"),
+            F.round(F.col("_pr"), 6).alias("pr"),
+        )
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of a document's distinct
+    word n-grams that appear in a benchmark/eval set.
+
+    Standard decontamination step before training.  Inverted-index
+    join on the n-gram string: cost ∝ Σ df(shingle over bench), never
+    n² — the benchmark side is small by definition, and its distinct
+    shingle set is the only thing shuffled against the corpus.
+    ``bench`` rows also present in ``df`` don't count against
+    themselves (id inequality on the join).
+    """
+    doc_sh = shingles(df, id_col, text_col, n=n)  # (doc, shingle), distinct
+    bench_sh = (
+        shingles(bench, id_col, text_col, n=n)
+        .select(F.col("shingle"), F.col("doc").alias("bdoc"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(
+            bench_sh,
+            (doc_sh["shingle"] == bench_sh["shingle"])
+            & (doc_sh["doc"] != bench_sh["bdoc"]),
+        )
+        .groupBy(doc_sh["doc"])
+        .agg(F.count_distinct(doc_sh["shingle"]).cast("bigint").alias("n_overlap"))
+    )
+    totals = doc_sh.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    joined = totals.join(hits, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_shingles"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        (ratio >= threshold).alias("is_contaminated"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str, group_cols: List[str]
+) -> DataFrame:
+    """Corpus composition report: docs / chars / estimated BPE tokens
+    per group (source × language).  Partial-aggregate shape — the
+    shuffle carries one row per (partition, group); at 100 TB this is
+    the cheapest possible full-corpus pass."""
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    est_tokens = F.ceil(n_chars / 4.0).cast("bigint")
+    return df.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_chars).cast("bigint").alias("total_chars"),
+        F.sum(est_tokens).cast("bigint").alias("total_est_tokens"),
+        F.round(F.avg(n_chars), 6).alias("avg_chars"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap
+    (stride < size) — the sequence-packing precursor: long documents
+    become training-window-sized pieces, short tails kept.
+
+    Row-expanding but map-only (explode of a per-row sequence): zero
+    shuffles, and output partitioning follows input splits.  Chunk i
+    covers [i·stride, i·stride+size); starts range over
+    0..(len-1) div stride so every character is covered.  Empty
+    documents produce no chunks (guarded — Spark's ``sequence`` counts
+    backwards on a negative stop).
+    """
+    n = F.length(F.col(text_col)).cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), (n - 1) - ((n - 1) % stride), F.lit(stride).cast("bigint"))
+    chunk = F.expr(f"substring({text_col}, cast(chunk_start + 1 as int), {size})")
+    return (
+        df.filter(n >= 1)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("chunk_start") / stride).cast("bigint").alias("chunk_id"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("bigint").alias("chunk_chars"),
+        )
+    )
+
+
+def _sq_dist(vec: Column, centroid: List[float]) -> Column:
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    The canonical scale pattern (same as IVF in similarity.py):
+    centroids are k×dim floats — driver-small at ANY corpus size — so
+    each iteration broadcasts them as literals and assignment is a
+    MAP-ONLY pass (no corpus shuffle); the update is one partial
+    aggregate on (cluster, pos).  Determinism: init = embeddings of
+    the k smallest ids; centroid means are computed over
+    decimal(28,12) (exact, order-independent sums), so re-runs and
+    re-partitionings produce identical clusters; argmin ties break to
+    the lowest cluster index.  Iterative ⇒ not SQL-expressible; the
+    driver's rows-only check applies, invariants are pytest-enforced.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("vid"), vec.alias("v")
+    )
+    init = [
+        [float(x) for x in r["v"]]
+        for r in base.orderBy("vid").limit(k).collect()
+    ]
+    centroids = init
+    assigned = None
+    for _ in range(n_iter):
+        dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+        cluster = (
+            F.array_position(dists, F.array_min(dists)).cast("bigint") - 1
+        ).alias("cluster")
+        assigned = base.select("vid", "v", cluster)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("decimal(28,12)")).alias("m"))
+            .collect()
+        )
+        upd = {}
+        for r in new_rows:
+            upd.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+        centroids = [
+            [upd[j][p] for p in range(len(centroids[j]))] if j in upd else centroids[j]
+            for j in range(k)
+        ]
+    return assigned.select("vid", "cluster")

@@ -1,0 +1,161 @@
+"""Corpus-preparation queries (driver-graded) — the LLM-training-data
+pipeline surface beyond the reference: term weighting, splitting,
+quality filtering, decontamination, composition stats, chunking,
+clustering.  All but k-means carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register("tfidf_top_terms", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+), sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, CAST(row_number() OVER
+           (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+  FROM sc
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 5
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, rounded-then-
+    ranked so ordering is engine-portable)."""
+    return C.tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+@register("corpus_split", oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         (CAST(doc_id AS BIGINT) * 2654435761
+          + CAST(ascii(lang) AS BIGINT) * 7919) % 2147483647 AS hv
+  FROM documents
+)
+SELECT doc_id, lang, hv % 1000 AS bucket,
+       CASE WHEN hv % 1000 < 100 THEN 'test' ELSE 'train' END AS split
+FROM h
+""")
+def corpus_split(spark, sf_dir):
+    """Deterministic stratified train/test split (hash-mod buckets —
+    reproducible across engines, runs, and appends; map-only)."""
+    return C.stratified_split(
+        _docs(spark, sf_dir), "doc_id", "lang", test_per_mille=100
+    )
+
+
+@register("corpus_quality_quantile", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT *, percent_rank() OVER
+        (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS pr
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, round(pr, 6) AS pr
+FROM r WHERE pr <= 0.5
+""")
+def corpus_quality_quantile(spark, sf_dir):
+    """Keep the longest half of each language (percent_rank over a
+    total order — deterministic per-group quantile filter)."""
+    return C.quality_quantile_filter(
+        _docs(spark, sf_dir), "doc_id", "text", "lang", keep_frac=0.5
+    )
+
+
+@register("corpus_contamination", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM w WHERE len(w) >= 3
+), b AS (
+  SELECT DISTINCT shingle, doc_id AS bdoc FROM g WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_overlap
+  FROM g JOIN b ON g.shingle = b.shingle AND g.doc_id <> b.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM g GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 6) AS overlap_ratio,
+       coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles >= 0.5 AS is_contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+""")
+def corpus_contamination(spark, sf_dir):
+    """Benchmark decontamination: 3-gram overlap of every document
+    against a deterministic benchmark subset (doc_id % 20 = 0),
+    inverted-index join — never n²."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return C.contamination_overlap(docs, "doc_id", "text", bench, n=3)
+
+
+@register("corpus_stats", oracle="""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(ceil(CAST(length(text) AS BIGINT) / 4.0) AS BIGINT))
+            AS BIGINT) AS total_est_tokens,
+       round(avg(CAST(length(text) AS BIGINT)), 6) AS avg_chars
+FROM documents GROUP BY 1, 2
+""")
+def corpus_stats(spark, sf_dir):
+    """Corpus composition report per (source, language) — partial-
+    aggregate shape, the cheapest full-corpus pass."""
+    return C.corpus_stats(_docs(spark, sf_dir), "text", ["source", "lang"])
+
+
+@register("corpus_chunks", oracle="""
+WITH p AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 1
+), s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n - 1, 150)) AS chunk_start
+  FROM p
+)
+SELECT doc_id, CAST(chunk_start / 150 AS BIGINT) AS chunk_id,
+       substr(text, CAST(chunk_start + 1 AS INT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_start + 1 AS INT), 200))
+            AS BIGINT) AS chunk_chars
+FROM s
+""")
+def corpus_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunks (size 200 / stride 150)
+    — sequence-window preparation; map-only row expansion."""
+    return C.chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                             size=200, stride=150)
+
+
+@register("kmeans_clusters")  # iterative — rows-only check;
+def kmeans_clusters(spark, sf_dir):  # invariants in tests/test_corpus.py
+    """Deterministic Lloyd's k-means (k=8, 5 iterations) over the
+    embeddings table: broadcast-centroid map-side assignment +
+    decimal-exact centroid updates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(emb, "vec_id", "embedding", k=8, n_iter=5)

@@ -77,6 +77,7 @@ def _load_all() -> None:
     from .queries import (  # noqa: F401
         advanced,
         core,
+        corpus,
         extras,
         relational,
         events,

@@ -1,0 +1,135 @@
+"""Invariant tests for the corpus-preparation operators — especially
+the properties the DuckDB oracle can't check (k-means is iterative;
+chunking must reconstruct; splits must be stable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_join_library_spark.operators import corpus as C
+from cassandra_join_library_spark.sources.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_kmeans_deterministic_and_complete(emb):
+    a = C.kmeans_assign(emb, "vec_id", "embedding", k=4, n_iter=3)
+    b = C.kmeans_assign(
+        emb.repartition(7), "vec_id", "embedding", k=4, n_iter=3
+    )
+    pa = {r["vid"]: r["cluster"] for r in a.collect()}
+    pb = {r["vid"]: r["cluster"] for r in b.collect()}
+    # every vector assigned exactly once, identically under any
+    # input partitioning (decimal-exact centroid updates)
+    assert pa == pb
+    assert len(pa) == emb.count()
+    assert set(pa.values()) <= set(range(4))
+
+
+def test_kmeans_improves_inertia(emb):
+    """More Lloyd iterations never increase total within-cluster
+    spread (monotone convergence — the algorithm's defining
+    property)."""
+
+    def inertia(n_iter):
+        assigned = C.kmeans_assign(emb, "vec_id", "embedding", k=4, n_iter=n_iter)
+        vecs = emb.select(
+            F.col("vec_id").alias("vid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        j = assigned.join(vecs, "vid")
+        cent = (
+            j.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        per_dim = (
+            j.select("vid", "cluster", F.posexplode("v").alias("pos", "x"))
+            .join(cent, ["cluster", "pos"])
+            .select(((F.col("x") - F.col("m")) ** 2).alias("d"))
+        )
+        return per_dim.agg(F.sum("d")).collect()[0][0]
+
+    assert inertia(4) <= inertia(1) + 1e-9
+
+
+def test_chunks_reconstruct_text(spark, docs):
+    """Concatenating each chunk's first `stride` chars (plus the last
+    chunk's remainder) reproduces the original document exactly."""
+    chunks = C.chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+    rebuilt = (
+        chunks.withColumn(
+            "piece",
+            F.when(
+                F.col("chunk_id")
+                == F.max("chunk_id").over(Window.partitionBy("doc_id")),
+                F.col("chunk_text"),
+            ).otherwise(F.substring("chunk_text", 1, 150)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(
+                    F.struct("chunk_id", "piece"))), lambda s: s["piece"])
+            ).alias("rebuilt")
+        )
+    )
+    diff = (
+        docs.filter(F.length("text") >= 1)
+        .join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_split_is_stable_and_stratified(docs):
+    out = C.stratified_split(docs, "doc_id", "lang", test_per_mille=100)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    frac = sum(1 for r in rows if r["split"] == "test") / len(rows)
+    assert 0.02 < frac < 0.25  # ~10% by construction
+    again = {r["doc_id"]: r["split"] for r in
+             C.stratified_split(docs, "doc_id", "lang").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_contamination_benchmark_members_flagged(docs):
+    """A benchmark doc duplicated verbatim in the corpus must be fully
+    contaminated; the benchmark doc itself doesn't self-match."""
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    clone = bench.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = C.contamination_overlap(
+        docs.unionByName(clone), "doc_id", "text", bench, n=3
+    )
+    flagged = {r["doc_id"]: r for r in out.collect()}
+    cid = clone.collect()[0]["doc_id"]
+    assert flagged[cid]["overlap_ratio"] == 1.0
+    assert flagged[cid]["is_contaminated"]
+
+
+def test_quantile_filter_keeps_top_half(docs):
+    out = C.quality_quantile_filter(docs, "doc_id", "text", "lang", 0.5)
+    per_lang_total = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    kept = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    for lang, total in per_lang_total.items():
+        # percent_rank <= 0.5 keeps ceil((n-1)/2)+1 rows of n
+        assert kept[lang] == (total - 1) // 2 + 1
