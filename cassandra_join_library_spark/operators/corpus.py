@@ -239,6 +239,105 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    chars_col: str = "chunk_chars",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training packs by global
+    offset: pack_id = (running_token_count - own_tokens) div budget in
+    (doc, chunk) order.
+
+    The global prefix sum is computed scalably in two levels: an
+    intra-document cumulative sum (window partitioned by doc — fully
+    parallel) plus per-document offsets (a window over the doc-level
+    TOTALS table, one row per document).  Only the doc-level pass is a
+    single-task window; at extreme doc counts that pass recurses the
+    same trick over doc ranges.  Equivalent to — and oracle-checked
+    against — a flat ``SUM() OVER (ORDER BY doc, chunk)``.
+    """
+    tok = F.ceil(F.col(chars_col) / 4.0).cast("bigint")
+    c = chunks.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(chunk_col).alias("chunk_id"),
+        tok.alias("n_tokens"),
+    )
+    intra = F.sum("n_tokens").over(
+        Window.partitionBy("doc_id").orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_intra = c.withColumn("_intra", intra)
+    doc_totals = c.groupBy("doc_id").agg(F.sum("n_tokens").alias("_doc_tot"))
+    offsets = doc_totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_doc_tot").over(
+                Window.orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    ).select("doc_id", "_off")
+    cum = F.col("_off") + F.col("_intra")
+    return (
+        # no broadcast hint: offsets is one row per doc — small here,
+        # but AQE should decide from true sizes at corpus scale
+        with_intra.join(offsets, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / budget_tokens)
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+    )
+
+
+def latest_state(
+    df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Latest-wins compaction (CDC upsert semantics): one row per key,
+    the one with the greatest (ts, tiebreak).  One shuffle on the key;
+    at scale this is the standard snapshot-compaction of a changelog,
+    and Spark executes it as a partial ``max(struct)``-style top-1 per
+    key when written with row_number+filter (AQE keeps it skew-safe)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 64
+) -> DataFrame:
+    """Deterministic global shuffle for training order: hash the id,
+    route to a shard, order within the shard.
+
+    This is how a 100 TB corpus is actually shuffled: shard assignment
+    is map-side (hash mod), per-shard position is a window partitioned
+    by shard — every shard sorts in parallel, no global sort.  The
+    (shard, pos) pair defines a reproducible total order any trainer
+    can stream."""
+    h = (F.col(id_col).cast("bigint") * _HASH_MULT) % _HASH_MOD
+    base = df.select(
+        F.col(id_col), (h % n_shards).cast("bigint").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w).cast("bigint") - 1).alias("pos_in_shard"),
+    )
+
+
 def _sq_dist(vec: Column, centroid: List[float]) -> Column:
     lit = F.array(*[F.lit(float(c)) for c in centroid])
     return F.aggregate(

@@ -152,6 +152,81 @@ def corpus_chunks(spark, sf_dir):
                              size=200, stride=150)
 
 
+@register("corpus_pack_sequences", oracle="""
+WITH p AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 1
+), s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n - 1, 150)) AS chunk_start
+  FROM p
+), c AS (
+  SELECT doc_id, CAST(chunk_start / 150 AS BIGINT) AS chunk_id,
+         CAST(ceil(length(substr(text, CAST(chunk_start + 1 AS INT), 200))
+              / 4.0) AS BIGINT) AS n_tokens
+  FROM s
+), r AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST(sum(n_tokens) OVER
+              (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM c
+)
+SELECT doc_id, chunk_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM r
+""")
+def corpus_pack_sequences(spark, sf_dir):
+    """Pack document chunks into 512-token training sequences by
+    global offset — two-level distributed prefix sum, oracle-checked
+    against the flat window-sum definition."""
+    chunks = C.chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                               size=200, stride=150)
+    return C.pack_sequences(chunks, budget_tokens=512)
+
+
+@register("events_latest_state", oracle="""
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, value, ts_epoch
+FROM r WHERE rn = 1
+""")
+def events_latest_state(spark, sf_dir):
+    """CDC latest-wins compaction: the newest event per user (ts desc,
+    event_id tiebreak) — changelog → snapshot in one keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    out = C.latest_state(ev, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+    )
+
+
+@register("corpus_shuffle_shards", oracle="""
+WITH h AS (
+  SELECT doc_id,
+         (CAST(doc_id AS BIGINT) * 2654435761) % 2147483647 AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 64 AS shard,
+       CAST(row_number() OVER
+            (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS BIGINT) - 1
+         AS pos_in_shard
+FROM h
+""")
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: hash-route documents to
+    64 shards, order within each shard (parallel per-shard sorts — no
+    global sort at any scale)."""
+    return C.shuffle_shards(_docs(spark, sf_dir), "doc_id", n_shards=64)
+
+
 @register("kmeans_clusters")  # iterative — rows-only check;
 def kmeans_clusters(spark, sf_dir):  # invariants in tests/test_corpus.py
     """Deterministic Lloyd's k-means (k=8, 5 iterations) over the

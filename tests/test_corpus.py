@@ -120,6 +120,52 @@ def test_contamination_benchmark_members_flagged(docs):
     assert flagged[cid]["is_contaminated"]
 
 
+def test_pack_sequences_contiguous_and_bounded(docs):
+    chunks = C.chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+    packs = C.pack_sequences(chunks, budget_tokens=512)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["pack_id"])
+         for r in packs.collect())
+    )
+    # pack ids are non-decreasing in (doc, chunk) order with no gaps
+    ids = [p for _, _, _, p in rows]
+    assert ids == sorted(ids)
+    assert set(ids) == set(range(max(ids) + 1))
+    # each pack STARTS below the budget boundary: a chunk may straddle,
+    # but the pre-chunk offset of every member is inside the pack
+    per_pack = {}
+    cum = 0
+    for _, _, tok, pid in rows:
+        per_pack.setdefault(pid, []).append(cum)
+        cum += tok
+    for pid, offs in per_pack.items():
+        assert all(pid * 512 <= o < (pid + 1) * 512 for o in offs)
+
+
+def test_latest_state_one_row_per_key(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = C.latest_state(ev, "user_id", "ts", "event_id")
+    assert out.count() == ev.select("user_id").distinct().count()
+    joined = (
+        out.alias("o")
+        .join(ev.alias("e"), "user_id")
+        .filter(F.col("e.ts") > F.col("o.ts"))
+        .count()
+    )
+    assert joined == 0  # nothing newer exists for any kept row
+
+
+def test_shuffle_shards_balanced_total_order(docs):
+    out = C.shuffle_shards(docs, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len({(r["shard"], r["pos_in_shard"]) for r in rows}) == len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    avg = len(rows) / 8
+    assert all(0.5 * avg < s < 1.7 * avg for s in sizes.values())
+
+
 def test_quantile_filter_keeps_top_half(docs):
     out = C.quality_quantile_filter(docs, "doc_id", "text", "lang", 0.5)
     per_lang_total = {
