@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk_bruteforce",  # embedding top-k
     "text_quality",         # text scoring
     "mm_decode_features",   # Arrow mapInPandas plumbing
+    "tfidf_top_terms",      # term weighting (explode + 2 aggs + window)
+    "corpus_pack_sequences",  # chunk + two-level prefix-sum packing
 ]
 
 

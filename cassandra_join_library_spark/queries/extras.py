@@ -66,6 +66,27 @@ def agg_cube(spark, sf_dir):
     )
 
 
+@register("agg_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (a strict subset of CUBE — one pass,
+    Spark expands to a single Expand+Aggregate, not one job per set)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total"),
+    )
+
+
 @register("regexp_extract_priority", oracle="""
 SELECT o_orderkey,
        regexp_extract(o_orderpriority, '^(\\d+)-(\\w+)', 1) AS prio_num,

@@ -205,6 +205,35 @@ def window_running_sum(spark, sf_dir):
     )
 
 
+@register("window_range_30d", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS spend_30d
+FROM orders
+""")
+def window_range_30d(spark, sf_dir):
+    """RANGE-frame window: per customer, total spend over the trailing
+    30 days (value-based frame — includes all peers, so the decimal
+    sum is order-independent and engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate").cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        epoch.alias("order_epoch"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("spend_30d"),
+    )
+
+
 @register("window_lag_lead", oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice,
        lag(o_totalprice) OVER w AS prev_price,

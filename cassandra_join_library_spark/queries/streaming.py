@@ -54,6 +54,36 @@ def stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+@register("stream_stream_join", oracle="""
+SELECT l.user_id,
+       l.event_id AS l_event, r.event_id AS r_event,
+       l.event_type AS l_type, r.event_type AS r_type,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS l_epoch,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS r_epoch
+FROM events l JOIN events r
+  ON l.user_id = r.user_id AND l.event_id <> r.event_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+""")
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join run through the real
+    streaming engine (AvailableNow); time-bounded join state means the
+    result over bounded input equals the batch join, so the DuckDB
+    oracle applies exactly."""
+    l = W.read_events_stream(spark, sf_dir)
+    r = W.read_events_stream(spark, sf_dir)
+    joined = W.stream_stream_interval_join(l, r, watermark="2 hours",
+                                           max_lag="5 minutes")
+    out = joined.select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_event").alias("l_event"), F.col("r_event").alias("r_event"),
+        F.col("l_type").alias("l_type"), F.col("r_type").alias("r_type"),
+        F.unix_timestamp("l_ts").cast("bigint").alias("l_epoch"),
+        F.unix_timestamp("r_ts").cast("bigint").alias("r_epoch"),
+    )
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
 @register("stream_stateful_stats")  # custom state transition -> rows-only
 def stream_stateful_stats(spark, sf_dir):
     """Custom applyInPandasWithState accumulator (per-user running
