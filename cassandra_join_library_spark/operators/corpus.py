@@ -239,6 +239,44 @@ def chunk_documents(
     )
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    bucket_mod: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-0.5 source rebalancing: downsample each source with
+    keep-fraction sqrt(c_min / c_source), flattening the size skew
+    between sources (the standard data-mixture step before training —
+    big crawl dumps stop drowning small high-quality sources).
+
+    Deterministic: the keep decision is hash(id) mod 1e6 < frac·1e6 —
+    reproducible across runs/engines/appends, rows never flip.  The
+    fraction uses only division and sqrt (IEEE correctly-rounded in
+    every engine, unlike pow), so the oracle matches bit-exactly.
+    Two tiny aggregates (per-source counts, global min) broadcast back
+    against the corpus: one map-side filter pass at any scale.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    frac = F.sqrt(F.col("_cmin") / F.col("_c"))
+    bucket = (
+        (F.col(id_col).cast("bigint") * _HASH_MULT) % _HASH_MOD
+    ) % bucket_mod
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(cmin))
+        .filter(bucket < frac * bucket_mod)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.round(frac, 6).alias("keep_frac"),
+        )
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     doc_col: str = "doc_id",

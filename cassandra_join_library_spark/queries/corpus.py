@@ -152,6 +152,25 @@ def corpus_chunks(spark, sf_dir):
                              size=200, stride=150)
 
 
+@register("corpus_mixture", oracle="""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS _c FROM documents GROUP BY 1
+), m AS (
+  SELECT min(_c) AS _cmin FROM c
+)
+SELECT d.doc_id, d.source,
+       round(sqrt(m._cmin * 1.0 / c._c), 6) AS keep_frac
+FROM documents d JOIN c USING (source) CROSS JOIN m
+WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 2147483647) % 1000000
+      < sqrt(m._cmin * 1.0 / c._c) * 1000000
+""")
+def corpus_mixture(spark, sf_dir):
+    """Temperature-0.5 data-mixture rebalancing: deterministically
+    downsample each source by sqrt(min_count/count) so small sources
+    stop being drowned — one map-side filter pass."""
+    return C.mixture_rebalance(_docs(spark, sf_dir), "doc_id", "source")
+
+
 @register("corpus_pack_sequences", oracle="""
 WITH p AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n

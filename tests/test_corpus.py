@@ -166,6 +166,25 @@ def test_shuffle_shards_balanced_total_order(docs):
     assert all(0.5 * avg < s < 1.7 * avg for s in sizes.values())
 
 
+def test_mixture_flattens_source_skew(docs):
+    before = {r["source"]: r["c"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    out = C.mixture_rebalance(docs, "doc_id", "source")
+    after = {r["source"]: r["c"] for r in
+             out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    # smallest source kept (frac = 1); skew ratio strictly shrinks
+    smallest = min(before, key=before.get)
+    assert after[smallest] == before[smallest]
+    if len(before) > 1 and max(before.values()) > min(before.values()):
+        skew_before = max(before.values()) / min(before.values())
+        skew_after = max(after.values()) / min(after.values())
+        assert skew_after < skew_before
+    # deterministic: identical kept set on re-run
+    again = {r["doc_id"] for r in
+             C.mixture_rebalance(docs, "doc_id", "source").collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
 def test_quantile_filter_keeps_top_half(docs):
     out = C.quality_quantile_filter(docs, "doc_id", "text", "lang", 0.5)
     per_lang_total = {
