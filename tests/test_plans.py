@@ -85,3 +85,39 @@ def test_condition_filter_pushed_below_join_when_legal(spark):
     plan = _formatted(df)
     # pushed into the customer scan itself
     assert "GreaterThan(c_acctbal,1000" in plan
+
+
+def test_corpus_split_and_chunking_are_map_only(spark):
+    """Splitting and chunking must cost one pass at any scale: zero
+    exchanges in the physical plan (the SCALE.md claim)."""
+    for name in ("corpus_split", "corpus_chunks"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_mixture_broadcasts_stats_no_corpus_shuffle(spark):
+    """mixture_rebalance: the per-source counts and the global min are
+    the ONLY things exchanged — the corpus itself must not shuffle
+    (its only appearance is scan -> broadcast-join -> filter)."""
+    plan = _plan(QUERIES["corpus_mixture"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scalar cmin cross join
+    # no SortMergeJoin / ShuffledHashJoin of the corpus
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Hash-sharding: one hash-partition exchange (by shard), then
+    per-shard parallel sorts — never a global range sort."""
+    plan = _plan(QUERIES["corpus_shuffle_shards"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_tfidf_vocab_side_broadcasts(spark):
+    """TF-IDF: doc-frequency table and corpus count join broadcast —
+    the per-(doc,term) side never re-shuffles for the join."""
+    plan = _plan(QUERIES["tfidf_top_terms"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
