@@ -1,0 +1,94 @@
+"""Data-layout operators: Z-order (Morton) clustering.
+
+At 100 TB, scan cost is dominated by how well file/row-group min-max
+statistics prune the data for the queries you actually run.  A sort on
+one column clusters perfectly for that column and not at all for any
+other; interleaving the bits of several columns (a Z-order / Morton
+curve) gives every participating column partial locality, so parquet
+min-max pruning works for predicates on ANY of them.  This is the
+same layout technique Delta Lake's OPTIMIZE ZORDER BY applies.
+
+The reference engine (a Cassandra client-side joiner) has no layout
+stage at all — clustering is fixed by the Cassandra partition key
+(``/root/reference/cassandra_joinlib/hash_join.py:184-272`` scans in
+token order).  Z-order is the Spark-native generalization: pick the
+clustering AFTER the fact, per table copy, for the workload.
+
+Everything here is a pure JVM expression tree (shift/and/or), fully
+inside whole-stage codegen: no UDFs, no shuffle beyond the single
+``repartitionByRange`` that the layout itself requires.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: "list[Column | str]", bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column.
+
+    Bit ``b`` of dimension ``d`` lands at position ``b*ndims + d`` of
+    the result, so sorting by the result alternates between the
+    dimensions at every bit level — the classic Z-curve.  Columns must
+    be non-negative integers (mask/bucket them first; the caller owns
+    choosing a value→int mapping per dimension).
+
+    ``ndims * bits`` must fit in 63 bits.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    ndims = len(cols)
+    if ndims * bits > 63:
+        raise ValueError(f"{ndims} dims x {bits} bits exceeds a BIGINT")
+    parts = []
+    for d, c in enumerate(cols):
+        c = c.cast("bigint")
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)),
+                            b * ndims + d)
+            )
+    return reduce(lambda a, x: a.bitwiseOR(x), parts).alias("zval")
+
+
+def zorder_value_sql(cols: "list[str]", bits: int = 16) -> str:
+    """The same interleave as ``zorder_value`` as portable SQL text
+    (DuckDB/ANSI bit operators) — used by the oracle so both engines
+    evaluate the identical formula."""
+    ndims = len(cols)
+    parts = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * ndims + d})"
+        for d, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " | ".join(parts)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: "list[Column | str]",
+    bits: int = 16,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Cluster ``df`` along the Z-curve of ``cols``.
+
+    Range-partitions on the Z-value (each output file covers a compact
+    Z-range, i.e. a compact hyper-rectangle-ish region of the key
+    space) and sorts within partitions, so parquet writes produce
+    tight min-max stats on every participating column.  Write the
+    result with ``df.write.parquet`` — or through
+    ``sources.sinks.write_sorted`` — to materialize the layout.
+
+    One shuffle (the range partitioning), as any global re-clustering
+    must; the range boundaries come from Spark's reservoir sampling,
+    so skewed Z-values still split evenly.
+    """
+    z = zorder_value(cols, bits)
+    with_z = df.withColumn("zval", z)
+    if num_partitions:
+        parted = with_z.repartitionByRange(num_partitions, "zval")
+    else:
+        parted = with_z.repartitionByRange("zval")
+    return parted.sortWithinPartitions("zval")

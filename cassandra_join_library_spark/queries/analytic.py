@@ -1,0 +1,157 @@
+"""Analytic-surface batch 3: distribution windows, array functions,
+Z-order layout values, and Bloom-prefiltered joins.
+
+Parity notes (registry.py conventions): ntile/row-based ranks are
+exact integers → BIGINT; cume_dist/percent_rank are ratios of BIGINTs
+(IEEE division is correctly rounded in both engines, so raw doubles
+compare exactly); every window carries a total order (tiebreak on the
+key column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register("window_ntile_dist", oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       cume_dist() OVER w AS cdist,
+       percent_rank() OVER w AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""")
+def window_ntile_dist(spark, sf_dir):
+    """Distribution window functions: ntile / cume_dist / percent_rank
+    per market segment.  The ORDER BY includes the key as a tiebreak so
+    every row has a unique rank — without it cume_dist over tied
+    acctbals would still agree, but ntile's tie placement would not."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+@register("window_first_last", oracle="""
+SELECT c_custkey, c_mktsegment,
+       first_value(c_custkey) OVER w AS poorest_key,
+       last_value(c_custkey)  OVER w AS richest_key
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_first_last(spark, sf_dir):
+    """first_value/last_value with an explicit full frame — the default
+    frame stops at CURRENT ROW, which makes last_value a no-op; the
+    explicit ROWS UNBOUNDED frame is the portable (and useful) form."""
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.last("c_custkey").over(w).alias("richest_key"),
+    )
+
+
+@register("array_token_ops", oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+       list_contains(string_split(text, ' '), 'the') AS has_the
+FROM documents
+WHERE doc_id % 7 = 0
+""")
+def array_token_ops(spark, sf_dir):
+    """Array-function surface over tokenized text: size, distinct
+    count, slice, containment — all JVM collection expressions (the
+    building blocks the dedup/text operators compose)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+def _zorder_oracle():
+    from ..operators.layout import zorder_value_sql
+
+    zsql = zorder_value_sql(
+        ["o_custkey", "CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)"],
+        bits=8,
+    )
+    return f"""
+SELECT o_orderkey, {zsql} AS zval
+FROM orders
+"""
+
+
+@register("layout_zorder", oracle=_zorder_oracle())
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering value over (customer, order-day):
+    the column ``zorder_layout`` range-partitions and sorts by so that
+    parquet min-max stats prune on EITHER dimension.  The oracle
+    evaluates the identical bit-interleave formula in SQL."""
+    from ..operators.layout import zorder_value
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        zorder_value([F.col("o_custkey"), day], bits=8).alias("zval"),
+    )
+
+
+@register("bloom_prefilter_join", oracle="""
+SELECT l.l_suppkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_nationkey < 5
+GROUP BY l.l_suppkey
+""")
+def bloom_prefilter_join(spark, sf_dir):
+    """Selective fact-dim join with an explicit Bloom prefilter: the
+    dimension subset's keys build a constant-size Bloom filter
+    (distributed bit_or aggregate), the fact side is pruned MAP-SIDE
+    before its shuffle, and the exact join removes any false
+    positives — so results are bit-identical to the plain join (the
+    oracle) while the fact shuffle carries only ~matching rows."""
+    from ..operators.bloom import bloom_prefilter
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5) \
+        .select("s_suppkey")
+    pruned = bloom_prefilter(l, "l_suppkey", s, "s_suppkey")
+    return (
+        pruned.join(s, pruned.l_suppkey == s.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

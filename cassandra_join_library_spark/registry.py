@@ -76,6 +76,7 @@ def _load_all() -> None:
         return
     from .queries import (  # noqa: F401
         advanced,
+        analytic,
         core,
         corpus,
         extras,
