@@ -16,6 +16,7 @@ from .sources.catalog import (
     CsvCatalog,
     JsonLinesCatalog,
     MemoryCatalog,
+    OrcCatalog,
     ParquetCatalog,
     qualify,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "CsvCatalog",
     "JsonLinesCatalog",
     "MemoryCatalog",
+    "OrcCatalog",
     "ParquetCatalog",
     "qualify",
 ]

@@ -155,3 +155,45 @@ def bloom_prefilter_join(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@register("join_cross", oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""")
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product (the reference's nested-loop join
+    with no predicate, ``cassandra_joinlib/nested_join.py`` shape) —
+    Spark requires the explicit crossJoin call, and the planner uses
+    BroadcastNestedLoopJoin when one side is small."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register("setop_except_all", oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""")
+def setop_except_all(spark, sf_dir):
+    """Multiset difference — keeps surplus duplicate counts, unlike
+    EXCEPT (DISTINCT); the pattern behind incremental-corpus
+    subtraction (remove one occurrence per matched row)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+@register("setop_intersect_all", oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""")
+def setop_intersect_all(spark, sf_dir):
+    """Multiset intersection (min of per-side duplicate counts)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.intersectAll(b)

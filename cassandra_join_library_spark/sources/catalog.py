@@ -85,6 +85,23 @@ class JsonLinesCatalog(Catalog):
         )
 
 
+class OrcCatalog(Catalog):
+    """ORC variant of the parquet catalog — same columnar pruning
+    properties (predicate pushdown, column projection, stripe-level
+    min-max skipping), read natively by the JVM datasource."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.orc(os.path.join(self.directory, f"{table}.orc"))
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            f[: -len(".orc")] for f in os.listdir(self.directory) if f.endswith(".orc")
+        )
+
+
 class MemoryCatalog(Catalog):
     """In-memory named-DataFrame catalog — lets the façade join derived
     frames (staged intervals, subquery results, streaming snapshots)

@@ -50,3 +50,7 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: "list[str]",
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

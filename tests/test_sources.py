@@ -96,3 +96,33 @@ def test_multi_split_input_same_results(spark, tmp_path):
         }
 
     assert tumbling(e8) == tumbling(e)
+
+
+def test_orc_catalog_roundtrip_through_facade(spark, tmp_path):
+    from cassandra_join_library_spark import OrcCatalog
+
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    base = str(tmp_path)
+    sinks.write_orc(c, f"{base}/customer.orc")
+    sinks.write_orc(n, f"{base}/nation.orc")
+    cat = OrcCatalog(base)
+    assert set(cat.table_names()) == {"customer", "nation"}
+    out = (
+        JoinExecutor(spark, cat)
+        .join(TableInfo("customer", "c_nationkey"), TableInfo("nation", "n_nationkey"))
+        .execute()
+    )
+    assert out.count() == c.join(n, c.c_nationkey == n.n_nationkey).count()
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """ORC is a first-class pruning source: predicates reach the scan."""
+    from cassandra_join_library_spark import OrcCatalog
+
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    sinks.write_orc(c, f"{tmp_path}/customer.orc")
+    df = OrcCatalog(str(tmp_path)).load(spark, "customer") \
+        .filter(F.col("c_custkey") < 100).select("c_custkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_custkey" in plan.split("PushedFilters")[1][:80]
