@@ -349,3 +349,26 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .distinct()
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    content_cols: "list[str]",
+) -> DataFrame:
+    """Keep only NEW rows whose content does not already exist in the
+    corpus — the shape every append-only ingestion run needs (dedup the
+    daily crawl against 100 TB of history).
+
+    Both sides are reduced to a fixed-width 256-bit digest of the
+    content columns before the anti-join, so the shuffle carries
+    32-byte keys instead of document bodies, and the history side can
+    be a pre-materialized digest table (never rescan the corpus text).
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    seen = corpus_df.select(digest.alias("_digest")).distinct()
+    return (
+        new_df.withColumn("_digest", digest)
+        .join(seen, "_digest", "left_anti")
+        .drop("_digest")
+    )

@@ -10,6 +10,8 @@ portable SQL equivalent (xxhash64 bit-votes) → rows-only check.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup as D
 from ..registry import register
 from ..sources.catalog import load_table
@@ -120,3 +122,26 @@ def dedup_clusters(spark, sf_dir):
     pairs = D.jaccard_pairs_exact(_docs(spark, sf_dir), "doc_id", "text",
                                   n=5, threshold=0.5)
     return D.duplicate_clusters(pairs)
+
+
+@register("dedup_incremental", oracle="""
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE CAST(substr(d.source, 4) AS BIGINT) >= 10
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE CAST(substr(c.source, 4) AS BIGINT) < 10
+      AND c.text = d.text
+  )
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) dedup: sources src10+ are the
+    incoming batch, src0-src9 the existing corpus; new docs whose text
+    digest already exists in the corpus are dropped via a fixed-width
+    digest anti-join (the oracle's NOT EXISTS on text equality —
+    identical barring SHA-256 collisions)."""
+    d = _docs(spark, sf_dir)
+    batch_no = F.substring("source", 4, 10).cast("bigint")
+    new = d.filter(batch_no >= 10)
+    corpus = d.filter(batch_no < 10)
+    return D.incremental_dedup(new, corpus, ["text"]).select("doc_id", "source")

@@ -94,3 +94,60 @@ def stream_stateful_stats(spark, sf_dir):
     stream = W.read_events_stream(spark, sf_dir)
     name, _ = W.run_to_memory(running_user_stats(stream), output_mode="update")
     return spark.table(name)
+
+
+@register("stream_session", oracle="""
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM y
+GROUP BY user_id, sess_id
+""")
+def stream_session(spark, sf_dir):
+    """Native streaming session windows (``session_window`` merges
+    per-user state as events arrive) run to completion through the
+    streaming engine — same gaps-and-islands oracle as the batch twin
+    ``events_session``."""
+    stream = W.read_events_stream(spark, sf_dir)
+    out = W.session_counts(stream, gap="10 minutes", watermark="2 hours")
+    name, _ = W.run_to_memory(out, output_mode="complete")
+    return spark.table(name)
+
+
+@register("stream_sliding", oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS s, value FROM events
+), expanded AS (
+  SELECT s AS window_start, value FROM b
+  UNION ALL
+  SELECT s - 1800 AS window_start, value FROM b
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1
+""")
+def stream_sliding(spark, sf_dir):
+    """Sliding-window aggregation through the streaming engine —
+    overlap factor length/slide = 2; oracle shared with the batch twin
+    ``events_sliding``."""
+    stream = W.read_events_stream(spark, sf_dir)
+    out = W.sliding_counts(stream, window="1 hour", slide="30 minutes",
+                           watermark="2 hours")
+    name, _ = W.run_to_memory(out, output_mode="complete")
+    return spark.table(name)
