@@ -283,22 +283,33 @@ def pack_sequences(
     chunk_col: str = "chunk_id",
     chars_col: str = "chunk_chars",
     budget_tokens: int = 512,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Assign chunks to fixed-token-budget training packs by global
     offset: pack_id = (running_token_count - own_tokens) div budget in
     (doc, chunk) order.
 
-    The global prefix sum is computed scalably in two levels: an
-    intra-document cumulative sum (window partitioned by doc — fully
-    parallel) plus per-document offsets (a window over the doc-level
-    TOTALS table, one row per document).  Only the doc-level pass is a
-    single-task window; at extreme doc counts that pass recurses the
-    same trick over doc ranges.  Equivalent to — and oracle-checked
-    against — a flat ``SUM() OVER (ORDER BY doc, chunk)``.
+    The global prefix sum is computed scalably in THREE levels, with
+    no unpartitioned window anywhere in the plan:
+
+    1. intra-document cumulative sum — window partitioned by doc
+       (fully parallel);
+    2. per-document offsets within a doc-id RANGE BUCKET — window
+       partitioned by bucket over the doc-level totals table (one row
+       per doc, ≤ ~N/n_buckets rows per partition for uniform ids);
+    3. per-bucket offsets — an exclusive prefix over at most
+       ``n_buckets`` (bucket, total) rows, collected to the driver
+       (constant-size state, same pattern as the bloom filter) and
+       joined back as a broadcast literal frame.
+
+    Equivalent to — and oracle-checked against — a flat
+    ``SUM() OVER (ORDER BY doc, chunk)``.  Bucketing is by doc-id
+    range (monotone, so order is preserved); heavily skewed id spaces
+    degrade toward fewer effective buckets but never change results.
     """
     tok = F.ceil(F.col(chars_col) / 4.0).cast("bigint")
     c = chunks.select(
-        F.col(doc_col).alias("doc_id"),
+        F.col(doc_col).cast("bigint").alias("doc_id"),
         F.col(chunk_col).alias("chunk_id"),
         tok.alias("n_tokens"),
     )
@@ -307,17 +318,48 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_intra = c.withColumn("_intra", intra)
-    doc_totals = c.groupBy("doc_id").agg(F.sum("n_tokens").alias("_doc_tot"))
-    offsets = doc_totals.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_doc_tot").over(
-                Window.orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("bigint"),
-    ).select("doc_id", "_off")
+    doc_totals = c.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("_doc_tot")
+    )
+    bounds = doc_totals.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    span = max(1, -(-(hi - lo + 1) // n_buckets))  # ceil div
+    bkt = F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(span)).cast("bigint")
+    dt = doc_totals.withColumn("_bkt", bkt)
+    # level 2: exclusive doc-offset within each bucket (parallel)
+    w_bkt = (
+        Window.partitionBy("_bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dt = dt.withColumn(
+        "_boff",
+        F.coalesce(F.sum("_doc_tot").over(w_bkt), F.lit(0)).cast("bigint"),
+    )
+    # level 3: exclusive bucket-offset — ≤ n_buckets rows, driver-side
+    btotals = sorted(
+        (int(r["_bkt"]), int(r["_tot"]))
+        for r in dt.groupBy("_bkt").agg(
+            F.sum("_doc_tot").alias("_tot")
+        ).collect()
+    )
+    boff_rows, running = [], 0
+    for b, t in btotals:
+        boff_rows.append((b, running))
+        running += t
+    spark = chunks.sparkSession
+    boffs = spark.createDataFrame(
+        boff_rows or [(0, 0)], "_bkt bigint, _bkt_off bigint"
+    )
+    offsets = (
+        dt.join(F.broadcast(boffs), "_bkt")
+        .select(
+            "doc_id",
+            (F.col("_bkt_off") + F.col("_boff")).alias("_off"),
+        )
+    )
     cum = F.col("_off") + F.col("_intra")
     return (
         # no broadcast hint: offsets is one row per doc — small here,
@@ -409,10 +451,16 @@ def kmeans_assign(
     base = df.select(
         F.col(id_col).alias("vid"), vec.alias("v")
     )
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     init = [
         [float(x) for x in r["v"]]
         for r in base.orderBy("vid").limit(k).collect()
     ]
+    if len(init) < k:
+        raise ValueError(
+            f"k={k} exceeds the {len(init)} available input rows"
+        )
     centroids = init
     assigned = None
     for _ in range(n_iter):

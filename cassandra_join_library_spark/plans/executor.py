@@ -505,11 +505,15 @@ class JoinExecutor:
     def explain(self, mode: str = "formatted") -> str:
         """Return the physical plan as a string (extension — the
         reference has no plan introspection; on Spark the plan is the
-        first thing to read before running at scale)."""
-        df = self.to_df()
-        return df.sparkSession._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), mode
-        )
+        first thing to read before running at scale).  Captures the
+        public ``DataFrame.explain`` output — no private JVM APIs."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.to_df().explain(mode=mode)
+        return buf.getvalue()
 
     def get_time_elapsed(self) -> Dict[str, float]:
         """Timing surface kept name-compatible with the reference

@@ -59,9 +59,14 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.4
 """)
 def embedding_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs (cosine >= 0.4), exact all-pairs
-    baseline — the LSH variant below is the scale path."""
-    return S.cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
+    """Embedding pairs with cosine >= 0.4, exact, via the BLOCKED
+    pair-space plan (hash-block equi-join, no cartesian/BNLJ) —
+    distributes the unavoidable Θ(n²) dot products over B²/2 uniform
+    tasks with bounded memory.  LSH variant below is the sub-quadratic
+    near-dup path."""
+    return S.cosine_pairs_blocked(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4
+    )
 
 
 @register("ann_ivf_topk")  # approximate (probe subset) -> rows-only check

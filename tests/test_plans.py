@@ -18,14 +18,23 @@ from .conftest import SF_SMOKE
 QUERIES = all_queries()
 
 
+def _explain(df, mode: str) -> str:
+    """Public-API plan string: capture DataFrame.explain stdout."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _explain(df, "simple")
 
 
 def _formatted(df) -> str:
-    return df.sparkSession._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return _explain(df, "formatted")
 
 
 def test_filter_and_projection_pushed_to_scan(spark):
@@ -112,6 +121,36 @@ def test_shuffle_shards_single_exchange(spark):
     plan = _plan(QUERIES["corpus_shuffle_shards"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_cosine_pairs_blocked_no_cartesian(spark):
+    """embedding_cosine_pairs must NOT plan a cartesian/BNLJ: the
+    blocked pair-space rewrite meets candidates in a shuffled
+    EQUI-join on the block-pair id (bounded per-task memory at any n);
+    the only broadcasts are the constant-size block-pair frames."""
+    plan = _plan(QUERIES["embedding_cosine_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the candidate join itself is an equi-join (shuffled or
+    # AQE-converted broadcast at test scale) — never nested-loop on
+    # an inequality-only condition
+    bnlj_lines = [ln for ln in plan.splitlines()
+                  if "BroadcastNestedLoopJoin" in ln]
+    assert not bnlj_lines, f"nested-loop join in plan:\n{plan}"
+
+
+def test_pack_sequences_no_unpartitioned_window(spark):
+    """pack_sequences: every window in the plan must be partitioned —
+    the global prefix sum is two-level (doc, then doc-range bucket),
+    never a single-task ORDER BY over all rows."""
+    plan = _plan(QUERIES["corpus_pack_sequences"](spark, SF_SMOKE))
+    # Spark renders `Window [exprs], [partitionSpec], [orderSpec]` but
+    # omits the partition group entirely when empty — so a partitioned
+    # window line has two `], [` separators, a global one has one.
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert line.count("], [") >= 2, (
+                f"unpartitioned window:\n{line}\n{plan}"
+            )
 
 
 def test_tfidf_vocab_side_broadcasts(spark):
