@@ -34,8 +34,21 @@ def asof_join(
     """Match each left row to the most recent right row at-or-before
     its timestamp, per ``key``.  Output: all left columns +
     ``matched_<right_id>`` (+ matched payload columns), NULL when no
-    right row precedes."""
+    right row precedes.
+
+    ``right_id`` must be an integral column: it doubles as the
+    deterministic tiebreak and is carried through a ``bigint`` cast —
+    a string id would silently become NULL (every match lost), so we
+    reject non-integral dtypes up front."""
     right_payload = right_payload or []
+    _rid_dtype = dict(right.dtypes).get(right_id)
+    if _rid_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"asof_join right_id column {right_id!r} has dtype {_rid_dtype!r}; "
+            "an integral type is required (the id is cast to bigint for the "
+            "window tiebreak — a lossy cast would NULL out every match). "
+            "Pass a numeric surrogate id, or add one with xxhash64/row_number."
+        )
 
     r = (
         right.groupBy(key, right_ts)

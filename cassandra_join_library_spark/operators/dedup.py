@@ -103,11 +103,15 @@ def jaccard_pairs_exact(
     sh.count()  # eager materialization: three consumers below would
     # otherwise race the cache and recompute the transform concurrently
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_doc_freq).select("shingle")),
-            "shingle",
+        # broadcast the DROP list (stop-shingles over the cap) and
+        # anti-join: it is tiny by construction, while the keep-list is
+        # nearly the whole vocabulary — broadcasting that would ship
+        # the corpus's shingle space to every executor
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq).select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

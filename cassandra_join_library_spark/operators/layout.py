@@ -84,11 +84,17 @@ def zorder_layout(
     One shuffle (the range partitioning), as any global re-clustering
     must; the range boundaries come from Spark's reservoir sampling,
     so skewed Z-values still split evenly.
+
+    The Z-value is an internal sort key only — it is dropped before
+    returning, so the result schema equals the input schema (a sort
+    key need not survive the write; parquet min-max stats on the
+    REAL columns are what pruning reads).
     """
     z = zorder_value(cols, bits)
-    with_z = df.withColumn("zval", z)
+    zcol = "__cjl_zval"
+    with_z = df.withColumn(zcol, z)
     if num_partitions:
-        parted = with_z.repartitionByRange(num_partitions, "zval")
+        parted = with_z.repartitionByRange(num_partitions, zcol)
     else:
-        parted = with_z.repartitionByRange("zval")
-    return parted.sortWithinPartitions("zval")
+        parted = with_z.repartitionByRange(zcol)
+    return parted.sortWithinPartitions(zcol).drop(zcol)

@@ -90,8 +90,11 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.sum("c").alias("n_bigrams"),
              F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bigrams"))
     )
+    # LEFT join: docs with <2 tokens have no bigram row — they must
+    # still appear (dup_bigram_ratio NULL), not silently vanish from a
+    # data-quality profile
     return (
-        top_word.join(bg_stats, "doc")
+        top_word.join(bg_stats, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
             F.col("n_tokens").cast("bigint").alias("n_tokens"),

@@ -8,9 +8,12 @@ on one side.
 
 Salting replicates the small side R times and scatters the big side's
 hot keys across R sub-partitions — trading R× duplication of the
-small side for an even shuffle.  Deterministic salt (hash of a
-stable column, not rand()) keeps results reproducible across retries
-— a task retry with rand() salt would double-or-drop rows.
+small side for an even shuffle.  The salt MUST be a pure function of
+row CONTENT: rand() or monotonically_increasing_id() both change when
+a stage retry recomputes a shuffled partition (row order within the
+recomputed partition is not stable), routing the same row to a
+different reduce partition — double-or-drop at scale.  We hash the
+row's columns instead, so any retry reproduces the identical salt.
 """
 
 from __future__ import annotations
@@ -30,17 +33,25 @@ def salted_join(
     """Equi-join with a salted key to spread skewed build groups.
 
     ``on`` is a list of (big_col, small_col) equality pairs.  The big
-    side gets ``salt = pmod(xxhash64(salt_source or first key-col +
-    row-local columns), salt_buckets)``; the small side is exploded
+    side gets ``salt = pmod(xxhash64(<row content>), salt_buckets)``
+    where <row content> is ``salt_source`` (pass a unique stable
+    column, e.g. a primary key, for a perfectly even scatter) or, by
+    default, ALL of the big side's columns; the small side is exploded
     across all salt values.  Output columns match a plain join.
+
+    Determinism precondition: the salt depends only on column values,
+    never on row position — a task retry that recomputes a shuffled
+    partition reproduces identical salts, so no row is duplicated or
+    dropped.  Fully-duplicate big-side rows share a salt bucket; if
+    the hot key's rows are near-identical duplicates, pass a unique
+    ``salt_source`` column to spread them.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (skew is a "
                          "big-side problem; other joins re-shuffle anyway)")
-    salt_col = salt_source or on[0][0]
+    salt_basis = [F.col(salt_source)] if salt_source else [F.col(c) for c in big.columns]
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_col), F.monotonically_increasing_id()),
-                        F.lit(salt_buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*salt_basis), F.lit(salt_buckets)).cast("int")
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -217,6 +217,47 @@ def theta_left_outer(spark, sf_dir):
     )
 
 
+@register("theta_right_outer", oracle="""
+SELECT n.n_nationkey AS nation_n_nationkey, n.n_regionkey AS nation_n_regionkey,
+       r.r_regionkey AS region_r_regionkey, r.r_name AS region_r_name
+FROM nation n RIGHT JOIN region r ON n.n_regionkey > r.r_regionkey
+""")
+def theta_right_outer(spark, sf_dir):
+    """J6 theta RIGHT join — unmatched right rows NULL-padded on the
+    left (reference right-outer BNLJ layout: nested_join.py:743-949);
+    Spark plans BroadcastNestedLoopJoin with the stream/build sides
+    arranged for the preserved (right) side."""
+    return (
+        JoinExecutor(spark, sf_dir)
+        .rightJoin(TableInfo("nation", "n_regionkey"), TableInfo("region", "r_regionkey"),
+                   operator=">")
+        .select("nation", {"n_nationkey", "n_regionkey"})
+        .select("region", {"r_regionkey", "r_name"})
+        .execute()
+    )
+
+
+@register("theta_full_outer", oracle="""
+SELECT n.n_nationkey AS nation_n_nationkey, n.n_regionkey AS nation_n_regionkey,
+       r.r_regionkey AS region_r_regionkey, r.r_name AS region_r_name
+FROM nation n FULL JOIN region r ON n.n_regionkey < r.r_regionkey
+""")
+def theta_full_outer(spark, sf_dir):
+    """J6 theta FULL join — both sides' unmatched rows flushed
+    NULL-padded (reference full-outer flag arrays:
+    nested_join.py:1101-1171).  With region keys 0..4, ``<`` leaves
+    the max-key nations AND region 0 unmatched, so both flush paths
+    are genuinely exercised rather than degenerating to inner rows."""
+    return (
+        JoinExecutor(spark, sf_dir)
+        .fullOuterJoin(TableInfo("nation", "n_regionkey"),
+                       TableInfo("region", "r_regionkey"), operator="<")
+        .select("nation", {"n_nationkey", "n_regionkey"})
+        .select("region", {"r_regionkey", "r_name"})
+        .execute()
+    )
+
+
 @register("filter_algebra", oracle="""
 SELECT c.c_custkey AS customer_c_custkey, c.c_name AS customer_c_name,
        c.c_mktsegment AS customer_c_mktsegment, c.c_acctbal AS customer_c_acctbal

@@ -67,6 +67,50 @@ def dedup_jaccard_exact(spark, sf_dir):
                                  n=5, threshold=0.5)
 
 
+@register("dedup_jaccard_capped", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           COUNT(*) OVER (PARTITION BY shingle) AS dfreq
+    FROM sh
+  ) WHERE dfreq <= 2
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+FROM pairs
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+""")
+def dedup_jaccard_capped(spark, sf_dir):
+    """Exact Jaccard pairs WITH the stop-shingle cap engaged
+    (``max_doc_freq=2``): shingles appearing in more documents are
+    dropped on BOTH the posting-list join and the set sizes — the knob
+    that bounds the worst posting list at 100 TB (a stop-shingle
+    shared by 10^6 docs would otherwise emit 10^12 pair rows).  The
+    cap is load-bearing at sf0.01: it removes df=3 shingles and the
+    pair set genuinely differs from ``dedup_jaccard_exact``.  Oracle
+    mirrors the cap with a COUNT(*) OVER (PARTITION BY shingle)
+    prefilter."""
+    return D.jaccard_pairs_exact(_docs(spark, sf_dir), "doc_id", "text",
+                                 n=5, threshold=0.5, max_doc_freq=2)
+
+
 @register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidates (24 hashes, 1-row bands) + exact verify."""

@@ -18,22 +18,24 @@ def _t(spark, sf_dir, name):
 
 
 @register("string_similarity", oracle="""
-SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
-       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
-FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-WHERE levenshtein(a.n_name, b.n_name) <= 2
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+  AND levenshtein(a.p_name, b.p_name) <= 2
 """)
 def string_similarity(spark, sf_dir):
-    """Edit-distance pair matching (fuzzy key dedup shape)."""
-    n = _t(spark, sf_dir, "nation")
-    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
-    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .filter(dist <= 2)
-        .select("key_a", "key_b", dist.cast("bigint").alias("edit_dist"))
-    )
+    """Edit-distance pair matching (fuzzy key dedup shape) on part
+    names — string-dedup + PassJoin segment blocking + exact verify
+    (operators/edjoin.py), never the cartesian the oracle spells out.
+    Part names (natural words) rather than customer names: fixed-format
+    serial strings share every blocking key, so fuzzy dedup on them is
+    degenerate by construction; varied text is the shape the blocking
+    must (and does) carry."""
+    from ..operators.edjoin import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    return edit_distance_pairs(p, "p_partkey", "p_name", max_dist=2)
 
 
 @register("explode_tokens", oracle="""

@@ -89,7 +89,7 @@ SELECT tw.doc_id,
        CAST(tw.n_tokens AS BIGINT) AS n_tokens,
        round(tw.top_word_count * 1.0 / tw.n_tokens, 6) AS top_word_ratio,
        round(bgs.dup_bigrams * 1.0 / bgs.n_bigrams, 6) AS dup_bigram_ratio
-FROM tw JOIN bgs ON tw.doc_id = bgs.doc_id
+FROM tw LEFT JOIN bgs ON tw.doc_id = bgs.doc_id
 """)
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition scores (top-word ratio, duplicate-bigram

@@ -19,9 +19,13 @@ def test_short_docs_through_repetition_and_bigrams(spark):
     ])
     out = {r["doc_id"]: r for r in
            P.repetition_scores(df, "doc_id", "text").collect()}
-    # docs with <2 tokens produce no bigram stats -> dropped by the
-    # inner join; no crash under ANSI
-    assert set(out) == {3, 4}
+    # docs with <2 tokens have no bigrams but MUST still appear (left
+    # join) with a NULL dup_bigram_ratio — a profiling operator never
+    # silently drops rows; no crash under ANSI
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["dup_bigram_ratio"] is None
+    assert out[2]["dup_bigram_ratio"] is None
+    assert out[1]["top_word_ratio"] == 1.0
     assert out[4]["dup_bigram_ratio"] == 1.0
 
 

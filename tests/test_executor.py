@@ -222,3 +222,16 @@ def test_scan_plus_join_rejected(spark):
           .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey")))
     with pytest.raises(ValueError, match="scan"):
         ex.execute()
+
+
+def test_asof_join_rejects_non_integral_right_id(spark):
+    """A string right_id would be silently NULLed by the bigint cast
+    (every match lost) — the operator must refuse it up front."""
+    import pytest
+    from pyspark.sql import Row
+    from cassandra_join_library_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(user_id=1, ts=10)])
+    right = spark.createDataFrame([Row(user_id=1, ts=5, event_id="ev-5")])
+    with pytest.raises(TypeError, match="integral"):
+        asof_join(left, right, key="user_id")

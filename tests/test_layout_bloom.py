@@ -104,3 +104,12 @@ def test_bloom_membership_exact_on_known_keys(spark):
     probe = spark.range(100).select((F.col("id") * 7).alias("k"))
     hits = probe.filter(bloom_might_contain("k", words)).count()
     assert hits == 100  # every inserted key tests positive
+
+
+def test_zorder_layout_schema_unchanged(spark):
+    """The internal Z-value sort key must NOT leak into the result —
+    writing the layout directly must reproduce the source schema."""
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = zorder_layout(df, ["o_orderkey", "o_custkey"], bits=16,
+                        num_partitions=4)
+    assert out.columns == df.columns

@@ -71,3 +71,19 @@ def test_key_histogram_orders(spark):
     hist = key_histogram(l, ["l_suppkey"], top=5).collect()
     assert len(hist) == 5
     assert hist[0]["rows"] >= hist[-1]["rows"]
+
+
+def test_salted_join_salt_is_content_deterministic(spark):
+    """The salt must be a pure function of row content — a stage retry
+    that recomputes a shuffled partition must reproduce identical
+    salts or rows get double-counted/dropped.  No non-deterministic
+    expression (rand, monotonically_increasing_id) may appear anywhere
+    in the plan."""
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    s = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    for kwargs in ({}, {"salt_source": "l_orderkey"}):
+        out = salted_join(l, s, [("l_suppkey", "s_suppkey")],
+                          salt_buckets=8, **kwargs)
+        plan = out._jdf.queryExecution().analyzed().toString().lower()
+        assert "monotonically_increasing_id" not in plan
+        assert "rand(" not in plan
