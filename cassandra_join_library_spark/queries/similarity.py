@@ -69,6 +69,45 @@ def embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+@register("dedup_embedding_cosine", oracle="""
+WITH RECURSIVE sim AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sim
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM sim
+), reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b
+  FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS vec_id, MIN(b) AS cluster_id
+FROM reach GROUP BY a
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: blocked exact cosine pairs at
+    the threshold -> connected components -> (vec_id, cluster_id)
+    canonical-representative assignment.  The pair stage is the
+    hash-block equi-join (no cartesian), the clustering is iterative
+    min-label propagation — both the scale-safe plans already graded
+    under ``embedding_cosine_pairs`` / ``dedup_clusters``; this entry
+    is their composition, the actual "drop near-dup embeddings"
+    pipeline a training-data run would execute.  Oracle: recursive
+    transitive-closure CTE over the same pair predicate."""
+    from ..operators import dedup as D
+
+    pairs = S.cosine_pairs_blocked(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return D.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @register("ann_ivf_topk")  # approximate (probe subset) -> rows-only check
 def ann_ivf_topk(spark, sf_dir):
     """IVF inverted-list top-k (deterministic centroids, nprobe=4) —
