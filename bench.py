@@ -36,6 +36,7 @@ HEADLINE = [
     "events_session",       # session windows
     # LLM-pipeline extension
     "dedup_jaccard_exact",  # posting-list jaccard pairs
+    "dedup_jaccard_capped", # + the stop-shingle cap (the 100 TB knob)
     "dedup_minhash_lsh",    # minhash LSH + verify
     "ann_topk_bruteforce",  # embedding top-k
     "text_quality",         # text scoring
@@ -45,6 +46,8 @@ HEADLINE = [
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)
+    "join_skew_salted",      # content-derived salt scatter, plain-join parity
+    "string_similarity",     # PassJoin-blocked edit-distance pairs
 ]
 
 

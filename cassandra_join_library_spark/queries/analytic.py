@@ -157,6 +157,36 @@ def bloom_prefilter_join(spark, sf_dir):
     )
 
 
+@register("join_skew_salted", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+       p.p_name, p.p_brand
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 25
+""")
+def join_skew_salted(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): the big side is scattered
+    across salt sub-partitions by a CONTENT-derived hash (retry-safe —
+    never rand()/monotonically_increasing_id), the small side is
+    exploded across all salt values, and the join adds the salt to the
+    key.  The oracle is the PLAIN join: salting must be a pure
+    physical-layout change with bit-identical results.  salt_source
+    uses the big side's primary key (orderkey, linenumber) for an even
+    scatter without hashing every column."""
+    from ..operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25) \
+        .select("p_partkey", "p_name", "p_brand")
+    out = salted_join(
+        l.withColumn("_sk", F.concat_ws("|", "l_orderkey", "l_linenumber")),
+        p, on=[("l_partkey", "p_partkey")], salt_buckets=8,
+        salt_source="_sk",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey",
+                      "l_quantity", "p_name", "p_brand")
+
+
 @register("join_cross", oracle="""
 SELECT r.r_name, n.n_name
 FROM region r CROSS JOIN nation n
