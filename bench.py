@@ -43,6 +43,7 @@ HEADLINE = [
     "mm_decode_features",   # Arrow mapInPandas plumbing
     "tfidf_top_terms",      # term weighting (explode + 2 aggs + window)
     "corpus_pack_sequences",  # chunk + two-level prefix-sum packing
+    "corpus_e2e_pipeline",  # filter->dedup->decontam->chunk->pack capstone
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)

@@ -205,6 +205,108 @@ def corpus_pack_sequences(spark, sf_dir):
     return C.pack_sequences(chunks, budget_tokens=512)
 
 
+@register("corpus_e2e_pipeline", oracle="""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         percent_rank() OVER (PARTITION BY lang
+           ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS pr
+  FROM documents
+), a AS (
+  SELECT doc_id, text FROM q WHERE pr <= 0.5
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM a GROUP BY text
+), b AS (
+  SELECT a.doc_id, a.text FROM a JOIN keepers USING (doc_id)
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM b
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM w WHERE len(w) >= 3
+), bw AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 20 = 0
+), bg AS (
+  SELECT DISTINCT doc_id AS bdoc,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM bw WHERE len(w) >= 3
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.shingle) AS n_overlap
+  FROM g JOIN bg ON g.shingle = bg.shingle AND g.doc_id <> bg.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM g GROUP BY 1
+), contaminated AS (
+  SELECT t.doc_id FROM tot t JOIN hits h USING (doc_id)
+  WHERE h.n_overlap * 1.0 / t.n_shingles >= 0.5
+), clean AS (
+  SELECT b.doc_id, b.text FROM b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+), p AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM clean WHERE length(text) >= 1
+), s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n - 1, 150)) AS chunk_start
+  FROM p
+), c2 AS (
+  SELECT doc_id, CAST(chunk_start / 150 AS BIGINT) AS chunk_id,
+         CAST(ceil(length(substr(text, CAST(chunk_start + 1 AS INT), 200))
+              / 4.0) AS BIGINT) AS n_tokens
+  FROM s
+), r AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST(sum(n_tokens) OVER
+              (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM c2
+)
+SELECT doc_id, chunk_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM r
+""")
+def corpus_e2e_pipeline(spark, sf_dir):
+    """The end-to-end training-data pipeline as ONE composed query —
+    the flagship demonstration that the corpus operators chain into
+    the actual 100 TB preparation run:
+
+    1. quality filter: keep each language's longest half
+       (``quality_quantile_filter``, one keyed-window shuffle);
+    2. exact dedup: keep the min-id copy of every distinct text
+       (``exact_dedup`` hash-groupBy + semi join);
+    3. decontamination: drop docs with >= 50 % 3-gram overlap against
+       the benchmark subset (full-corpus doc_id %% 20 = 0), via the
+       inverted-index join (``contamination_overlap``, never n²);
+    4. chunk 200/150 + pack into 512-token sequences
+       (``chunk_documents`` map-only explode, ``pack_sequences``
+       three-level distributed prefix sum).
+
+    Every stage is shuffle-bounded: two keyed windows, two groupBys,
+    two semi/anti joins, one posting join — no cartesian, no
+    unpartitioned window, no driver data path.  The oracle spells the
+    identical pipeline in SQL CTEs."""
+    from ..operators import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    kept = C.quality_quantile_filter(docs, "doc_id", "text", "lang",
+                                     keep_frac=0.5)
+    surv = docs.join(kept.select("doc_id"), "doc_id", "semi")
+    canon = D.exact_dedup(surv, "doc_id", ["text"]) \
+        .select(F.col("canonical_id").alias("doc_id"))
+    deduped = surv.join(canon, "doc_id", "semi")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    overlap = C.contamination_overlap(deduped, "doc_id", "text", bench, n=3)
+    contaminated = overlap.filter(F.col("is_contaminated")).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    chunks = C.chunk_documents(clean, "doc_id", "text", size=200, stride=150)
+    return C.pack_sequences(chunks, budget_tokens=512)
+
+
 @register("events_latest_state", oracle="""
 WITH r AS (
   SELECT user_id, event_id, event_type, value,
