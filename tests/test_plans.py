@@ -153,6 +153,34 @@ def test_pack_sequences_no_unpartitioned_window(spark):
             )
 
 
+def test_e2e_pipeline_plan_is_scale_safe(spark):
+    """corpus_e2e_pipeline (the composed filter->dedup->decontam->
+    chunk->pack run) must inherit every stage's scale property at
+    once: no cartesian, no inequality-only nested loop, and no
+    unpartitioned window anywhere in the fused plan."""
+    plan = _plan(QUERIES["corpus_e2e_pipeline"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    bnlj_lines = [ln for ln in plan.splitlines()
+                  if "BroadcastNestedLoopJoin" in ln]
+    assert not bnlj_lines, f"nested-loop join in plan:\n{plan}"
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert line.count("], [") >= 2, (
+                f"unpartitioned window:\n{line}\n{plan}"
+            )
+
+
+def test_salted_join_query_stays_equi(spark):
+    """join_skew_salted: the salt must ride INSIDE the equi-join keys
+    — a plan that degrades to nested-loop (salt as a post-join filter)
+    would defeat the whole point of scattering the hot key."""
+    plan = _plan(QUERIES["join_skew_salted"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
 def test_tfidf_vocab_side_broadcasts(spark):
     """TF-IDF: doc-frequency table and corpus count join broadcast —
     the per-(doc,term) side never re-shuffles for the join."""
