@@ -29,6 +29,47 @@ def test_short_docs_through_repetition_and_bigrams(spark):
     assert out[4]["dup_bigram_ratio"] == 1.0
 
 
+def test_clustering_matches_union_find_on_random_graphs(spark):
+    """Pointer-jump armor: on seeded random graphs (mixed chains,
+    cliques, isolated edges) the distributed components must equal a
+    driver-side union-find's, exactly."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 99, 2026):
+        rng = random.Random(seed)
+        nodes = list(range(rng.randint(20, 60)))
+        edges = {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(rng.randint(10, 70))
+        }
+        # long chain to stress the jump path
+        chain = list(range(100, 100 + rng.randint(10, 25)))
+        edges |= {(a, a + 1) for a in chain[:-1]}
+        want = union_find_components(sorted(edges))
+        pairs = spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in sorted(edges)]
+        )
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert got == want, f"seed={seed}"
+
+
 def test_unconverged_clustering_raises(spark):
     # chain of diameter 5 with max_iterations=2 must refuse, not return
     # silently split clusters
