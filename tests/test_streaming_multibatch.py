@@ -93,6 +93,66 @@ def test_append_mode_emits_closed_windows_across_batches(spark, staged_dir):
         )
 
 
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """Late-data semantics, end to end: a row arriving AFTER its
+    window was closed and emitted must be discarded — not resurrect
+    the window as a duplicate emission, not corrupt the count.
+    Batches (one file per trigger, mtime-ordered):
+
+      f0: 10:00, 10:30   -> window [10:00,11:00) has 2 rows
+      f1: 12:00          -> watermark advances to 11:50 for the NEXT
+                            batch (wm lags one batch by design)
+      f2: 13:00          -> batch runs at wm 11:50 > 11:00: the
+                            [10:00,11:00) window EMITS (n=2), state
+                            evicted
+      f3: 10:15 (LATE) + 15:00 -> wm 12:50; the 10:15 row's window is
+                            long closed — must be dropped
+      f4: 17:00          -> wm 14:50 would re-emit [10:00,11:00) if
+                            the late row had re-created state
+
+    A row that arrives before its window's eviction (even "late" by
+    wall clock) is still merged — that is watermark semantics; the
+    drop applies strictly past eviction, and the trade for bounded
+    state must be exact: one emission, n=2, never a duplicate."""
+    import pandas as pd
+
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    batches = [
+        ["2024-01-01 10:00:00", "2024-01-01 10:30:00"],
+        ["2024-01-01 12:00:00"],
+        ["2024-01-01 13:00:00"],
+        ["2024-01-01 10:15:00", "2024-01-01 15:00:00"],
+        ["2024-01-01 17:00:00"],
+    ]
+    for i, ts_list in enumerate(batches):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"b{i}"))
+        src = next(p for p in os.listdir(tmp_path / f"b{i}")
+                   if p.endswith(".parquet"))
+        os.rename(tmp_path / f"b{i}" / src, flat / f"{i:02d}.parquet")
+        os.utime(flat / f"{i:02d}.parquet",
+                 (time.time() + i, time.time() + i))
+
+    schema = spark.read.parquet(str(flat)).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    name, q = W.run_to_memory(agg, output_mode="append")
+    rows = spark.table(name).collect()
+    first_window = [r["n"] for r in rows if r["ws"] == "10:00"]
+    assert first_window == [2], (
+        f"late 10:15 row leaked into or duplicated the closed window: {rows}"
+    )
+
+
 def test_dedup_within_watermark_across_batches(spark, staged_dir):
     dd = (
         _stream(spark, staged_dir)
