@@ -310,13 +310,26 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
-                         bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of word-hash bits,
-    weighted by term frequency (each occurrence votes)."""
+                         bits: int = 64, portable: bool = False) -> DataFrame:
+    """SimHash per document: sign-sum of word-hash bits, weighted by
+    term frequency (each occurrence votes).
+
+    ``portable=False`` (default): 64-bit xxhash64 word hashes — the
+    fast JVM path.  ``portable=True``: 60-bit md5-prefix hashes
+    (``conv(substr(md5(word),1,15), 16, 10)``) that any SQL engine
+    reproduces bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(w),1,15))::BIGINT``) — the oracled path;
+    60 bits keeps the value inside a signed 64-bit integer."""
     w = tokenize(df, text_col).select(
         F.col(id_col).alias("doc"), F.explode("words").alias("word")
     )
-    w = w.withColumn("h", F.xxhash64("word"))
+    if portable:
+        bits = 60
+        word_hash = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10) \
+            .cast("bigint")
+    else:
+        word_hash = F.xxhash64("word")
+    w = w.withColumn("h", word_hash)
     sums = w.groupBy("doc").agg(
         *[
             F.sum(
@@ -335,16 +348,29 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, bits: int = 64,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: a 64-bit fingerprint split into
-    ``max_hamming + 1`` chunks — any pair within the radius must agree
-    exactly on at least one chunk, so joining per-chunk finds ALL such
-    pairs without a cross product (exact, not approximate)."""
+    Pigeonhole banding: the fingerprint is split into
+    ``max_hamming + 1`` chunks that PARTITION all ``bits`` bits (the
+    first ``bits % n_chunks`` chunks take the extra bit when the
+    division is uneven — every bit must belong to exactly one chunk or
+    the pigeonhole guarantee breaks) — any pair within the radius must
+    agree exactly on at least one chunk, so joining per-chunk finds
+    ALL such pairs without a cross product (exact, not approximate).
+    ``portable=True`` uses the 60-bit md5-prefix fingerprint (see
+    :func:`simhash_fingerprints`) so a SQL oracle can verify the full
+    output."""
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    fps = simhash_fingerprints(df, id_col, text_col)
+    if portable:
+        bits = 60
+    base_w = bits // n_chunks
+    widths = [base_w + (1 if c < bits % n_chunks else 0)
+              for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits,
+                               portable=portable)
     chunks = fps.select(
         "doc", "simhash",
         F.explode(
@@ -352,8 +378,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        F.shiftright(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("key"),
                     )
                     for c in range(n_chunks)

@@ -125,6 +125,38 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
+@register("dedup_simhash_md5", oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w
+), bitsum AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsum GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash with the PORTABLE 60-bit md5-prefix word hash — the
+    same pigeonhole chunk join as ``dedup_simhash``, but every value
+    is reproducible in any SQL engine, so this variant carries a full
+    value oracle (the oracle recomputes fingerprints bit-by-bit and
+    brute-forces all pairs; the Spark side still never goes O(n²)).
+    Upgrades SimHash from rows-only to hash-verified evidence."""
+    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                           max_hamming=3, portable=True)
+
+
 @register("dedup_clusters", oracle="""
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
