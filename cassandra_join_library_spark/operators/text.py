@@ -44,6 +44,33 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+# syntax (no lookahead) so Java regex (Spark) and RE2 (DuckDB) match
+# identically: contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, and
+# whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Regex pre-tokenizer counting — the BPE-ish token count the
+    task-level estimate (`chars/4`) approximates.  Counts the GPT-2
+    pre-token segments (letter runs / digit runs / punctuation runs /
+    contractions) per document, plus the ratio to the whitespace count;
+    pure ``regexp_count``, JVM-side, map-only."""
+    n_pre = F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN)) \
+        .cast("bigint")
+    n_ws = F.size(_words(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_pre.alias("n_pretokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_pre / n_ws, 6).alias("pretoken_ratio"),
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality scoring: length, mean token length, lexical
     diversity, stopword ratio — the standard cheap pre-filters."""

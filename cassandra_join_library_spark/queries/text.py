@@ -27,6 +27,25 @@ def text_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@register("text_bpe_pretokens", oracle=r"""
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+           AS BIGINT) AS n_pretokens,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id, n_pretokens, n_ws_tokens,
+       round(n_pretokens * 1.0 / n_ws_tokens, 6) AS pretoken_ratio
+FROM x
+""")
+def text_bpe_pretokens(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer count (GPT-2 pattern, RE2-safe so
+    Java and RE2 regex engines count identically)."""
+    return T.bpe_pretokens(_docs(spark, sf_dir), "doc_id", "text")
+
+
 @register("text_quality", oracle="""
 WITH x AS (
   SELECT doc_id,
