@@ -141,6 +141,7 @@ def contamination_overlap(
     bench: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    max_bench_doc_freq: "int | None" = None,
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of a document's distinct
     word n-grams that appear in a benchmark/eval set.
@@ -151,6 +152,15 @@ def contamination_overlap(
     shingle set is the only thing shuffled against the corpus.
     ``bench`` rows also present in ``df`` don't count against
     themselves (id inequality on the join).
+
+    ``max_bench_doc_freq`` drops shingles appearing in more than that
+    many DISTINCT benchmark documents before the join — the same
+    stop-shingle knob as Jaccard's ``max_doc_freq``: a generic 3-gram
+    shared by half the benchmark multiplies into every matching corpus
+    doc (join output = corpus_df(s) × bench_df(s)), and such shingles
+    are non-discriminative for contamination anyway.  The per-doc
+    denominator (``n_shingles``) is NOT capped: only matching is —
+    capping the denominator would inflate ratios of generic docs.
     """
     doc_sh = shingles(df, id_col, text_col, n=n)  # (doc, shingle), distinct
     bench_sh = (
@@ -158,6 +168,15 @@ def contamination_overlap(
         .select(F.col("shingle"), F.col("doc").alias("bdoc"))
         .distinct()
     )
+    if max_bench_doc_freq is not None:
+        bench_sh = (
+            bench_sh.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .filter(F.col("_df") <= max_bench_doc_freq)
+            .drop("_df")
+        )
     hits = (
         doc_sh.join(
             bench_sh,

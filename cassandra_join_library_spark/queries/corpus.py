@@ -116,6 +116,49 @@ def corpus_contamination(spark, sf_dir):
     return C.contamination_overlap(docs, "doc_id", "text", bench, n=3)
 
 
+@register("corpus_contamination_capped", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM w WHERE len(w) >= 3
+), b0 AS (
+  SELECT DISTINCT shingle, doc_id AS bdoc FROM g WHERE doc_id % 20 = 0
+), b AS (
+  SELECT shingle, bdoc FROM (
+    SELECT shingle, bdoc, COUNT(*) OVER (PARTITION BY shingle) AS bdf
+    FROM b0
+  ) WHERE bdf <= 1
+), hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_overlap
+  FROM g JOIN b ON g.shingle = b.shingle AND g.doc_id <> b.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM g GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 6) AS overlap_ratio,
+       coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles >= 0.5 AS is_contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+""")
+def corpus_contamination_capped(spark, sf_dir):
+    """Decontamination WITH the bench-side stop-shingle cap engaged
+    (``max_bench_doc_freq=1``): shingles shared by multiple benchmark
+    docs are non-discriminative and, at 100 TB, multiply into every
+    matching corpus doc — the cap bounds the inverted-index join
+    exactly like Jaccard's ``max_doc_freq``.  Load-bearing at sf0.01
+    (cross-bench-doc shingles exist, so the pair set differs from the
+    uncapped query); denominators stay uncapped by design."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return C.contamination_overlap(docs, "doc_id", "text", bench, n=3,
+                                   max_bench_doc_freq=1)
+
+
 @register("corpus_stats", oracle="""
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
