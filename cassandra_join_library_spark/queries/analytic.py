@@ -157,6 +157,34 @@ def bloom_prefilter_join(spark, sf_dir):
     )
 
 
+@register("value_histogram", oracle="""
+SELECT CAST(least(floor(l_extendedprice / 5000.0), 24) AS BIGINT) AS bin,
+       CAST(least(floor(l_extendedprice / 5000.0), 24) * 5000 AS BIGINT)
+         AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY 1, 2
+""")
+def value_histogram(spark, sf_dir):
+    """Equal-width value histogram (25 fixed 5000-wide bins, top bin
+    open-ended) — the profiling primitive behind distribution reports;
+    FIXED bin edges (never data-dependent min/max, which would need an
+    extra pass and make bins non-reproducible across runs/appends).
+    Partial-aggregate shape: shuffle carries one row per (partition,
+    bin)."""
+    l = _t(spark, sf_dir, "lineitem")
+    bin_ = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(24)) \
+        .cast("bigint")
+    return (
+        l.groupBy(bin_.alias("bin"), (bin_ * 5000).cast("bigint").alias("bin_lo"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("l_extendedprice").alias("total"),
+        )
+    )
+
+
 @register("join_skew_salted", oracle="""
 SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
        p.p_name, p.p_brand
