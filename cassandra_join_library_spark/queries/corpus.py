@@ -320,8 +320,11 @@ def corpus_e2e_pipeline(spark, sf_dir):
 
     1. quality filter: keep each language's longest half
        (``quality_quantile_filter``, one keyed-window shuffle);
-    2. exact dedup: keep the min-id copy of every distinct text
-       (``exact_dedup`` hash-groupBy + semi join);
+    2. exact dedup: keep the min-id copy of every distinct text —
+       grouped on a 256-bit SHA-2 digest of the text, NOT the text
+       itself, so the shuffle carries 32-byte keys instead of
+       document bodies (equal to text-equality grouping barring
+       SHA-256 collisions — the ``incremental_dedup`` argument);
     3. decontamination: drop docs with >= 50 % 3-gram overlap against
        the benchmark subset (full-corpus doc_id %% 20 = 0), via the
        inverted-index join (``contamination_overlap``, never n²);
@@ -333,14 +336,15 @@ def corpus_e2e_pipeline(spark, sf_dir):
     two semi/anti joins, one posting join — no cartesian, no
     unpartitioned window, no driver data path.  The oracle spells the
     identical pipeline in SQL CTEs."""
-    from ..operators import dedup as D
-
     docs = _docs(spark, sf_dir)
     kept = C.quality_quantile_filter(docs, "doc_id", "text", "lang",
                                      keep_frac=0.5)
     surv = docs.join(kept.select("doc_id"), "doc_id", "semi")
-    canon = D.exact_dedup(surv, "doc_id", ["text"]) \
-        .select(F.col("canonical_id").alias("doc_id"))
+    canon = (
+        surv.groupBy(F.sha2(F.col("text"), 256).alias("_digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     deduped = surv.join(canon, "doc_id", "semi")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     overlap = C.contamination_overlap(deduped, "doc_id", "text", bench, n=3)
