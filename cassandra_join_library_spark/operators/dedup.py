@@ -248,6 +248,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     the growing lineage — the standard iterative-algorithm pattern on
     Spark.
     """
+    # persist the caller's pair plan BEFORE the symmetrize union — its
+    # two branches would otherwise each recompute the (potentially
+    # expensive: posting-list / blocked-cosine) pair generation
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -299,6 +303,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             break
     else:
         edges.unpersist()
+        pairs.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge within {max_iterations} "
             "iterations (component diameter exceeds the bound) — raise "
@@ -306,6 +311,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             "split clusters"
         )
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -345,7 +345,11 @@ def corpus_e2e_pipeline(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = surv.join(canon, "doc_id", "semi")
+    # deduped feeds BOTH the contamination check and the final
+    # anti-join — persist so the quality-window + digest-groupBy chain
+    # upstream executes once, not twice (cache backs the returned lazy
+    # frame; Spark evicts LRU under pressure)
+    deduped = surv.join(canon, "doc_id", "semi").persist()
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     overlap = C.contamination_overlap(deduped, "doc_id", "text", bench, n=3)
     contaminated = overlap.filter(F.col("is_contaminated")).select("doc_id")
