@@ -96,6 +96,23 @@ def stream_stateful_stats(spark, sf_dir):
     return spark.table(name)
 
 
+@register("stream_sessionize_custom")  # timeout-emitted -> rows-only
+def stream_sessionize_custom(spark, sf_dir):
+    """Custom arbitrary-state sessionizer: applyInPandasWithState with
+    ``GroupStateTimeout.EventTimeTimeout`` — sessions emit when the
+    WATERMARK passes last-event + gap (state evicted), the bounded-
+    state pattern the built-in ``session_window`` hides.  Sessions
+    still open at end-of-replay are unemitted by design → rows-only
+    check; exact parity with the batch ``session_window`` for every
+    CLOSED session is asserted in tests/test_streaming_multibatch.py."""
+    from ..streaming.stateful import sessionize_with_timeout
+
+    stream = W.read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = sessionize_with_timeout(stream, gap_seconds=600)
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
 @register("stream_session", oracle="""
 WITH x AS (
   SELECT user_id, ts, value,

@@ -76,3 +76,99 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_epoch", LongType()),
+    StructField("session_last_epoch", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def _make_sessionizer(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def _sessionize(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        """Event-time sessionizer with TIMEOUT-based emission: a
+        session row is emitted only when it CLOSES — either an
+        intra-batch gap splits it, or the key goes quiet and the
+        event-time timeout fires (watermark passes last_ts + gap).
+        State per key is one open session tuple — bounded regardless
+        of stream length."""
+        def session_row(start_us, last_us, n, total):
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start_epoch": [start_us // 1_000_000],
+                "session_last_epoch": [last_us // 1_000_000],
+                "n_events": [n],
+                "total_value": [total],
+            })
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield session_row(start_us, last_us, n, total)
+            return
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values("ts")
+        # normalize to microsecond epoch regardless of the Arrow
+        # datetime64 resolution (ns locally, us under newer Arrow)
+        ts_us = (rows["ts"].astype("datetime64[us]").astype("int64")).tolist()
+        vals = rows["value"].tolist()
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = ts_us[0], ts_us[0], 0, 0.0
+        for t, v in zip(ts_us, vals):
+            if t - last_us > gap_us:
+                yield session_row(start_us, last_us, n, total)
+                start_us, n, total = t, 0, 0.0
+            last_us = t
+            n += 1
+            total += float(v)
+        state.update((start_us, last_us, n, total))
+        # event-time timeout: fires when the WATERMARK (not wall clock)
+        # passes last event + gap — exactly the session-close condition
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return _sessionize
+
+
+def sessionize_with_timeout(stream: DataFrame,
+                            gap_seconds: int = 600) -> DataFrame:
+    """Custom stateful sessionization (the operator Spark's built-in
+    ``session_window`` expresses declaratively — here via arbitrary
+    state to demonstrate the full API: custom transition logic,
+    emit-on-close, and ``GroupStateTimeout.EventTimeTimeout`` state
+    eviction for keys that go quiet).  ``stream`` must carry a
+    watermark on ``ts``; state per user is a single open-session tuple
+    (start, last, n, total) — constant bytes per key at any stream
+    length, the bounded-state requirement of an unbounded 100 TB
+    stream."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -153,6 +153,45 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     )
 
 
+def test_custom_stateful_sessionizer_matches_batch_sessions(spark, staged_dir):
+    """The applyInPandasWithState sessionizer (EventTimeTimeout
+    emission) must reproduce the batch session_window aggregation for
+    every session it closes: same (user, start, count, total); only
+    sessions still open at end-of-stream may be unemitted."""
+    from cassandra_join_library_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    gap_s = 600
+    stream = _stream(spark, staged_dir).withWatermark("ts", "10 minutes")
+    out = sessionize_with_timeout(stream, gap_seconds=gap_s)
+    name, q = W.run_to_memory(out, output_mode="append")
+    got = {
+        (r["user_id"], r["session_start_epoch"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table(name).collect()
+    }
+    assert got, "sessionizer emitted nothing — timeouts never fired"
+
+    batch = (
+        spark.read.parquet(staged_dir)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("v"))
+        .select("user_id", F.unix_timestamp("w.start").cast("bigint").alias("ss"),
+                "n", "v")
+    )
+    want = {(r["user_id"], r["ss"]): (r["n"], round(r["v"], 6))
+            for r in batch.collect()}
+    for k, nv in got.items():
+        assert k in want and want[k] == nv, (
+            f"session {k}: stream {nv} != batch {want.get(k)}"
+        )
+    # closed sessions must be the overwhelming majority at end of a
+    # bounded replay (only per-user trailing sessions may stay open)
+    n_users = spark.read.parquet(staged_dir).select("user_id").distinct().count()
+    assert len(want) - len(got) <= n_users
+
+
 def test_dedup_within_watermark_across_batches(spark, staged_dir):
     dd = (
         _stream(spark, staged_dir)
