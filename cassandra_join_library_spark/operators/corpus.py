@@ -453,6 +453,19 @@ def kmeans_assign(
     k: int = 8,
     n_iter: int = 5,
 ) -> DataFrame:
+    """See :func:`kmeans_fit` — returns just the assignments (the
+    original public contract)."""
+    assigned, _ = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
+    return assigned
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> "tuple[DataFrame, list[list[float]]]":
     """Deterministic Lloyd's k-means over an embedding column.
 
     The canonical scale pattern (same as IVF in similarity.py):
@@ -501,4 +514,4 @@ def kmeans_assign(
             [upd[j][p] for p in range(len(centroids[j]))] if j in upd else centroids[j]
             for j in range(k)
         ]
-    return assigned.select("vid", "cluster")
+    return assigned.select("vid", "cluster"), centroids

@@ -186,28 +186,38 @@ def ivf_topk(
     centroid_stride: int = 32,
     nprobe: int = 4,
     round_to: int = 6,
+    centroids_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, search only the query's ``nprobe``
     closest lists.
 
-    Centroids are chosen deterministically (every ``centroid_stride``-th
-    vector by id) instead of k-means — no RNG, no iteration; at 100 TB
-    you'd precompute real centroids offline and broadcast them exactly
-    the same way.  Assignment is a map-side broadcast join (centroid
-    set is small); the probe join touches only ``nprobe/num_centroids``
-    of the corpus — the scale path when brute force is too wide.
+    By default centroids are chosen deterministically (every
+    ``centroid_stride``-th vector by id) — no RNG, no iteration.  Pass
+    ``centroids_df`` (columns ``cent_id``, ``<vec_col>``) to use
+    TRAINED centroids instead — e.g. :func:`..corpus.kmeans_fit`
+    output — which is exactly the "precompute real centroids offline
+    and broadcast them" path the stride default stands in for.
+    Assignment is a map-side broadcast join (centroid set is small);
+    the probe join touches only ``nprobe/num_centroids`` of the
+    corpus — the scale path when brute force is too wide.
 
     Returns (query_id, neighbor_id, rank, cosine_sim).
     """
     from pyspark.sql import Window
 
-    cent = with_norm(
-        corpus.filter((F.col(id_col) % centroid_stride) == 0), vec_col
-    ).select(
-        F.col(id_col).alias("cent_id"),
-        F.col("_vec").alias("cent_vec"), F.col("_norm").alias("cent_norm"),
-    )
+    if centroids_df is not None:
+        cent = with_norm(centroids_df, vec_col).select(
+            F.col("cent_id"),
+            F.col("_vec").alias("cent_vec"), F.col("_norm").alias("cent_norm"),
+        )
+    else:
+        cent = with_norm(
+            corpus.filter((F.col(id_col) % centroid_stride) == 0), vec_col
+        ).select(
+            F.col(id_col).alias("cent_id"),
+            F.col("_vec").alias("cent_vec"), F.col("_norm").alias("cent_norm"),
+        )
 
     def assign(side: DataFrame, sid: str, n_lists: int) -> DataFrame:
         """nearest-`n_lists` centroid ids per vector (broadcast argmin)."""

@@ -119,6 +119,28 @@ def ann_ivf_topk(spark, sf_dir):
                       k=5, centroid_stride=32, nprobe=4)
 
 
+@register("ann_ivf_kmeans_topk")  # approximate (probe subset) -> rows-only
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k with TRAINED centroids: k-means (k=8, 3 iterations,
+    deterministic) learns the inverted-list centroids, then the IVF
+    probe search runs against them — the composed offline-train /
+    online-search pipeline the stride-centroid default stands in for.
+    Centroid quality only affects recall (asserted against brute force
+    in tests/test_similarity.py), never correctness of returned
+    scores."""
+    from ..operators.corpus import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    _, centroids = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding",
+                      k=5, nprobe=3, centroids_df=cent_df)
+
+
 @register("ann_lsh_cosine")  # approximate candidate set -> rows-only check
 def ann_lsh_cosine(spark, sf_dir):
     """Hyperplane-LSH bucketed near-dup pairs (verified cosine >= 0.4):

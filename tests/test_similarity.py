@@ -28,6 +28,27 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.2, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_kmeans_centroids_recall_floor(spark):
+    """Trained (k-means) centroids through the centroids_df path must
+    give recall at least on par with the stride default — the learned
+    lists should partition the space no worse than arbitrary vectors."""
+    from cassandra_join_library_spark.operators.corpus import kmeans_fit
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    _, centroids = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    approx = S.ivf_topk(emb, queries, k=5, nprobe=3, centroids_df=cent_df)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"kmeans-IVF recall {recall:.2f}"
+
+
 def test_lsh_pairs_subset_of_exact(spark):
     emb = _emb(spark)
     lsh = S.lsh_cosine_pairs(emb, threshold=0.4, n_planes=6, n_tables=8)
