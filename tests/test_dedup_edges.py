@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import Row
 
 from cassandra_join_library_spark.operators import profiling as P
-from cassandra_join_library_spark.operators.dedup import duplicate_clusters
+from cassandra_join_library_spark.operators.dedup import (
+    duplicate_clusters, jaccard_pairs_exact, minhash_lsh_pairs,
+)
+
+from .conftest import SF_ORACLE
 
 
 def test_short_docs_through_repetition_and_bigrams(spark):
@@ -27,6 +31,23 @@ def test_short_docs_through_repetition_and_bigrams(spark):
     assert out[2]["dup_bigram_ratio"] is None
     assert out[1]["top_word_ratio"] == 1.0
     assert out[4]["dup_bigram_ratio"] == 1.0
+
+
+def test_minhash_r2_subset_of_exact_with_recall_floor(spark):
+    """The r=2 banding knob (the sparse-bucket setting a 100 TB run
+    uses): output must be a strict subset of the exact Jaccard pairs
+    (every candidate is exact-verified) with candidate recall near the
+    1-(1-j²)¹² analytic bound — well above 0.8 at j >= 0.5."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs_exact(
+        docs, "doc_id", "text", n=5, threshold=0.5).collect()}
+    banded = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=24, rows_per_band=2,
+        threshold=0.5).collect()}
+    assert banded <= exact
+    if exact:
+        recall = len(banded) / len(exact)
+        assert recall >= 0.8, f"r=2 recall {recall:.2f}"
 
 
 def test_clustering_matches_union_find_on_random_graphs(spark):
