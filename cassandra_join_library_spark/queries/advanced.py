@@ -159,6 +159,23 @@ def approx_distinct_parts(spark, sf_dir):
     )
 
 
+@register("approx_percentiles")  # approximate (KLL/GK sketch) -> rows-only
+def approx_percentiles(spark, sf_dir):
+    """approx_percentile (quantile sketch) per return flag — the
+    100 TB quantile path: the sketch merges associatively across
+    partitions (one partial-agg shuffle, constant-size state) where
+    exact percentiles need a full sort.  Approximate by design → no
+    SQL oracle (exact twin: percentiles_exact); max absolute rank
+    error vs the exact quantile is bounded in
+    tests/test_executor.py::test_approx_percentiles_within_accuracy."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("approx_pcts"),
+    )
+
+
 _Q6ISH = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items

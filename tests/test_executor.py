@@ -235,3 +235,32 @@ def test_asof_join_rejects_non_integral_right_id(spark):
     right = spark.createDataFrame([Row(user_id=1, ts=5, event_id="ev-5")])
     with pytest.raises(TypeError, match="integral"):
         asof_join(left, right, key="user_id")
+
+
+def test_approx_percentiles_within_accuracy(spark):
+    """The quantile sketch's rank error must stay within the accuracy
+    parameter: compare each approximate percentile against the exact
+    value at rank ± 1/accuracy x n."""
+    from cassandra_join_library_spark.registry import all_queries
+    from .conftest import SF_ORACLE
+
+    import pyspark.sql.functions as F
+
+    out = {r["l_returnflag"]: r["approx_pcts"]
+           for r in all_queries()["approx_percentiles"](spark, SF_ORACLE).collect()}
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    for flag, approx in out.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in l.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice").collect()
+        )
+        n = len(vals)
+        # rank slack = n/accuracy, plus 1 for the floor-vs-nearest rank
+        # convention difference between this check and the sketch
+        eps = max(1, n // 10000) + 1
+        for q, a in zip([0.25, 0.5, 0.75, 0.95], approx):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - eps)]
+            hi = vals[min(n - 1, rank + eps)]
+            assert lo <= a <= hi, (flag, q, a, lo, hi)
