@@ -159,6 +159,31 @@ def approx_distinct_parts(spark, sf_dir):
     )
 
 
+@register("approx_distinct_mergeable")  # sketch bytes -> rows-only check
+def approx_distinct_mergeable(spark, sf_dir):
+    """Mergeable-sketch rollup: a Datasketches HLL sketch is built per
+    (returnflag, ship-month) cell with ``hll_sketch_agg``, then the
+    monthly sketches are UNIONED per flag with ``hll_union_agg`` and
+    estimated — distinct-count rollup WITHOUT rescanning raw data (the
+    same partial-reaggregation contract as events_rollup_daily, but
+    for a non-additive measure).  At 100 TB the fine-grained sketches
+    are small (lgK=12 -> ~2.5 KB each) and persistable; coarser
+    rollups are sketch unions, not scans.  Estimate accuracy vs exact
+    distinct is bounded in
+    tests/test_executor.py::test_hll_mergeable_rollup_accuracy."""
+    l = _t(spark, sf_dir, "lineitem")
+    monthly = l.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"))
+    return (
+        monthly.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+    )
+
+
 @register("approx_percentiles")  # approximate (KLL/GK sketch) -> rows-only
 def approx_percentiles(spark, sf_dir):
     """approx_percentile (quantile sketch) per return flag — the

@@ -166,6 +166,94 @@ def asof_purchase_click(spark, sf_dir):
     )
 
 
+@register("events_retention_cohorts", oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM daily GROUP BY user_id
+)
+SELECT CAST(f.cohort_day * 86400 AS BIGINT) AS cohort_day_start,
+       CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM daily a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention: users are cohorted by their first-seen
+    epoch-aligned day; each (cohort, day-offset) cell counts users
+    still active that day.  Scale shape: one distinct shuffle on
+    (user, day), a per-user min (same key prefix), a user-keyed join,
+    and a small final aggregate — no window over the full table, no
+    per-user collect.  The activity set is already distinct per
+    (user, day), so the cell count is a plain COUNT(*), not a
+    COUNT(DISTINCT) (which would need a second dedup exchange)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy(
+            (F.col("cohort_day") * 86400).cast("bigint").alias("cohort_day_start"),
+            (F.col("day") - F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register("events_funnel", oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+""")
+def events_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (view -> click -> purchase): a user
+    advances a stage only with an event AFTER their previous stage's
+    first event.  Each stage is a per-user MIN aggregate joined to the
+    prior stage on user_id — every shuffle in the chain is keyed on
+    user_id, so the exchanges line up (Spark reuses the partitioning
+    instead of re-shuffling), and per-stage state is one timestamp per
+    user.  No window over the global event stream."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(event_type, prev, prev_ts):
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(prev_ts + "x"))
+
+    v = stage("view", None, "t")
+    c = stage("click", v, "tx")
+    p = stage("purchase", c, "txx")
+
+    def count_of(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        count_of(v, "1_view")
+        .unionAll(count_of(c, "2_click"))
+        .unionAll(count_of(p, "3_purchase"))
+    )
+
+
 @register("events_rollup_daily", oracle="""
 WITH hourly AS (
   SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_start,

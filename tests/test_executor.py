@@ -264,3 +264,24 @@ def test_approx_percentiles_within_accuracy(spark):
             lo = vals[max(0, rank - eps)]
             hi = vals[min(n - 1, rank + eps)]
             assert lo <= a <= hi, (flag, q, a, lo, hi)
+
+
+def test_hll_mergeable_rollup_accuracy(spark):
+    """The unioned-HLL estimate must be within the sketch's error
+    bound of the exact distinct count (lgK=12 -> ~1.6% relative
+    standard error; allow 3 sigma ~= 5%)."""
+    from cassandra_join_library_spark.registry import all_queries
+    from .conftest import SF_ORACLE
+
+    import pyspark.sql.functions as F
+
+    out = {r["l_returnflag"]: r["approx_parts"]
+           for r in all_queries()["approx_distinct_mergeable"](spark, SF_ORACLE).collect()}
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    exact = {r["l_returnflag"]: r["n"]
+             for r in l.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    assert set(out) == set(exact)
+    for flag, approx in out.items():
+        assert abs(approx - exact[flag]) <= 0.05 * exact[flag], (
+            flag, approx, exact[flag])
