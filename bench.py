@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_jaccard_exact",  # posting-list jaccard pairs
     "dedup_jaccard_capped", # + the stop-shingle cap (the 100 TB knob)
     "dedup_minhash_lsh",    # minhash LSH + verify
+    "dedup_passages",       # positional-gram passage (substring) dedup
     "ann_topk_bruteforce",  # embedding top-k
     "text_quality",         # text scoring
     "mm_decode_features",   # Arrow mapInPandas plumbing

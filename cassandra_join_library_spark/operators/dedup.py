@@ -130,6 +130,96 @@ def jaccard_pairs_exact(
     )
 
 
+def positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Word k-grams WITH positions: one row per (doc, pos, gram),
+    ``pos`` 0-based.  Unlike :func:`shingles` (which dedups per doc for
+    set semantics), positions are kept — passage detection needs them."""
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("w")
+    )
+    # same single-split parallelization rationale as shingles()
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
+    grams = F.when(
+        F.size(F.col("w")) >= k,
+        F.expr(
+            f"transform(sequence(0, size(w) - {k}), "
+            f"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, {k})) AS gram))"
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    return (
+        base.select("doc", F.explode(grams).alias("pg"))
+        .select("doc", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_run: int = 2,
+    max_gram_freq: "int | None" = None,
+) -> DataFrame:
+    """Substring-level (passage) duplicate detection across documents.
+
+    The distributed approximation of suffix-array training-data dedup:
+    positional k-gram fingerprints are joined across documents, and
+    matches on the same alignment diagonal (``pos_a - pos_b``) with
+    consecutive positions are merged gaps-and-islands style into
+    MAXIMAL shared runs.  A run of ``g`` matching k-grams is a shared
+    passage of ``g + k - 1`` words — every shared passage of at least
+    ``min_run + k - 1`` words is found exactly (no sampling).
+
+    Scale shape: the only wide operations are the gram-posting
+    self-join (bounded per gram by ``max_gram_freq``, the stop-gram cap
+    — same trick as jaccard_pairs_exact) and a window PARTITIONED by
+    (pair, diagonal) whose groups are bounded by single-document
+    length, never corpus size.  No cross product, no global window.
+
+    Returns (doc_a, doc_b, start_a, start_b, n_grams, span_words)
+    with doc_a < doc_b, one row per maximal run.
+    """
+    from pyspark.sql import Window
+
+    pg = positional_grams(df, id_col, text_col, k)
+    if max_gram_freq is not None:
+        hot = (
+            pg.groupBy("gram")
+            .agg(F.count_distinct("doc").alias("df"))
+            .filter(F.col("df") > max_gram_freq)
+            .select("gram")
+        )
+        pg = pg.join(F.broadcast(hot), "gram", "left_anti")
+    a, b = pg.alias("a"), pg.alias("b")
+    matches = a.join(
+        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = matches.withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            (F.min("pos_a") - F.col("diag")).cast("bigint").alias("start_b"),
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("span_words"),
+        )
+        .filter(F.col("n_grams") >= min_run)
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_grams", "span_words")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 24) -> DataFrame:
     """k minhashes per doc from (doc, shingle) rows.
 

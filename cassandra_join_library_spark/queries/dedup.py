@@ -235,3 +235,41 @@ def dedup_incremental(spark, sf_dir):
     new = d.filter(batch_no >= 10)
     corpus = d.filter(batch_no < 10)
     return D.incremental_dedup(new, corpus, ["text"]).select("doc_id", "source")
+
+
+@register("dedup_passages", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+), matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), islands AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS isl
+  FROM matches
+)
+SELECT doc_a, doc_b,
+       CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       CAST(MIN(pos_a) - diag AS BIGINT) AS start_b,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(*) + 7 AS BIGINT) AS span_words
+FROM islands
+GROUP BY doc_a, doc_b, diag, isl
+HAVING COUNT(*) >= 2
+""")
+def dedup_passages(spark, sf_dir):
+    """Substring-level duplicate-passage detection (8-word grams,
+    maximal runs of >= 2 grams == shared passages of >= 9 words):
+    positional-fingerprint join + diagonal gaps-and-islands merge —
+    the distributed stand-in for suffix-array exact-substring dedup.
+    The oracle replays the identical algorithm in SQL (it IS
+    SQL-expressible: window over (pair, diagonal), never the corpus)."""
+    return D.duplicate_passages(
+        _docs(spark, sf_dir), "doc_id", "text", k=8, min_run=2
+    )

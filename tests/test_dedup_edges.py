@@ -101,3 +101,42 @@ def test_unconverged_clustering_raises(spark):
         duplicate_clusters(pairs, max_iterations=2)
     ok = duplicate_clusters(pairs, max_iterations=10)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_duplicate_passages_maximal_runs(spark):
+    """Hand-built corpus: docs 1 and 2 share one 4-word passage
+    exactly; with k=3 that is a maximal run of 2 grams.  A doc too
+    short for any gram yields nothing; the shared passage is reported
+    once with exact positions, not split or extended."""
+    from cassandra_join_library_spark.operators.dedup import duplicate_passages
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b SHARED1 SHARED2 SHARED3 SHARED4 x y"),
+        Row(doc_id=2, text="q SHARED1 SHARED2 SHARED3 SHARED4 r s t"),
+        Row(doc_id=3, text="zz"),  # shorter than k -> no grams
+    ])
+    out = duplicate_passages(docs, "doc_id", "text", k=3, min_run=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"]) == (2, 1)
+    assert r["n_grams"] == 2 and r["span_words"] == 4
+
+
+def test_duplicate_passages_stop_gram_cap(spark):
+    """max_gram_freq drops grams shared by too many docs: a gram in
+    all three docs is pruned at cap=2, killing the single-gram runs it
+    would create (min_run=1 so they would otherwise surface)."""
+    from cassandra_join_library_spark.operators.dedup import duplicate_passages
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="HOT1 HOT2 HOT3 a b"),
+        Row(doc_id=2, text="c HOT1 HOT2 HOT3 d"),
+        Row(doc_id=3, text="e f HOT1 HOT2 HOT3"),
+    ])
+    uncapped = duplicate_passages(docs, "doc_id", "text", k=3, min_run=1)
+    assert uncapped.count() == 3  # all three pairs share the hot gram
+    capped = duplicate_passages(
+        docs, "doc_id", "text", k=3, min_run=1, max_gram_freq=2
+    )
+    assert capped.count() == 0
