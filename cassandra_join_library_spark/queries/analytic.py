@@ -255,3 +255,129 @@ def setop_intersect_all(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return a.intersectAll(b)
+
+
+@register("stratified_sample", oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                     c_custkey) AS rn
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 20
+""")
+def stratified_sample(spark, sf_dir):
+    """Stratified sampling with EXACT per-stratum counts: rank rows
+    inside each stratum by a content hash (md5 of the key — identical
+    bytes in Spark and DuckDB, so the sample is engine-reproducible)
+    and keep the first 20.  One shuffle on the stratum key; with few
+    huge strata the rank would skew, so at 100 TB the same query runs
+    per hash-prefix sub-stratum first (two-level top-k), but the
+    per-stratum window is the canonical shape."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_mktsegment", "rn")
+    )
+
+
+@register("window_ratio_to_report", oracle="""
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                                 OVER (PARTITION BY o_custkey) AS DOUBLE),
+             6) AS price_share
+FROM orders
+""")
+def window_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each order's share of its customer's total
+    spend — an unordered window aggregate (no sort inside partitions,
+    one hash shuffle on the partition key).  The denominator sums
+    decimal-exactly so both engines divide identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") / denom, 6).alias("price_share"),
+    )
+
+
+@register("argmax_per_group", oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS top_orderkey,
+       o_totalprice AS top_totalprice
+FROM ranked WHERE rn = 1
+""")
+def argmax_per_group(spark, sf_dir):
+    """Argmax per group (each customer's single most expensive order)
+    with a deterministic tiebreak — row_number over (value DESC, key)
+    rather than max_by, whose tie choice is engine-defined.  Partial
+    top-1 per map partition would push this map-side at scale; the
+    rank-and-filter form is what Catalyst already optimizes to a
+    WindowGroupLimit (top-k pushdown), no full sort of each group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_totalprice"),
+        )
+    )
+
+
+@register("winsorized_stats", oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_items,
+       round(CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def winsorized_stats(spark, sf_dir):
+    """Winsorized mean per group: exact p05/p95 bounds computed per
+    group (tiny aggregate), broadcast back onto the fact table, values
+    clamped, then a decimal-exact mean.  The robust-statistics shape
+    for 100 TB quality filtering: the expensive pass is a plain
+    partial aggregate; the bounds join is broadcast (no fact shuffle
+    beyond the group agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    bounds = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        l.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
