@@ -150,3 +150,15 @@ def ann_lsh_cosine(spark, sf_dir):
         _emb(spark, sf_dir), "vec_id", "embedding",
         dim=64, n_planes=6, n_tables=8, threshold=0.4,
     )
+
+
+@register("ann_pq_topk")  # approximate (quantized distances) -> rows-only
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization top-k (m=8 subspaces, 16-entry codebooks,
+    ADC lookups + exact re-rank) — the memory-bound ANN path: the
+    search scans m-byte codes, not raw vectors.  Recall vs brute force
+    asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, "vec_id", "embedding",
+                     k=5, m=8, ks=16, centroid_stride=7, refine=4)

@@ -76,3 +76,34 @@ def test_brute_force_topk_is_total_ordered(spark):
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         sims = [r["cosine_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_recall_floor(spark):
+    """PQ with ADC + 4x re-rank must beat random by a wide margin on
+    the worst-case (near-orthogonal) synthetic vectors, and every
+    returned cosine must equal the exact score (re-rank is exact)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = S.pq_topk(emb, queries, k=5, m=8, ks=16,
+                       centroid_stride=7, refine=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"PQ recall {recall:.2f}"
+    # scores on returned pairs are exact (match brute force where shared)
+    es = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+          for r in exact.collect()}
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in es:
+            assert abs(r["cosine_sim"] - es[key]) < 1e-9
+
+
+def test_pq_requires_enough_training_vectors(spark):
+    import pytest
+
+    emb = _emb(spark).filter(F.col("vec_id") < 30)
+    with pytest.raises(ValueError, match="training vectors"):
+        S.pq_topk(emb, emb.limit(2), ks=64, centroid_stride=7)
