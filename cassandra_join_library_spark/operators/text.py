@@ -143,3 +143,59 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# fixed demo weights for model_score — stands in for an offline-trained
+# quality classifier; real weights would load from a model artifact and
+# broadcast exactly the same way (constant-size driver state)
+MODEL_WEIGHTS = {
+    "bias": -3.0,
+    "n_tokens": 0.02,
+    "avg_token_len": 0.25,
+    "uniq_ratio": 2.0,
+    "stopword_ratio": -3.0,
+}
+
+
+def model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distributed linear-model inference: featurize each document
+    (same features as :func:`quality_scores`), apply literal weights,
+    squash with a sigmoid.  The 100 TB model-scoring shape — weights
+    are constant driver state compiled into the plan, inference is a
+    map-only JVM pass (no shuffle, no Python, no per-row model call);
+    a real classifier head (logistic regression over quality features)
+    differs only in where the weights come from.
+
+    Returns (id, score, prob, keep) — ``keep`` at prob >= 0.5."""
+    W = MODEL_WEIGHTS
+    w = _words(text_col)
+    n_tokens = F.size(w).cast("bigint")
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("bigint")
+    uniq_ratio = F.round(F.size(F.array_distinct(w)) * F.lit(1.0) / n_tokens, 6)
+    avg_tok_len = F.round(alpha_chars * F.lit(1.0) / n_tokens, 6)
+    stop_ratio = F.round(stop_hits * F.lit(1.0) / n_tokens, 6)
+    # the dot product runs in DECIMAL so the sum is EXACT (float
+    # summation rounds per-op and engines may fuse differently —
+    # decimal math is the only cross-engine-bit-stable path, same as
+    # the money-aggregate convention); the sigmoid then starts from
+    # the identical rounded double on every engine
+    def dec(c):
+        return c.cast("decimal(12,6)")
+
+    raw = (
+        dec(F.lit(W["bias"]))
+        + dec(F.lit(W["n_tokens"])) * dec(n_tokens)
+        + dec(F.lit(W["avg_token_len"])) * dec(avg_tok_len)
+        + dec(F.lit(W["uniq_ratio"])) * dec(uniq_ratio)
+        + dec(F.lit(W["stopword_ratio"])) * dec(stop_ratio)
+    )
+    score = F.round(raw, 6).cast("double")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )

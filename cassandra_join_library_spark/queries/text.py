@@ -111,3 +111,42 @@ FROM x
 def text_fingerprint(spark, sf_dir):
     """Order-sensitive rolling-hash fingerprint (portable fold)."""
     return T.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_model_score", oracle="""
+WITH x AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, n_tokens,
+         round(alpha_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+         round(len(list_distinct(w)) * 1.0 / n_tokens, 6) AS uniq_ratio,
+         round(len(list_filter(w, t -> list_contains(['the','a','and','of','to','is'], t))) * 1.0
+               / n_tokens, 6) AS stopword_ratio
+  FROM x
+), s AS (
+  SELECT doc_id,
+         CAST(round(
+           CAST(-3.0 AS DECIMAL(12,6))
+           + CAST(0.02 AS DECIMAL(12,6)) * CAST(n_tokens AS DECIMAL(12,6))
+           + CAST(0.25 AS DECIMAL(12,6)) * CAST(avg_token_len AS DECIMAL(12,6))
+           + CAST(2.0 AS DECIMAL(12,6)) * CAST(uniq_ratio AS DECIMAL(12,6))
+           + CAST(-3.0 AS DECIMAL(12,6)) * CAST(stopword_ratio AS DECIMAL(12,6)),
+         6) AS DOUBLE) AS score
+  FROM f
+)
+SELECT doc_id, score,
+       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-score)), 6) AS prob,
+       (round(1.0::DOUBLE / (1.0::DOUBLE + exp(-score)), 6) >= 0.5) AS keep
+FROM s
+""")
+def text_model_score(spark, sf_dir):
+    """Linear quality-classifier inference (fixed literal weights +
+    sigmoid) — the distributed model-scoring shape: map-only, weights
+    compiled into the plan; the oracle replays the identical
+    arithmetic (both engines' exp() agree to <=1 ulp, far inside the
+    6-dp round)."""
+    return T.model_score(_docs(spark, sf_dir), "doc_id", "text")
