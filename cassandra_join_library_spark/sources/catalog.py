@@ -102,6 +102,52 @@ class OrcCatalog(Catalog):
         )
 
 
+class TextLinesCatalog(Catalog):
+    """Raw-text source: each ``<table>.txt`` file becomes a one-column
+    (``value: string``) table, one row per line — the ingest format for
+    plain-text corpora before parsing.  ``wholetext=True`` flips to
+    one-row-per-file (document granularity).  Reads split-parallel like
+    any file source; pair with the text operators to structure it."""
+
+    def __init__(self, directory: str, wholetext: bool = False):
+        self.directory = directory
+        self.wholetext = wholetext
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        path = os.path.join(self.directory, f"{table}.txt")
+        return spark.read.text(path, wholetext=self.wholetext)
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            f[: -len(".txt")] for f in os.listdir(self.directory) if f.endswith(".txt")
+        )
+
+
+class BinaryFileCatalog(Catalog):
+    """Opaque-binary source (``binaryFile`` format): each table is a
+    DIRECTORY of files; rows carry (path, modificationTime, length,
+    content: binary) — the multimodal ingest path (images/audio/video
+    land as binary columns + metadata, then flow into
+    ``operators/multimodal.py``).  ``path_glob`` filters (e.g.
+    ``*.png``); one task per file group, no decode on read."""
+
+    def __init__(self, directory: str, path_glob: "str | None" = None):
+        self.directory = directory
+        self.path_glob = path_glob
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if self.path_glob:
+            reader = reader.option("pathGlobFilter", self.path_glob)
+        return reader.load(os.path.join(self.directory, table))
+
+    def table_names(self) -> "list[str]":
+        return sorted(
+            d for d in os.listdir(self.directory)
+            if os.path.isdir(os.path.join(self.directory, d))
+        )
+
+
 class MemoryCatalog(Catalog):
     """In-memory named-DataFrame catalog — lets the façade join derived
     frames (staged intervals, subquery results, streaming snapshots)

@@ -185,3 +185,45 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
         .filter(F.col("c_custkey") < 100).select("c_custkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "c_custkey" in plan.split("PushedFilters")[1][:80]
+
+
+def test_text_lines_catalog(spark, tmp_path):
+    """Line-per-row and whole-file modes of the raw-text source."""
+    from cassandra_join_library_spark.sources.catalog import TextLinesCatalog
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\nthird line\n")
+    cat = TextLinesCatalog(str(tmp_path))
+    assert cat.table_names() == ["corpus"]
+    df = cat.load(spark, "corpus")
+    assert df.columns == ["value"]
+    assert df.count() == 3
+    whole = TextLinesCatalog(str(tmp_path), wholetext=True).load(spark, "corpus")
+    rows = whole.collect()
+    assert len(rows) == 1 and rows[0]["value"].startswith("first line")
+
+
+def test_binary_file_catalog(spark, tmp_path):
+    """binaryFile rows carry path/length/content; glob filters apply;
+    content round-trips bytes exactly and flows into the multimodal
+    metadata operator."""
+    from cassandra_join_library_spark.operators.multimodal import binary_metadata
+    from cassandra_join_library_spark.sources.catalog import BinaryFileCatalog
+
+    d = tmp_path / "images"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\npayload-a")
+    (d / "b.png").write_bytes(b"\x89PNG\r\n\x1a\npayload-bb")
+    (d / "skip.txt").write_bytes(b"not an image")
+    cat = BinaryFileCatalog(str(tmp_path), path_glob="*.png")
+    assert cat.table_names() == ["images"]
+    df = cat.load(spark, "images")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert bytes(rows["a.png"]["content"]).endswith(b"payload-a")
+    assert rows["b.png"]["length"] == len(b"\x89PNG\r\n\x1a\npayload-bb")
+    meta = binary_metadata(
+        df.select(F.col("path").alias("media_id"), F.col("content").alias("payload")),
+        "media_id",
+    )
+    assert meta.count() == 2
