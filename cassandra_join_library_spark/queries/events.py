@@ -293,3 +293,36 @@ def events_rollup_daily(spark, sf_dir):
             dsum("total_value", "total_value"),
         )
     )
+
+
+@register("events_gap_fill", oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+), j AS (
+  SELECT s.user_id, s.day, d.n_events, d.day_value
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id,
+       CAST(day * 86400 AS BIGINT) AS day_start,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       last_value(day_value IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM j
+""")
+def events_gap_fill(spark, sf_dir):
+    """Gap filling + forward fill: densify each user's daily totals
+    over their active range and carry the last observed value across
+    missing days (operators/timeseries.py — keyed spine explode +
+    per-key forward-fill window, no global ops)."""
+    from ..operators.timeseries import gap_fill_daily
+
+    e = _t(spark, sf_dir, "events")
+    return gap_fill_daily(e, "user_id", "ts", "value")
