@@ -34,6 +34,7 @@ HEADLINE = [
     "topk_customers",       # agg + top-k
     "window_rank",          # ranking window
     "events_session",       # session windows
+    "events_retention_cohorts",  # cohort retention (distinct + keyed join)
     # LLM-pipeline extension
     "dedup_jaccard_exact",  # posting-list jaccard pairs
     "dedup_jaccard_capped", # + the stop-shingle cap (the 100 TB knob)
