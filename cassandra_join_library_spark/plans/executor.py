@@ -86,27 +86,33 @@ class JoinExecutor:
     # ------------------------------------------------------------------
     # fluent surface (reference: join_executor.py:95-152)
     # ------------------------------------------------------------------
-    def join(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
-        return self._add_join("inner", left, right, operator)
+    def join(self, left: TableInfo, right: TableInfo, operator: str = "=",
+             strategy: "str | None" = None) -> "JoinExecutor":
+        return self._add_join("inner", left, right, operator, strategy)
 
-    def leftJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
-        return self._add_join("left", left, right, operator)
+    def leftJoin(self, left: TableInfo, right: TableInfo, operator: str = "=",
+                 strategy: "str | None" = None) -> "JoinExecutor":
+        return self._add_join("left", left, right, operator, strategy)
 
-    def rightJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
-        return self._add_join("right", left, right, operator)
+    def rightJoin(self, left: TableInfo, right: TableInfo, operator: str = "=",
+                  strategy: "str | None" = None) -> "JoinExecutor":
+        return self._add_join("right", left, right, operator, strategy)
 
-    def fullOuterJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
-        return self._add_join("full", left, right, operator)
+    def fullOuterJoin(self, left: TableInfo, right: TableInfo, operator: str = "=",
+                      strategy: "str | None" = None) -> "JoinExecutor":
+        return self._add_join("full", left, right, operator, strategy)
 
-    def semiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+    def semiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=",
+                 strategy: "str | None" = None) -> "JoinExecutor":
         """Left-semi join (engine extension: EXISTS filter — the
         reference has no semi/anti surface).  Output carries only
         left-side columns."""
-        return self._add_join("semi", left, right, operator)
+        return self._add_join("semi", left, right, operator, strategy)
 
-    def antiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=") -> "JoinExecutor":
+    def antiJoin(self, left: TableInfo, right: TableInfo, operator: str = "=",
+                 strategy: "str | None" = None) -> "JoinExecutor":
         """Left-anti join (NOT EXISTS filter, engine extension)."""
-        return self._add_join("anti", left, right, operator)
+        return self._add_join("anti", left, right, operator, strategy)
 
     def scan(self, table: TableInfo) -> "JoinExecutor":
         """Single-table query (extension — the reference always joins)."""
@@ -125,13 +131,26 @@ class JoinExecutor:
         self._filters.append(condition)
         return self
 
-    def _add_join(self, how: str, left: TableInfo, right: TableInfo, operator: str) -> "JoinExecutor":
+    # join-strategy hints the façade forwards to Catalyst: the user
+    # picks the PHYSICAL strategy for one join (the reference's only
+    # lever was its memory budget, commands.py MAX_MEMORY_PERCENT;
+    # here the optimizer owns sizing and the hint is an override, not
+    # a requirement — Catalyst ignores hints it cannot honor)
+    _JOIN_STRATEGIES = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+
+    def _add_join(self, how: str, left: TableInfo, right: TableInfo, operator: str,
+                  strategy: "str | None" = None) -> "JoinExecutor":
         if operator not in _THETA_OPS:
             raise ValueError(f"join operator must be one of {sorted(_THETA_OPS)}")
+        if strategy is not None and strategy not in self._JOIN_STRATEGIES:
+            raise ValueError(
+                f"join strategy must be one of {sorted(self._JOIN_STRATEGIES)}"
+            )
         # J8: right join column None => reuse left's column name(s)
         if right.join_column is None and left.join_column is not None:
             right = TableInfo(right.table_name, left.join_column, right.alias)
-        self._joins.append({"how": how, "left": left, "right": right, "op": operator})
+        self._joins.append({"how": how, "left": left, "right": right,
+                            "op": operator, "strategy": strategy})
         return self
 
     # ------------------------------------------------------------------
@@ -376,6 +395,9 @@ class JoinExecutor:
                     "self-joins (TableInfo(..., alias=...), commands.py:44-49)"
                 )
             rdf = self._load(right, frefs.get(right.name, set()))
+            if spec.get("strategy"):
+                # hint attaches to the right-side relation for THIS join
+                rdf = rdf.hint(spec["strategy"])
 
             lkeys = [f"{left.name}_{c}" for c in left.key_columns()]
             rkeys = [f"{right.name}_{c}" for c in right.key_columns()]

@@ -188,3 +188,32 @@ def test_tfidf_vocab_side_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hint_forces_sort_merge(spark):
+    """strategy='merge' must override Catalyst's default broadcast
+    choice for a small dimension and plan a SortMergeJoin."""
+    df = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_nationkey"),
+                TableInfo("nation", "n_nationkey"), strategy="merge")
+          .execute())
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_join_strategy_hint_forces_shuffle_hash(spark):
+    df = (JoinExecutor(spark, SF_SMOKE)
+          .join(TableInfo("customer", "c_nationkey"),
+                TableInfo("nation", "n_nationkey"), strategy="shuffle_hash")
+          .execute())
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_join_strategy_hint_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="join strategy"):
+        (JoinExecutor(spark, SF_SMOKE)
+         .join(TableInfo("customer", "c_nationkey"),
+               TableInfo("nation", "n_nationkey"), strategy="hash_grace"))
