@@ -73,3 +73,51 @@ def key_histogram(df: DataFrame, key_cols: "list[str]", top: int = 20) -> DataFr
         .orderBy(F.col("rows").desc())
         .limit(top)
     )
+
+
+def stratified_topk(
+    df: DataFrame,
+    stratum_col: str,
+    rank_cols: "list[Column | str]",
+    n: int,
+    salt_buckets: int = 8,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Exact per-stratum top-n via TWO-LEVEL rank — the skew-safe form
+    of ``row_number() OVER (PARTITION BY stratum) <= n``.
+
+    A single per-stratum window puts each whole stratum through one
+    task; with few huge strata (the common case: a handful of
+    languages / market segments over billions of rows) that is the
+    single-partition-window trap.  Instead: (1) salt rows into
+    ``salt_buckets`` sub-partitions by content hash (retry-stable,
+    same argument as :func:`salted_join`) and take a LOCAL top-n per
+    (stratum, salt); (2) re-rank only the n x salt_buckets survivors
+    per stratum globally.  Any stratum's true top-n is a subset of the
+    union of its sub-partition top-n's, so the result is EXACTLY the
+    single-window answer; the second window sees a bounded input
+    (n x salt_buckets rows per stratum), never the stratum.
+
+    ``rank_cols`` must be a deterministic total order within a stratum
+    (include a key tiebreak).  Returns the input columns plus
+    ``rank_alias`` (1-based BIGINT) with only rank <= n rows kept.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in rank_cols]
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[c.cast("string") for c in cols]),
+               F.lit(salt_buckets)),
+    )
+    w_local = Window.partitionBy(stratum_col, "_salt").orderBy(*cols)
+    local = (
+        salted.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= n)
+    )
+    w_final = Window.partitionBy(stratum_col).orderBy(*cols)
+    return (
+        local.withColumn(rank_alias, F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col(rank_alias) <= n)
+        .drop("_salt", "_lrn")
+    )

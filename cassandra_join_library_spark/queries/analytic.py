@@ -272,19 +272,23 @@ def stratified_sample(spark, sf_dir):
     """Stratified sampling with EXACT per-stratum counts: rank rows
     inside each stratum by a content hash (md5 of the key — identical
     bytes in Spark and DuckDB, so the sample is engine-reproducible)
-    and keep the first 20.  One shuffle on the stratum key; with few
-    huge strata the rank would skew, so at 100 TB the same query runs
-    per hash-prefix sub-stratum first (two-level top-k), but the
-    per-stratum window is the canonical shape."""
+    and keep the first 20.  Runs through the TWO-LEVEL top-k
+    (`operators/skew.py stratified_topk`): local top-20 per
+    (stratum, content-salt) then a re-rank of the bounded survivors —
+    a handful of huge strata never funnels through single-partition
+    windows.  Provably identical to the one-window form, so the plain
+    window is the oracle."""
+    from ..operators.skew import stratified_topk
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    out = stratified_topk(
+        c,
+        "c_mktsegment",
+        [F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")],
+        n=20,
+        salt_buckets=8,
     )
-    return (
-        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 20)
-        .select("c_custkey", "c_mktsegment", "rn")
-    )
+    return out.select("c_custkey", "c_mktsegment", "rn")
 
 
 @register("window_ratio_to_report", oracle="""

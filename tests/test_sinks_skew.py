@@ -87,3 +87,22 @@ def test_salted_join_salt_is_content_deterministic(spark):
         plan = out._jdf.queryExecution().analyzed().toString().lower()
         assert "monotonically_increasing_id" not in plan
         assert "rand(" not in plan
+
+
+def test_stratified_topk_matches_single_window(spark):
+    """Two-level top-k must equal the plain one-window rank exactly
+    (the local round only prunes rows that cannot be in the top-n)."""
+    from pyspark.sql import Row, Window
+
+    from cassandra_join_library_spark.operators.skew import stratified_topk
+
+    rows = [Row(g=g, v=(i * 37) % 101, k=i) for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    two = stratified_topk(df, "g", [F.col("v"), F.col("k")], n=7, salt_buckets=4)
+    w = Window.partitionBy("g").orderBy("v", "k")
+    one = (
+        df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 7)
+    )
+    assert sorted(map(tuple, two.select("g", "k", "rn").collect())) == \
+        sorted(map(tuple, one.select("g", "k", "rn").collect()))
