@@ -168,3 +168,29 @@ def stream_sliding(spark, sf_dir):
                            watermark="2 hours")
     name, _ = W.run_to_memory(out, output_mode="complete")
     return spark.table(name)
+
+
+@register("stream_static_enrich", oracle="""
+SELECT e.event_id, e.event_type, e.value,
+       c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('purchase', 'signup')
+""")
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the streaming fact side joins a
+    STATIC broadcast dimension — no state, no watermark needed (the
+    dimension is finite), the canonical enrich-on-ingest topology; at
+    100 TB/day the dimension broadcast is refreshed per microbatch by
+    the source, never shuffles the stream.  Append mode; equals the
+    batch twin (events_enrich_join), same oracle."""
+    from ..sources.catalog import load_table
+
+    stream = W.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    out = (
+        stream.filter(F.col("event_type").isin("purchase", "signup"))
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "event_type", "value", "c_name", "c_mktsegment")
+    )
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)
