@@ -220,6 +220,50 @@ def duplicate_passages(
     )
 
 
+def containment_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """Directional shingle containment: ``|A ∩ B| / |A|`` — the
+    subset-duplicate metric.  A short document pasted inside a longer
+    one scores near 1.0 here while its Jaccard (normalized by the
+    UNION) stays low, so this catches the quote/excerpt duplicates
+    :func:`jaccard_pairs_exact` is blind to.  Same posting-list
+    (inverted-index) join — cost ∝ Σ df(shingle)², never n²; same
+    ``max_doc_freq`` stop-shingle cap.
+
+    Returns (doc_a, doc_b, containment): doc_a's shingle set is
+    ``containment``-contained in doc_b's (directional — both
+    orientations of a pair can appear)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sh.count()  # eager: three consumers below (same reason as jaccard)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq).select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    cont = (F.col("common") * F.lit(1.0)) / F.col("na")
+    return (
+        common.join(sa, "doc_a")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 24) -> DataFrame:
     """k minhashes per doc from (doc, shingle) rows.
 

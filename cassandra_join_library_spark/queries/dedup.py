@@ -273,3 +273,33 @@ def dedup_passages(spark, sf_dir):
     return D.duplicate_passages(
         _docs(spark, sf_dir), "doc_id", "text", k=8, min_run=2
     )
+
+
+@register("dedup_containment", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / ca.n, 6) AS containment
+FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+WHERE common * 1.0 / ca.n >= 0.8
+""")
+def dedup_containment(spark, sf_dir):
+    """Directional 5-gram containment >= 0.8 (|A∩B| / |A|) — the
+    subset-duplicate metric catching excerpts/quotes that Jaccard's
+    union normalization hides; same posting-list join shape."""
+    return D.containment_pairs_exact(_docs(spark, sf_dir), "doc_id", "text",
+                                     n=5, threshold=0.8)
