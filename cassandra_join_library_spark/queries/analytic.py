@@ -385,3 +385,33 @@ def winsorized_stats(spark, sf_dir):
             ).alias("winsorized_mean"),
         )
     )
+
+
+@register("weighted_sample", oracle="""
+WITH m AS (SELECT MAX(o_totalprice) AS mx FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders, m
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0
+      < o_totalprice / mx
+""")
+def weighted_sample(spark, sf_dir):
+    """Probability-proportional-to-size sampling, fully deterministic:
+    each order's keep-probability is its price relative to the max,
+    and the "random" draw is a 60-bit md5 hash of the key mapped to
+    [0,1) — identical bytes in Spark (conv/substr/md5) and DuckDB, so
+    the sample is engine- and rerun-reproducible (the PPS analog of
+    deterministic_sample).  The max is a scalar broadcast; the filter
+    is map-only."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+               16, 10).cast("double")
+        / F.lit(float(2 ** 60))
+    )
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(u < F.col("o_totalprice") / F.col("mx"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
