@@ -192,12 +192,20 @@ def approx_percentiles(spark, sf_dir):
     exact percentiles need a full sort.  Approximate by design → no
     SQL oracle (exact twin: percentiles_exact); max absolute rank
     error vs the exact quantile is bounded in
-    tests/test_executor.py::test_approx_percentiles_within_accuracy."""
+    tests/test_executor.py::test_approx_percentiles_within_accuracy.
+    The sketch returns an array; it is unpacked to one scalar column
+    per percentile so downstream consumers (and the driver's
+    row-canonicalizer, which cannot sort array cells) see a flat
+    schema."""
     l = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+    )
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-        ).alias("approx_pcts"),
+        pcts[0].alias("p25"),
+        pcts[1].alias("p50"),
+        pcts[2].alias("p75"),
+        pcts[3].alias("p95"),
     )
 
 

@@ -246,7 +246,7 @@ def test_approx_percentiles_within_accuracy(spark):
 
     import pyspark.sql.functions as F
 
-    out = {r["l_returnflag"]: r["approx_pcts"]
+    out = {r["l_returnflag"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
            for r in all_queries()["approx_percentiles"](spark, SF_ORACLE).collect()}
     l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
     for flag, approx in out.items():
