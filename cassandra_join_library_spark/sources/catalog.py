@@ -231,14 +231,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     With ``spark.sql.legacy.parquet.nanosAsLong`` the ns timestamps
     arrive as raw longs; convert to microsecond timestamps (truncating
-    division — Spark's native precision)."""
+    division — Spark's native precision).  µs timestamps without a
+    timezone infer as TIMESTAMP_NTZ under Spark 4's
+    ``inferTimestampNTZ``; cast those to TIMESTAMP (value-preserving
+    under the pinned UTC session TZ) so event-time operators — which
+    require TIMESTAMP, e.g. streaming watermarks — accept the column."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

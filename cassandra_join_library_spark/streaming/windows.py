@@ -30,7 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """File-based stream of the events table (schema pinned from the
     batch read — streaming sources require a declared schema)."""
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from ..sources.catalog import ensure_session_confs
 
@@ -47,6 +47,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if isinstance(schema["ts"].dataType, LongType):
         # nanosecond timestamps read as long (see sources.catalog.load_events)
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # µs-no-tz parquet infers as TIMESTAMP_NTZ; watermarks require
+        # TIMESTAMP — cast is value-preserving under the UTC session TZ
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
