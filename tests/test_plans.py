@@ -153,6 +153,34 @@ def test_pack_sequences_no_unpartitioned_window(spark):
             )
 
 
+def test_pack_sequences_computes_input_once(spark):
+    """pack_sequences runs two internal driver actions (id bounds,
+    bucket totals) before the caller's final action — without the
+    operator-internal persist the upstream transform (typically a
+    chunk explode) would execute 3-4×.  Count actual row evaluations
+    with an accumulator on the input scan and require exactly one
+    pass."""
+    from cassandra_join_library_spark.operators import corpus as C
+
+    rows = [(d, c, 80 + 10 * c) for d in range(1, 21) for c in range(3)]
+    schema = "doc_id bigint, chunk_id bigint, chunk_chars bigint"
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(part):
+        for r in part:
+            acc.add(1)
+            yield r
+
+    base = spark.createDataFrame(rows, schema)
+    counted = spark.createDataFrame(base.rdd.mapPartitions(bump), schema)
+    out = C.pack_sequences(counted, budget_tokens=512)
+    assert out.count() == len(rows)
+    assert acc.value == len(rows), (
+        f"input computed {acc.value / len(rows):.1f}x — "
+        "pack_sequences must persist its input projection"
+    )
+
+
 def test_e2e_pipeline_plan_is_scale_safe(spark):
     """corpus_e2e_pipeline (the composed filter->dedup->decontam->
     chunk->pack run) must inherit every stage's scale property at
