@@ -491,11 +491,19 @@ def kmeans_fit(
     re-partitionings produce identical clusters; argmin ties break to
     the lowest cluster index.  Iterative ⇒ not SQL-expressible; the
     driver's rows-only check applies, invariants are pytest-enforced.
+
+    The loop runs one driver action per iteration (centroid update),
+    plus the init collect and the caller's final action — so the
+    narrow (id, vector) projection is persisted up front and whatever
+    produced ``df`` executes exactly once (accumulator-pinned in
+    ``tests/test_plans.py``, same guarantee as ``pack_sequences``).
     """
+    from pyspark import StorageLevel
+
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col).alias("vid"), vec.alias("v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     init = [

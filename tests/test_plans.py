@@ -181,6 +181,33 @@ def test_pack_sequences_computes_input_once(spark):
     )
 
 
+def test_kmeans_computes_input_once(spark):
+    """kmeans_fit runs one driver action per Lloyd iteration plus the
+    init collect — without the operator-internal persist the upstream
+    transform would execute n_iter+2 times (7 full corpus scans at
+    n_iter=5).  Same accumulator harness as the pack_sequences guard."""
+    from cassandra_join_library_spark.operators import corpus as C
+
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(40)]
+    schema = "vec_id bigint, embedding array<double>"
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(part):
+        for r in part:
+            acc.add(1)
+            yield r
+
+    base = spark.createDataFrame(rows, schema)
+    counted = spark.createDataFrame(base.rdd.mapPartitions(bump), schema)
+    assigned, cents = C.kmeans_fit(counted, "vec_id", "embedding",
+                                   k=4, n_iter=3)
+    assert assigned.count() == len(rows) and len(cents) == 4
+    assert acc.value == len(rows), (
+        f"input computed {acc.value / len(rows):.1f}x — "
+        "kmeans_fit must persist its input projection"
+    )
+
+
 def test_e2e_pipeline_plan_is_scale_safe(spark):
     """corpus_e2e_pipeline (the composed filter->dedup->decontam->
     chunk->pack run) must inherit every stage's scale property at
