@@ -326,3 +326,34 @@ def events_gap_fill(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return gap_fill_daily(e, "user_id", "ts", "value")
+
+
+@register("events_scd2_history", oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+       CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS valid_to,
+       (lead(ts) OVER w2) IS NULL AS is_current
+FROM v
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def events_scd2_history(spark, sf_dir):
+    """SCD-2 dimension history from the event log: per user, collapse
+    runs of identical event_type and emit [valid_from, valid_to)
+    validity intervals — the CDC-to-warehouse materialization
+    (operators/timeseries.py scd2_intervals; the SCD-1 complement of
+    cdc_latest_state)."""
+    from ..operators.timeseries import scd2_intervals
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "ts",
+                          ["event_type"], "event_id")
