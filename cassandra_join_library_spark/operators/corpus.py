@@ -536,3 +536,102 @@ def kmeans_fit(
             for j in range(k)
         ]
     return assigned.select("vid", "cluster"), centroids
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``k`` rows per ``group_col``,
+    preferring the highest ``order_col`` (ties on lowest ``id_col``).
+
+    The crawl-pipeline staple — cap documents per domain/source so no
+    single site dominates the training mix.  One window keyed by the
+    group; deterministic total order makes the kept set reproducible
+    across runs and engines.  Spark rewrites the ``row_number <= k``
+    filter into WindowGroupLimit (partial per-map top-k before the
+    shuffle), so a mega-domain with 10^9 pages ships only k rows per
+    map task — skew-safe at 100 TB.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: List[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms.
+
+    Sparse lexical search over the corpus — the retrieval half of a
+    dedup/decontamination review loop and the baseline for RAG-style
+    data curation.  Plan shape (all built-ins, no UDF):
+
+    - one tokenize pass feeds BOTH document lengths (full corpus agg
+      on doc id) and the postings for the query terms (``term IN
+      (...)`` prunes the explode output BEFORE the tf shuffle — the
+      inverted-index access path, cost ∝ matching postings, not
+      corpus size);
+    - df(term) and the global (N, total_len) are broadcast (one row
+      per query term / one row total);
+    - per-term contributions are computed in double with a fixed
+      operand order, rounded to 6 dp, then summed as DECIMAL — exact
+      and order-independent, so the score is bit-stable under
+      re-partitioning and reproducible in the SQL oracle.
+
+    idf uses the BM25+ form ln(1 + (N - df + .5)/(df + .5)) which is
+    always positive.  The final top-k is orderBy+limit with a total
+    order — TakeOrderedAndProject (per-partition partial top-k, driver
+    merge), never a global sort or unpartitioned window.  Returns
+    (doc_id, n_matched, score), highest score first.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    hits = tok.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # fixed operand order, mirrored verbatim in the SQL oracle so the
+    # IEEE double results are identical before the 6-dp round
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = (
+        F.lit(1.0) - F.lit(b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    contrib = F.round(
+        idf * F.col("tf") * (F.lit(k1) + F.lit(1.0))
+        / (F.col("tf") + F.lit(k1) * norm),
+        6,
+    ).cast("decimal(18,6)")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(contrib).cast("double").alias("score"),
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

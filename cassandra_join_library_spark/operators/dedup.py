@@ -563,3 +563,50 @@ def incremental_dedup(
         .join(seen, "_digest", "left_anti")
         .drop("_digest")
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Materialize the deduplicated corpus from cluster labels — the
+    step users actually run after near-dup detection: keep ONE
+    survivor per duplicate cluster (highest ``quality_col``, ties
+    broken on the lowest id) and every unclustered document unchanged.
+
+    ``clusters`` is (doc_id, cluster_id) as produced by
+    :func:`duplicate_clusters`; documents absent from it (no near-dup
+    edges) are their own singleton cluster via ``coalesce``.  The plan
+    is one keyed left join plus one window keyed by ``cluster_id`` —
+    both shuffles are on bounded keys (cluster sizes, not corpus
+    size), and Spark's WindowGroupLimit pushes the top-1 filter below
+    the full sort, so skewed mega-clusters cost a partial top-1 per
+    map task.  Adds ``cluster_id`` and ``cluster_size`` to the
+    surviving rows.
+    """
+    from pyspark.sql import Window
+
+    labels = clusters.select(
+        F.col("doc_id").alias("_member_id"), F.col("cluster_id").alias("_cid")
+    )
+    labeled = (
+        df.join(labels, df[id_col] == labels["_member_id"], "left")
+        .drop("_member_id")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("_cid"), F.col(id_col).cast("bigint")),
+        )
+        .drop("_cid")
+    )
+    w = Window.partitionBy("cluster_id")
+    rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

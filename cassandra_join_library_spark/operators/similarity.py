@@ -464,3 +464,41 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroids (class means), one row per
+    (label, dimension).
+
+    The offline half of centroid-based classification / clustering
+    diagnostics: posexplode the vector, aggregate per (label, pos).
+    Cross-ROW float summation is order-dependent, so each element is
+    rounded to ``round_to`` dp and summed as DECIMAL — exact,
+    order-independent, bit-stable under re-partitioning, and
+    reproducible in the SQL oracle; the mean divides back in double.
+    One shuffle on the bounded (label, pos) key — at 100 TB this is
+    |labels|·dim cells of constant size, and the partial aggregation
+    (map-side combine) does the heavy summation before the exchange.
+    Returns (label, pos, n_vecs, mean_val).
+    """
+    el = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "val"),
+    )
+    return (
+        el.groupBy(F.col("label"), F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.round("val", round_to).cast("decimal(27,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("mean_val"),
+        )
+    )

@@ -97,5 +97,6 @@ def _load_all() -> None:
         analytic,
         advanced,
         tpch2,
+        curation,
     )
     _loaded = True
