@@ -46,6 +46,8 @@ HEADLINE = [
     "tfidf_top_terms",      # term weighting (explode + 2 aggs + window)
     "corpus_pack_sequences",  # chunk + two-level prefix-sum packing
     "corpus_e2e_pipeline",  # filter->dedup->decontam->chunk->pack capstone
+    "corpus_bm25_topk",     # BM25 inverted-index retrieval (round-5 add)
+    "dedup_survivors",      # pairs->clusters->keep-best materialization (round-5 add)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)
