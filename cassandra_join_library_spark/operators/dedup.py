@@ -610,3 +610,39 @@ def dedup_survivors(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct n-gram shingles that occur in NO other document.
+
+    The content-originality quality signal — low novelty means the
+    document is mostly assembled from text that exists elsewhere in
+    the corpus (template spam, aggregator pages), even when no single
+    pair crosses a near-dup threshold.  Same posting-list shape as the
+    Jaccard operators: shingle document frequencies are one bounded
+    groupBy (map-side combine), joined back to the postings, and the
+    per-doc aggregate divides exact BIGINT counts — no float
+    accumulation, fully oracle-checkable.  Returns (doc_id,
+    n_shingles, n_novel, novelty) with novelty rounded to 6 dp.
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+        )
+    )

@@ -502,3 +502,52 @@ def label_centroids(
             ).alias("mean_val"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a retrieval/embedding model must learn to
+    separate.
+
+    Identical plan shape to :func:`cosine_topk_bruteforce` (broadcast
+    query side, map-only corpus pass, per-query top-k rank) with the
+    label-inequality predicate folded into the join condition, so
+    same-label pairs are dropped BEFORE scoring.  Returns (query_id,
+    query_label, neighbor_id, neighbor_label, rank, cosine_sim).
+    """
+    from pyspark.sql import Window
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"),
+    )
+    sim = F.round(
+        cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")),
+        round_to,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select("query_id", "query_label", "neighbor_id", "neighbor_label",
+             sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

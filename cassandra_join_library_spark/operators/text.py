@@ -199,3 +199,55 @@ def model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         prob.alias("prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Canonical text normalization before near-exact dedup: lowercase,
+    strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+
+    Map-only (three codegen string expressions, zero shuffles); the
+    regex classes are RE2-compatible so Java regex (Spark) and RE2
+    (DuckDB oracle) agree byte-for-byte.  Casing/punctuation variants
+    of the same content normalize to identical strings — the
+    "near-exact" dedup key that plain hashing misses.  Returns
+    (id, norm_text).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), norm.alias("norm_text"))
+
+
+def exact_dedup_normalized(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Near-exact duplicate groups: exact dedup AFTER normalization.
+
+    Same one-shuffle hash-groupBy shape as plain exact dedup, but
+    grouped on a fixed-width digest of the normalized text so the
+    shuffle carries 32-byte keys, never document bodies — the
+    practical first pass of every dedup cascade (catches re-encoded /
+    re-cased / re-punctuated copies that byte-exact dedup misses,
+    orders of magnitude cheaper than MinHash).  Returns one row per
+    duplicate GROUP (>= 2 members): (digest, n_dups, keep_id) with
+    keep_id the lowest member id.
+    """
+    normed = normalize_text(df, id_col, text_col)
+    return (
+        normed.select(
+            F.col(id_col),
+            F.sha2(F.col("norm_text"), 256).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus as C
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import text as T
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -169,3 +170,91 @@ def embedding_label_centroids(spark, sf_dir):
     keep the means bit-stable and fully value-oracled."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_centroids(emb, "embedding", "label")
+
+
+@register("dedup_near_exact", oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         upper(text) || ' !! ' AS text
+  FROM documents
+), normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm_text
+  FROM all_docs
+)
+SELECT sha256(norm_text) AS digest,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM normed GROUP BY 1 HAVING count(*) >= 2
+""")
+def dedup_near_exact(spark, sf_dir):
+    """Near-exact dedup: exact digest-groupBy AFTER lowercase /
+    punctuation-strip / whitespace-collapse normalization.  The test
+    corpus ships pre-normalized, so the query unions each doc with an
+    uppercased, punctuation-injected variant — normalization provably
+    collapses every (original, variant) pair into one group, which the
+    oracle reproduces value-for-value (digest included)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !! ")).alias("text"),
+    )
+    return T.exact_dedup_normalized(docs.unionAll(variants), "doc_id", "text")
+
+
+@register("text_ngram_novelty", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY doc_id
+""")
+def text_ngram_novelty(spark, sf_dir):
+    """Per-doc 5-gram novelty (fraction of shingles unique to the doc)
+    — the content-originality signal; posting-list shape, exact BIGINT
+    counts, ratio rounded to 6 dp."""
+    return D.ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=5)
+
+
+@register("ann_hard_negatives", oracle="""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON q.label != c.label
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine_sim
+FROM ranked WHERE rank <= 5
+""")
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: top-5 most-similar DIFFERENT-label
+    neighbors per query vector (vec_id < 10) — broadcast queries,
+    map-only corpus pass, label filter folded into the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.hard_negatives(emb, queries, "vec_id", "embedding", "label", k=5)

@@ -113,3 +113,53 @@ def test_label_centroids_shape_and_bounds(spark, emb):
     for r in joined:
         assert r["lo"] - 1e-6 <= r["mean_val"] <= r["hi"] + 1e-6
     cent.unpersist()
+
+
+def test_normalized_dedup_collapses_variants(spark, docs):
+    from cassandra_join_library_spark.operators import text as T
+
+    base = docs.select("doc_id", "text")
+    variants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("?! ")).alias("text"),
+    )
+    groups = T.exact_dedup_normalized(
+        base.unionAll(variants), "doc_id", "text"
+    ).collect()
+    # every original doc pairs with exactly its variant; keep_id is the
+    # original (lower) id
+    n_docs = base.count()
+    n_distinct_texts = base.select("text").distinct().count()
+    assert len(groups) == n_distinct_texts
+    assert sum(r["n_dups"] for r in groups) == 2 * n_docs
+    assert all(r["keep_id"] < 10_000 for r in groups)
+    # plain exact dedup on the same union finds NOTHING (casing differs)
+    from cassandra_join_library_spark.operators import dedup as D
+
+    plain = D.exact_dedup(base.unionAll(variants), "doc_id", ["text"])
+    assert plain.filter(F.col("n_copies") >= 2).count() == 0
+
+
+def test_ngram_novelty_bounds_and_short_docs(spark, docs):
+    from cassandra_join_library_spark.operators import dedup as D
+
+    nov = D.ngram_novelty(docs, "doc_id", "text", n=5).collect()
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in nov)
+    assert all(0 <= r["n_novel"] <= r["n_shingles"] for r in nov)
+    # docs with >= 5 words all appear; shorter ones never do
+    n_long = docs.filter(F.size(F.split("text", " ")) >= 5).count()
+    assert len(nov) == n_long
+
+
+def test_hard_negatives_excludes_same_label(spark, emb):
+    from cassandra_join_library_spark.operators import similarity as S
+
+    out = S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    ).collect()
+    assert out
+    assert all(r["query_label"] != r["neighbor_label"] for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
