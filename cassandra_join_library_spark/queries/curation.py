@@ -258,3 +258,36 @@ def ann_hard_negatives(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.hard_negatives(emb, queries, "vec_id", "embedding", "label", k=5)
+
+
+@register("stream_incremental_dedup", oracle="""
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE CAST(substr(d.source, 4) AS BIGINT) >= 10
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE CAST(substr(c.source, 4) AS BIGINT) < 10
+      AND c.text = d.text
+  )
+""")
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming incremental dedup: the incoming batch (sources
+    src10+) arrives as a STREAM and is anti-joined against the static
+    corpus's digest set (src0-src9) — the continuous-ingest twin of
+    ``dedup_incremental``.  A stream-static left-anti join on a
+    fixed-width digest is STATELESS in Structured Streaming (the
+    static side is re-broadcast per micro-batch, no state store), so
+    it runs in append mode over an unbounded crawl with bounded
+    memory; over bounded input the result equals the batch twin, so
+    the same DuckDB oracle applies verbatim."""
+    from ..operators.dedup import incremental_dedup
+    from ..streaming import windows as W
+
+    stream = W.read_documents_stream(spark, sf_dir)
+    batch_no = F.substring("source", 4, 10).cast("bigint")
+    new_stream = stream.filter(batch_no >= 10)
+    corpus = load_table(spark, sf_dir, "documents").filter(batch_no < 10)
+    deduped = incremental_dedup(new_stream, corpus, ["text"])
+    out = deduped.select("doc_id", "source")
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)

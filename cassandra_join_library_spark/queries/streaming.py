@@ -194,3 +194,4 @@ def stream_static_enrich(spark, sf_dir):
     )
     name, _ = W.run_to_memory(out, output_mode="append")
     return spark.table(name)
+

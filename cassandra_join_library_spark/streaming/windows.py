@@ -159,3 +159,21 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
         "inner",
     )
+
+
+def read_documents_stream(spark: DataFrame, sf_dir: str,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based stream of the documents table (schema pinned from
+    the batch read, glob-filtered like :func:`read_events_stream`) —
+    the streaming-ingest twin of the batch corpus loader, for
+    continuous-crawl pipelines."""
+    from ..sources.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
