@@ -272,3 +272,32 @@ def test_join_strategy_hint_validation(spark):
         (JoinExecutor(spark, SF_SMOKE)
          .join(TableInfo("customer", "c_nationkey"),
                TableInfo("nation", "n_nationkey"), strategy="hash_grace"))
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: top-k must be TakeOrderedAndProject (never a global sort
+    or unpartitioned window); the only nested-loop join allowed is the
+    1-row broadcast stats join; df/stats sides broadcast."""
+    plan = _plan(QUERIES["corpus_bm25_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            raise AssertionError(f"window in BM25 plan:\n{line}")
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_cap_per_group_plan_has_window_group_limit(spark):
+    """The rank<=k filter must push into WindowGroupLimit (partial
+    per-map top-k before the shuffle) — the skew-safety guarantee."""
+    plan = _plan(QUERIES["corpus_source_cap"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    """Hard-negative mining must broadcast the query side (map-only
+    corpus pass, no corpus shuffle before scoring)."""
+    plan = _plan(QUERIES["ann_hard_negatives"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
