@@ -82,6 +82,16 @@ def _load_all() -> None:
     # driver rows banked from rounds 2-4.  The three permanently
     # `no_oracle` sketch queries live in `advanced`, imported last, so
     # they never occupy a gradable slot.
+    #
+    # ROTATION LEDGER (which modules have banked driver-green rows):
+    #   rounds 2-4: advanced+analytic+core+corpus heads (old order's
+    #     first 50 — see CORRECTNESS_r02..r04);
+    #   round 5 (this order): dedup, similarity, text, multimodal,
+    #     streaming, events, profiling heads + string_similarity.
+    # Round 6+: front-load whatever still lacks rows — the tails of
+    #   extras/relational/core/corpus (setops, scalars, windows 2,
+    #   band/interval joins, sinks) and the new `curation` module —
+    #   by moving those imports first; keep this ledger current.
     from .queries import (  # noqa: F401
         dedup,
         similarity,

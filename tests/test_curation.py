@@ -163,3 +163,31 @@ def test_hard_negatives_excludes_same_label(spark, emb):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_normalize_text_idempotent_and_charset(spark):
+    """Property: normalization is idempotent and its output alphabet
+    is exactly [a-z0-9 ] with single spaces — on adversarial strings,
+    not just the pre-normalized corpus."""
+    from cassandra_join_library_spark.operators import text as T
+
+    rows = [
+        (1, "  Hello,   WORLD!!  "),
+        (2, "a\tb\nc"),
+        (3, "...."),
+        (4, ""),
+        (5, "MiXeD CaSe 123 #tag @user"),
+        (6, "unicode: café naïve 中文"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = T.normalize_text(df, "doc_id", "text")
+    twice = T.normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text")),
+        "doc_id", "text",
+    )
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert a == b, "normalization must be idempotent"
+    import re
+    for v in a.values():
+        assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", v), repr(v)
