@@ -635,3 +635,56 @@ def bm25_search(
         F.sum(contrib).cast("double").alias("score"),
     )
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: "List[Column]",
+    range_cols: "List[str]",
+    out_col: str = "row_id",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic 0-based global sequence numbers in a total order,
+    WITHOUT a global sort or unpartitioned window — the scale-safe way
+    to index a corpus for training shards / sample addressing.
+
+    Three-step, single-job plan (no driver actions):
+
+    1. ``repartitionByRange`` on the full sort key (must be a total
+       order — include a unique tiebreak in both ``order_cols`` and
+       ``range_cols``) puts each row in an ordered range bucket;
+    2. per-bucket ``row_number`` over a window keyed by
+       ``spark_partition_id()`` — bounded by rows-per-bucket, never
+       corpus size;
+    3. bucket offsets come from a running sum over the per-bucket
+       counts — a window over #partitions rows (cluster-sized, not
+       data-sized), joined back broadcast.
+
+    The assignment equals ``row_number() OVER (ORDER BY ...) - 1``
+    exactly (range buckets are ordered and the key is total), which is
+    what the SQL oracle computes.  Appends ``out_col``.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucketed = df.repartitionByRange(n, *range_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # per-bucket counts -> exclusive prefix offsets; #buckets rows, so
+    # the unpartitioned running-sum window is bounded by the partition
+    # count (a cluster property), not by data size
+    from pyspark.sql import Window
+
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_pid",
+        (F.sum("_n").over(off_w) - F.col("_n")).cast("bigint").alias("_off"),
+    )
+    in_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(in_w).cast("bigint"))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off")
+    )

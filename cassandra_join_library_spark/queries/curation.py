@@ -291,3 +291,24 @@ def stream_incremental_dedup(spark, sf_dir):
     out = deduped.select("doc_id", "source")
     name, _ = W.run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+@register("corpus_global_index", oracle="""
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1
+            AS BIGINT) AS row_id
+FROM documents
+""")
+def corpus_global_index(spark, sf_dir):
+    """Deterministic 0-based global sample index over the corpus
+    (longest first, id tiebreak) — computed by range-bucket +
+    per-bucket rank + offset join, NEVER a global sort or
+    unpartitioned data-sized window; the oracle's row_number() over
+    the total order must match exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return C.global_row_numbers(
+        docs,
+        order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+        range_cols=[F.desc("n_chars"), F.asc("doc_id")],
+        out_col="row_id",
+    )

@@ -191,3 +191,19 @@ def test_normalize_text_idempotent_and_charset(spark):
     import re
     for v in a.values():
         assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", v), repr(v)
+
+
+def test_global_row_numbers_total_order_and_stability(spark, docs):
+    """row_id must equal the total-order rank regardless of the input
+    partitioning, be dense 0..n-1, and never global-sort the data (the
+    only unpartitioned window runs over #partitions count rows)."""
+    base = docs.select("doc_id", "n_chars")
+    out = C.global_row_numbers(
+        base.repartition(13),
+        order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+        range_cols=[F.desc("n_chars"), F.asc("doc_id")],
+    ).collect()
+    n = len(out)
+    assert sorted(r["row_id"] for r in out) == list(range(n))
+    ranked = sorted(out, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    assert [r["row_id"] for r in ranked] == list(range(n))
