@@ -312,3 +312,93 @@ def corpus_global_index(spark, sf_dir):
         range_cols=[F.desc("n_chars"), F.asc("doc_id")],
         out_col="row_id",
     )
+
+
+@register("dedup_multi_signal", oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b FROM co
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+), cont AS (
+  SELECT doc_a, doc_b FROM co
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE common * 1.0 / ca.n >= 0.8 OR common * 1.0 / cb.n >= 0.8
+), wmix AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hh AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM wmix
+), bitsum AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsum GROUP BY 1
+), simh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), allpairs AS (
+  SELECT doc_a, doc_b FROM jac
+  UNION SELECT doc_a, doc_b FROM cont
+  UNION SELECT doc_a, doc_b FROM simh
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM allpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM allpairs
+), reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b
+  FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id
+FROM reach GROUP BY a
+""")
+def dedup_multi_signal(spark, sf_dir):
+    """Multi-signal dedup: the union of THREE detectors' pair evidence
+    — exact Jaccard (>= 0.5), directional containment (>= 0.8, either
+    direction), and portable SimHash (Hamming <= 3) — feeds ONE
+    connected-components pass, so documents linked by any signal land
+    in the same cluster.  This is the cascade real pipelines run
+    (cheap signals vote, clustering unifies); every stage is the
+    already-graded scale-safe plan (posting joins + pigeonhole chunk
+    join + pointer-jump propagation), and the oracle recomputes all
+    three signals + transitive closure in SQL."""
+    docs = _docs(spark, sf_dir)
+    jac = D.jaccard_pairs_exact(docs, "doc_id", "text", n=5, threshold=0.5)
+    cont = D.containment_pairs_exact(docs, "doc_id", "text", n=5, threshold=0.8)
+    # containment is directional (doc_a is the contained one); fold to
+    # undirected edges with doc_a < doc_b so the three signals union
+    cont_und = cont.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    simh = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
+    pairs = (
+        jac.select("doc_a", "doc_b")
+        .union(cont_und)
+        .union(simh.select("doc_a", "doc_b"))
+        .distinct()
+    )
+    return D.duplicate_clusters(pairs)
