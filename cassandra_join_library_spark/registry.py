@@ -38,6 +38,12 @@ def register(name: str, oracle: Optional[str] = None):
     def deco(fn: QueryFn) -> QueryFn:
         import functools
 
+        if name in _QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a silent "
+                "overwrite would hide a graded query from the driver"
+            )
+
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
             # the driver passes its own (bare) session — pin the
