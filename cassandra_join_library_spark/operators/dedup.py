@@ -419,6 +419,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
             .alias("label"),
         )
@@ -429,23 +430,23 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         jump = propagated.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        final_label = F.least(
+            F.col("label"), F.coalesce("jlabel", F.col("label"))
+        )
+        # convergence flag rides INSIDE the checkpointed frame (labels
+        # only ever decrease, so changed == new < old) — checking it is
+        # a filter over cached rows, not another per-round join job
         new_labels = (
             propagated.join(jump, propagated.label == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("jlabel", F.col("label")))
-                .alias("label"),
+                final_label.alias("label"),
+                (final_label < F.col("old_label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:
