@@ -402,3 +402,96 @@ def dedup_multi_signal(spark, sf_dir):
         .distinct()
     )
     return D.duplicate_clusters(pairs)
+
+
+@register("corpus_curation_report", oracle="""
+WITH x AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
+  FROM documents
+), quality AS (
+  SELECT doc_id, n_tokens,
+         round(len(list_distinct(w)) * 1.0 / n_tokens, 6) AS uniq_ratio,
+         round(len(list_filter(w, t ->
+               list_contains(['the','a','and','of','to','is'], t))) * 1.0
+               / n_tokens, 6) AS stopword_ratio,
+         (n_tokens >= 10
+          AND round(len(list_distinct(w)) * 1.0 / n_tokens, 6) >= 0.1
+          AND round(alpha_chars * 1.0 / n_tokens, 6) <= 15.0) AS is_quality
+  FROM x
+), words5 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh5 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words5
+), dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh5 GROUP BY 1
+), novelty AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS novelty
+  FROM sh5 JOIN dfreq USING (shingle) GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words5 WHERE len(w) >= 3
+), b AS (
+  SELECT DISTINCT shingle, doc_id AS bdoc FROM g WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_overlap
+  FROM g JOIN b ON g.shingle = b.shingle AND g.doc_id <> b.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM g GROUP BY 1
+), contam AS (
+  SELECT t.doc_id,
+         round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 6)
+           AS overlap_ratio,
+         coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles >= 0.5
+           AS is_contaminated
+  FROM tot t LEFT JOIN hits h USING (doc_id)
+)
+SELECT q.doc_id, q.n_tokens, q.uniq_ratio, q.stopword_ratio, q.is_quality,
+       n.novelty,
+       c.overlap_ratio, c.is_contaminated,
+       (q.is_quality
+        AND NOT coalesce(c.is_contaminated, FALSE)
+        AND coalesce(n.novelty, 1.0) >= 0.2) AS keep
+FROM quality q
+LEFT JOIN novelty n USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+""")
+def corpus_curation_report(spark, sf_dir):
+    """Per-document curation scorecard: quality heuristics + 5-gram
+    novelty + benchmark contamination joined into ONE wide table with
+    a final keep/drop verdict — the materialized report a curation run
+    hands to reviewers.  Three doc_id-keyed left joins over operators
+    that are each individually graded; co-partitioned on the join key,
+    so the composition adds no new wide shuffles beyond its parts."""
+    docs = _docs(spark, sf_dir)
+    quality = T.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "uniq_ratio", "stopword_ratio", "is_quality"
+    )
+    novelty = D.ngram_novelty(docs, "doc_id", "text", n=5).select(
+        "doc_id", "novelty"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contam = C.contamination_overlap(docs, "doc_id", "text", bench, n=3).select(
+        "doc_id", "overlap_ratio", "is_contaminated"
+    )
+    keep = (
+        F.col("is_quality")
+        & ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+        & (F.coalesce(F.col("novelty"), F.lit(1.0)) >= 0.2)
+    )
+    return (
+        quality.join(novelty, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("keep", keep)
+    )
