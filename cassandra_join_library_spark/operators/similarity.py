@@ -220,8 +220,18 @@ def ivf_topk(
         )
 
     def assign(side: DataFrame, sid: str, n_lists: int) -> DataFrame:
-        """nearest-`n_lists` centroid ids per vector (broadcast argmin)."""
-        sim = cosine(F.col("_vec"), F.col("cent_vec"), F.col("_norm"), F.col("cent_norm"))
+        """nearest-`n_lists` centroid ids per vector (broadcast argmin).
+
+        The assignment similarity is ROUNDED before ranking (same
+        convention as every ranked score in this engine): unrounded
+        ranking would depend on sub-ulp float differences between
+        engines, while rounding + the cent_id tiebreak gives one
+        portable assignment any SQL twin reproduces."""
+        sim = F.round(
+            cosine(F.col("_vec"), F.col("cent_vec"),
+                   F.col("_norm"), F.col("cent_norm")),
+            round_to,
+        )
         w = Window.partitionBy(sid).orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
         return (
             side.join(F.broadcast(cent), F.lit(True))
@@ -267,14 +277,29 @@ def ivf_topk(
     )
 
 
+def _plane_coeffs(plane: int, dim: int) -> "list[float]":
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1]:
+    md5 of "plane:j" → 60-bit int → mod-2001 grid.  No RNG —
+    reproducible across runs and cluster sizes — and PORTABLE: any SQL
+    engine recomputes the identical doubles
+    (``('0x'||substr(md5(p||':'||j),1,15))::BIGINT % 2001 - 1000) /
+    1000.0`` in DuckDB), so LSH bucketing is fully oracle-checkable.
+    The 0.001 coefficient grid costs nothing: hyperplane quality needs
+    direction diversity, not coefficient precision.  Evaluated in
+    PYTHON at plan-build time — the planes enter the plan as literal
+    arrays (constant-folded, zero per-row hashing)."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:15], 16)
+         % 2001 - 1000) / 1000.0
+        for j in range(dim)
+    ]
+
+
 def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane coefficients: a fixed
-    integer hash of (plane, dim-index) mapped into [-1, 1].  No RNG —
-    reproducible across runs and cluster sizes (``Date.now``-free)."""
-    return F.expr(
-        f"transform(sequence(0, {dim - 1}), "
-        f"j -> cast(xxhash64({plane}, j) as double) / 9.223372036854776e18)"
-    )
+    """Literal-array column of :func:`_plane_coeffs`."""
+    return F.array(*[F.lit(c) for c in _plane_coeffs(plane, dim)])
 
 
 def lsh_cosine_pairs(
@@ -400,10 +425,16 @@ def pq_topk(
         return F.array(*[F.lit(float(x)) for x in vals])
 
     def sqdist(sub_col, lit_vec):
-        return F.aggregate(
-            F.zip_with(sub_col, lit_vec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # rounded like every ranked score in this engine: code argmin,
+        # ADC tables, and the shortlist rank all become portable across
+        # engines (sub-ulp float-order differences washed out)
+        return F.round(
+            F.aggregate(
+                F.zip_with(sub_col, lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
         )
 
     def normed(df):
@@ -441,6 +472,7 @@ def pq_topk(
     approx = F.lit(0.0)
     for s in range(m):
         approx = approx + F.element_at(F.col(f"dt{s}"), F.col(f"code{s}") + 1)
+    approx = F.round(approx, round_to)
 
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))

@@ -108,11 +108,54 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")  # approximate (probe subset) -> rows-only check
+@register("ann_ivf_topk", oracle="""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 32 = 0
+), c_rank AS (
+  SELECT e.vec_id AS neighbor_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), c_assign AS (
+  SELECT neighbor_id, cent_id AS list_id FROM c_rank WHERE rn = 1
+), q_rank AS (
+  SELECT e.vec_id AS query_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < 10
+), q_assign AS (
+  SELECT query_id, cent_id AS list_id FROM q_rank WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT q.query_id, ca.neighbor_id
+  FROM q_assign q JOIN c_assign ca USING (list_id)
+  WHERE q.query_id <> ca.neighbor_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+""")
 def ann_ivf_topk(spark, sf_dir):
     """IVF inverted-list top-k (deterministic centroids, nprobe=4) —
     the bounded-search scale path; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.  The algorithm is DETERMINISTIC (stride
+    centroids, rounded-then-ranked assignment), so the oracle replays
+    the exact same list assignment + probe + re-rank in SQL — a full
+    value check, not a recall bound."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, "vec_id", "embedding",
@@ -141,22 +184,117 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
                       k=5, nprobe=3, centroids_df=cent_df)
 
 
-@register("ann_lsh_cosine")  # approximate candidate set -> rows-only check
+@register("ann_lsh_cosine", oracle="""
+WITH pl AS (
+  SELECT t.t AS tbl, p.p AS p,
+         list((('0x' || substr(md5(CAST(t.t*6+p.p AS VARCHAR) || ':' ||
+                                    CAST(j.j AS VARCHAR)), 1, 15))::BIGINT
+               % 2001 - 1000) / 1000.0 ORDER BY j.j) AS coeffs
+  FROM (SELECT unnest(generate_series(0, 7)) AS t) t
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) p
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+  GROUP BY 1, 2
+), sig AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                             pl.coeffs) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+), out AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM out WHERE cosine_sim >= 0.4
+""")
 def ann_lsh_cosine(spark, sf_dir):
     """Hyperplane-LSH bucketed near-dup pairs (verified cosine >= 0.4):
-    deterministic pseudo-random hyperplanes, candidates only from
-    bucket collisions."""
+    deterministic PORTABLE md5-grid hyperplanes (literal arrays in the
+    plan — zero per-row hashing), candidates only from bucket
+    collisions.  The whole pipeline — 48 sign bits, 8 signatures,
+    bucket join, exact verify — is replayed in SQL, so this carries a
+    FULL value oracle, not just a recall bound."""
     return S.lsh_cosine_pairs(
         _emb(spark, sf_dir), "vec_id", "embedding",
         dim=64, n_planes=6, n_tables=8, threshold=0.4,
     )
 
 
-@register("ann_pq_topk")  # approximate (quantized distances) -> rows-only
+@register("ann_pq_topk", oracle="""
+WITH normed AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) > 0
+              THEN list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[])))
+              ELSE embedding::DOUBLE[] END AS nv
+  FROM embeddings
+), train AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS tj, nv
+  FROM normed WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16
+), subs AS (
+  SELECT unnest(generate_series(0, 7)) AS s
+), books AS (
+  SELECT subs.s, t.tj, t.nv[subs.s*8 + 1 : subs.s*8 + 8] AS bv
+  FROM train t CROSS JOIN subs
+), dists AS (
+  SELECT n.vec_id, b.s, b.tj,
+         round(list_sum(list_transform(
+               list_zip(n.nv[b.s*8 + 1 : b.s*8 + 8], b.bv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+           AS dist
+  FROM normed n CROSS JOIN books b
+), codes AS (
+  SELECT vec_id, s, tj AS code FROM (
+    SELECT vec_id, s, tj,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, tj ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(SUM(qd.dist), 6) AS ad
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+  JOIN codes c ON c.vec_id <> q.vec_id
+  JOIN dists qd ON qd.vec_id = q.vec_id AND qd.s = c.s AND qd.tj = c.code
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ad ASC, neighbor_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= 20
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qn.nv, cn.nv), 6) AS cosine_sim
+  FROM short s
+  JOIN normed qn ON qn.vec_id = s.query_id
+  JOIN normed cn ON cn.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM rerank
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+""")
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization top-k (m=8 subspaces, 16-entry codebooks,
     ADC lookups + exact re-rank) — the memory-bound ANN path: the
-    search scans m-byte codes, not raw vectors.  Recall vs brute force
+    search scans m-byte codes, not raw vectors.  Every stage is
+    deterministic and rounded-then-ranked, so the oracle replays the
+    codebook construction, encoding, ADC shortlist, and exact re-rank
+    in SQL — a full value check; recall vs brute force additionally
     asserted in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
