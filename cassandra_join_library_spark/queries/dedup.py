@@ -119,26 +119,6 @@ def dedup_minhash_lsh(spark, sf_dir):
                                threshold=0.5)
 
 
-@register("dedup_minhash_lsh_r2")  # banded (r=2) recall < 1 -> rows-only
-def dedup_minhash_lsh_r2(spark, sf_dir):
-    """MinHash-LSH with the AT-SCALE banding knob engaged: r=2 rows
-    per band (b=12) keeps buckets sparse — candidate count per bucket
-    shrinks quadratically in band-key selectivity, the setting a
-    100 TB corpus actually runs.  Candidate recall at j=0.5 is
-    1-(1-j²)¹² ≈ 0.97 (not exact → rows-only check); every emitted
-    pair is still exact-verified, so output ⊆ the exact pair set —
-    subset + recall floor asserted in tests/test_dedup_edges.py."""
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                               n=5, num_hashes=24, rows_per_band=2,
-                               threshold=0.5)
-
-
-@register("dedup_simhash")  # xxhash64-based — no portable SQL oracle
-def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk join."""
-    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
-
-
 @register("dedup_simhash_md5", oracle="""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
