@@ -93,7 +93,11 @@ def _load_all() -> None:
     #   rounds 2-4: advanced+analytic+core+corpus heads (old order's
     #     first 50 — see CORRECTNESS_r02..r04);
     #   round 5 (this order): dedup, similarity, text, multimodal,
-    #     streaming, events, profiling heads + string_similarity.
+    #     streaming, events, profiling heads + string_similarity,
+    #     explode_tokens, agg_cube; window rows-only count is 4 (the
+    #     genuinely non-SQL ops: ann_ivf_kmeans_topk + 3 stateful
+    #     streaming queries) after the ANN oracle upgrades and the
+    #     twin-variant relocation to `curation`.
     # Round 6+: front-load whatever still lacks rows — the tails of
     #   extras/relational/core/corpus (setops, scalars, windows 2,
     #   band/interval joins, sinks) and the new `curation` module —
