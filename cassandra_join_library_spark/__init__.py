@@ -6,6 +6,7 @@ operators a 100 TB training-data engine needs (aggregations, windows,
 set ops, dedup, similarity search, text analysis, streaming).
 """
 
+from .plans.audit import assert_scale_safe, audit_plan
 from .plans.condition import Condition
 from .plans.executor import JoinExecutor
 from .plans.table_info import TableInfo
@@ -24,6 +25,8 @@ from .sources.catalog import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "assert_scale_safe",
+    "audit_plan",
     "Condition",
     "JoinExecutor",
     "TableInfo",

@@ -301,3 +301,34 @@ def test_hard_negatives_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_audit_plan_flags_and_allows(spark):
+    """The user-facing plan auditor must flag a cartesian and an
+    unpartitioned window, pass clean keyed plans, and honor allow."""
+    from pyspark.sql import Window
+
+    from cassandra_join_library_spark import assert_scale_safe, audit_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cart = a.join(b)
+    f = audit_plan(cart)
+    assert f["cartesian_product"] or f["nested_loop_join"]
+
+    glob = a.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert audit_plan(glob)["unpartitioned_window"]
+
+    keyed = a.withColumn("g", F.col("id") % 3).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    clean = assert_scale_safe(keyed)
+    assert not any(clean.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="unpartitioned_window"):
+        assert_scale_safe(glob)
+    assert_scale_safe(glob, allow={"unpartitioned_window"})
+    with _pytest.raises(ValueError):
+        assert_scale_safe(keyed, allow={"nope"})
