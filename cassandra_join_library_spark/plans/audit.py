@@ -50,11 +50,32 @@ def _physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _window_is_unpartitioned(line: str) -> bool:
+    """A window spec renders as ``windowspecdefinition(<partition
+    cols>, <sort cols ASC/DESC ...>, specifiedwindowframe(...))`` with
+    either group possibly empty — a spec is UNPARTITIONED when no arg
+    before the frame lacks a sort direction.  (Counting ``], [``
+    separators conflates partitioned-unordered with
+    unpartitioned-ordered specs.)  Heuristic: partition expressions
+    containing literal commas can over-split, which errs toward NOT
+    flagging — acceptable for a smell detector."""
+    import re
+
+    m = re.search(r"windowspecdefinition\((.*?)specifiedwindowframe", line)
+    if not m:
+        return False
+    args = [a.strip() for a in m.group(1).rstrip(", ").split(",") if a.strip()]
+    partition_cols = [
+        a for a in args if " ASC" not in a and " DESC" not in a
+    ]
+    return not partition_cols
+
+
 def audit_plan(df: DataFrame) -> "dict[str, bool]":
     """Inspect the physical plan; return {check_name: triggered}."""
     plan = _physical_plan(df)
     unpartitioned = any(
-        line.count("], [") < 2
+        _window_is_unpartitioned(line)
         for line in plan.splitlines()
         if "windowspecdefinition" in line
     )

@@ -1,0 +1,87 @@
+"""Audit every registered query's physical plan for scale-unsafe
+shapes (see ``plans/audit.py``) and print a findings report.
+
+Run on demand (plan-building executes the driver actions inside
+iterative/streaming queries, so this is a script, not a unit test):
+
+    python scripts/audit_registry.py [sf_dir]
+
+Exit code 1 if any query triggers a finding that is not in the
+reviewed ALLOW list below.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from cassandra_join_library_spark import audit_plan, get_spark
+from cassandra_join_library_spark.registry import all_queries
+
+# Reviewed exceptions: finding -> {query: justification}
+ALLOW = {
+    "nested_loop_join": {
+        # 1-row or constant-size broadcast sides (the documented pattern)
+        "corpus_bm25_topk": "1-row corpus-stats broadcast",
+        "tfidf_top_terms": "1-row N-docs broadcast",
+        "corpus_contamination": "scalar broadcast",
+        "corpus_contamination_capped": "scalar broadcast",
+        "corpus_e2e_pipeline": "scalar broadcast in embedded stages",
+        "ann_topk_bruteforce": "broadcast query side, theta self-pair filter",
+        "ann_hard_negatives": "broadcast query side, label-inequality join",
+        "ann_ivf_topk": "broadcast centroid set (constant size)",
+        "ann_ivf_kmeans_topk": "broadcast centroid set (constant size)",
+        "ann_pq_topk": "broadcast query side with literal codebooks",
+        "embedding_cosine_pairs": "block-pair generator is a bounded literal join",
+        "dedup_embedding_cosine": "same blocked pair generator",
+        "theta_lt": "reference theta join IS a BNLJ by semantics",
+        "theta_neq": "reference theta join IS a BNLJ by semantics",
+        "theta_left_outer": "reference theta join semantics",
+        "theta_right_outer": "reference theta join semantics",
+        "theta_full_outer": "reference theta join semantics",
+        "join_cross": "explicit cross join by definition",
+        "winsorized_stats": "broadcast per-group clamp bounds",
+        "weighted_sample": "scalar max-weight broadcast",
+        "percentiles_exact": "scalar quantile bounds broadcast",
+        "corpus_mixture": "per-language rate table (|langs| rows) broadcast",
+    },
+    "unpartitioned_window": {
+        # windows over cluster-sized frames (#partitions / #groups rows),
+        # or deliberately tiny post-limit frames — never data-sized
+        "corpus_global_index": "running sum over per-bucket counts",
+        "corpus_stats": "share-of-total over group aggregate rows",
+        "value_histogram": "bin edges over 21 bins",
+        "stratified_sample": "bounded global top-k over per-stratum winners",
+    },
+    "cartesian_product": {},
+    "python_udf": {},
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="audit-registry")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    clean = 0
+    for name, fn in all_queries().items():
+        try:
+            findings = audit_plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - report, don't abort
+            failures.append((name, f"build error: {exc}"))
+            continue
+        bad = [
+            k for k, hit in findings.items()
+            if hit and name not in ALLOW.get(k, {})
+        ]
+        if bad:
+            failures.append((name, ", ".join(bad)))
+        else:
+            clean += 1
+    print(f"clean: {clean}/{clean + len(failures)}")
+    for name, why in failures:
+        print(f"FINDING {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
