@@ -251,3 +251,38 @@ def exact_dedup_normalized(
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in nats — the
+    standard gibberish/boilerplate signal: near-zero entropy means one
+    token dominates (repetition spam), high entropy with low stopword
+    ratio suggests noise.
+
+    Two bounded-key aggregates (doc×word counts, then per-doc fold);
+    each term ``-p·ln(p)`` is computed in double with a fixed operand
+    order, rounded to 9 dp and summed as DECIMAL — order-independent
+    and engine-portable (the BM25 convention).  Returns (id, n_tokens,
+    n_distinct, entropy) with entropy rounded to 6 dp.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    counts = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(18,9)")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )

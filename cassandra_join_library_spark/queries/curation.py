@@ -521,3 +521,27 @@ def dedup_minhash_lsh_r2(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk join."""
     return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+@register("text_word_entropy", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+)
+SELECT counts.doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(CAST(sum(CAST(round(-((c / n) * ln(c / n)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+FROM counts JOIN totals USING (doc_id)
+GROUP BY counts.doc_id
+""")
+def text_word_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (nats): gibberish/repetition
+    signal; decimal-summed so the fold is order-independent and
+    oracle-exact."""
+    return T.word_entropy(_docs(spark, sf_dir), "doc_id", "text")
