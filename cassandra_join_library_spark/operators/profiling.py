@@ -104,3 +104,46 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("dup_bigram_ratio"),
         )
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Per-group n-sigma outlier detection (population moments).
+
+    Data-quality staple: flag rows whose value deviates more than
+    ``n_sigma`` standard deviations from their group's mean.  The
+    moments are DECIMAL-exact (values rounded to 6 dp, sums exact, so
+    mean/std are identical under any partitioning and in the SQL
+    oracle); the per-group stats table is one row per group —
+    broadcast back, map-only flagging.  Returns the outlier rows with
+    ``zscore`` (rounded to 6).
+    """
+    x6 = F.round(F.col(value_col), 6).cast("decimal(27,6)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(x6).alias("_s"),
+        F.sum(x6 * x6).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    ex2 = F.col("_s2").cast("double") / F.col("_n")
+    stats = stats.select(
+        group_col,
+        mean.alias("_mean"),
+        F.sqrt(ex2 - mean * mean).alias("_std"),
+    )
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .filter(F.abs(z) > n_sigma)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -286,3 +286,61 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+def bigram_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself — the classic perplexity-filtering
+    quality signal (docs the corpus LM finds surprising are usually
+    noise; docs it finds too predictable are boilerplate).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V).  Plan shape: bigrams are
+    a map-only array transform (no positional self-join); model counts
+    are two bounded-key aggregates ((w1,w2) and w1 — partial-agg
+    combine before the exchange); scoring joins each doc bigram to the
+    model on its own key — an inverted-index-style keyed join, cost ∝
+    corpus bigrams, and the vocabulary scalar is a 1-row broadcast.
+    Per-term -ln P is rounded to 9 dp and summed as DECIMAL (the BM25
+    convention) so the fold is order-independent; perplexity =
+    exp(avg_nll) rounded to 6.  Returns (id, n_bigrams, avg_nll,
+    perplexity).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] AS w1, w[i + 1] AS w2)), "
+                "array())"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cp"))
+    vocab = base.select(F.explode("w").alias("word")).agg(
+        F.count_distinct("word").cast("bigint").alias("v")
+    )
+    term = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cp") + F.col("v"))), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(term).alias("_nll"),
+        )
+    )
+    avg_nll = F.col("_nll").cast("double") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg_nll, 6).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 6).alias("perplexity"),
+    )

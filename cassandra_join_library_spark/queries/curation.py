@@ -545,3 +545,67 @@ def text_word_entropy(spark, sf_dir):
     signal; decimal-summed so the fold is order-independent and
     oracle-exact."""
     return T.word_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_bigram_perplexity", oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM base, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2
+), cp AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+  FROM (SELECT unnest(w) AS word FROM base)
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(CAST(round(-ln((cb.cb + CAST(1.0 AS DOUBLE)) / (cp.cp + vocab.v)), 9)
+                  AS DECIMAL(18,9))) AS nll
+  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vocab
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(nll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+       round(exp(CAST(nll AS DOUBLE) / n_bigrams), 6) AS perplexity
+FROM scored
+""")
+def text_bigram_perplexity(spark, sf_dir):
+    """Perplexity filtering: each doc scored under an add-one bigram
+    LM trained on the corpus itself — keyed model joins, decimal-exact
+    NLL fold, fully value-oracled."""
+    return T.bigram_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("events_value_outliers", oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value, 6) AS DECIMAL(27,6))) AS s,
+         sum(CAST(round(value, 6) AS DECIMAL(27,6))
+             * CAST(round(value, 6) AS DECIMAL(27,6))) AS s2
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mean) / m.std, 6) AS zscore
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - m.mean) / m.std) > 3.0
+""")
+def events_value_outliers(spark, sf_dir):
+    """Per-event-type 3-sigma outliers: decimal-exact moments, one-row-
+    per-type broadcast stats, map-only flagging."""
+    from ..operators.profiling import value_outliers
+    from ..sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return value_outliers(ev, "event_id", "event_type", "value", n_sigma=3.0)
