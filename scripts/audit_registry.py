@@ -43,6 +43,7 @@ ALLOW = {
         "weighted_sample": "scalar max-weight broadcast",
         "percentiles_exact": "scalar quantile bounds broadcast",
         "corpus_mixture": "per-language rate table (|langs| rows) broadcast",
+        "text_bigram_perplexity": "1-row vocabulary-size broadcast",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
