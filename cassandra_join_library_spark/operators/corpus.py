@@ -688,3 +688,61 @@ def global_row_numbers(
         .withColumn(out_col, F.col("_off") + F.col("_rn") - 1)
         .drop("_pid", "_rn", "_off")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information: PMI = ln(N · c12 / (c1 · c2)) over corpus bigram and
+    unigram counts — the standard phrase-mining signal ("new york"
+    scores high, "of the" scores low).
+
+    All counts are exact BIGINTs from two bounded-key aggregates
+    (map-side combine); the N scalar is a 1-row broadcast; PMI is
+    rounded to 6 dp BEFORE ranking (engine-portable order, bigram
+    text as tiebreak) and the top-k is orderBy+limit —
+    TakeOrderedAndProject, no global sort.  ``min_count`` drops rare
+    pairs whose PMI is noise.  Returns (w1, w2, c12, c1, c2, pmi).
+    """
+    base = df.select(F.split(F.col(text_col), " ").alias("w"))
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] AS w1, w[i + 1] AS w2)), array())"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    uni = base.select(F.explode("w").alias("word"))
+    cu = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # products computed in DOUBLE: n·c12 at web scale (n ~ 1e13 tokens)
+    # overflows BIGINT; double keeps both engines identical (same
+    # operand order) and PMI is a log anyway
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("c12"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(cu.select(F.col("word").alias("w1"),
+                                    F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(cu.select(F.col("word").alias("w2"),
+                                    F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

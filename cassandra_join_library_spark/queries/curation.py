@@ -609,3 +609,37 @@ def events_value_outliers(spark, sf_dir):
 
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
     return value_outliers(ev, "event_id", "event_type", "value", n_sigma=3.0)
+
+
+@register("corpus_pmi_collocations", oracle="""
+WITH base AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM base, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+), uni AS (
+  SELECT unnest(w) AS word FROM base
+), cu AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM uni
+)
+SELECT c12.w1, c12.w2, c12.c12, a.c AS c1, b.c AS c2,
+       round(ln((CAST(n.n AS DOUBLE) * c12.c12)
+                / (CAST(a.c AS DOUBLE) * b.c)), 6) AS pmi
+FROM c12
+JOIN cu a ON c12.w1 = a.word
+JOIN cu b ON c12.w2 = b.word
+CROSS JOIN n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 50
+""")
+def corpus_pmi_collocations(spark, sf_dir):
+    """Top-50 collocations by PMI (min count 5): exact counts,
+    rounded-then-ranked score, TakeOrderedAndProject top-k."""
+    return C.pmi_collocations(_docs(spark, sf_dir), "doc_id", "text",
+                              min_count=5, k=50)
