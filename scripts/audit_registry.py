@@ -44,6 +44,7 @@ ALLOW = {
         "percentiles_exact": "scalar quantile bounds broadcast",
         "corpus_mixture": "per-language rate table (|langs| rows) broadcast",
         "text_bigram_perplexity": "1-row vocabulary-size broadcast",
+        "corpus_pmi_collocations": "1-row token-count broadcast",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
