@@ -54,3 +54,43 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` — the table-maintenance op every
+    long-running ingest needs (streaming sinks and fine-grained
+    partitions accumulate kilobyte files; at 100 TB the resulting
+    task-per-file scheduling and footer overhead dominate reads).
+
+    Sizing comes from the dataset's CURRENT on-disk bytes (Hadoop
+    listing — no data scan), so the repartition count adapts to the
+    data; the rewrite itself is one shuffle-free coalesce when
+    shrinking file counts.  Writes to a temp sibling then swaps, so a
+    failed rewrite never destroys the source.  Returns the new file
+    count.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    size_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+
+    backup = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if not fs.rename(p, backup):
+        raise IOError(f"could not move {path} aside for compaction swap")
+    if not fs.rename(tmp, p):
+        fs.rename(backup, p)  # roll back
+        raise IOError(f"could not swap compacted data into {path}")
+    fs.delete(backup, True)
+
+    out = [f for f in fs.listStatus(p)
+           if f.getPath().getName().endswith(".parquet")]
+    return len(out)

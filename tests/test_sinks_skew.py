@@ -106,3 +106,22 @@ def test_stratified_topk_matches_single_window(spark):
     )
     assert sorted(map(tuple, two.select("g", "k", "rn").collect())) == \
         sorted(map(tuple, one.select("g", "k", "rn").collect()))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from cassandra_join_library_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10_000).withColumn("v", F.col("id") % 7)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    n_after = compact_parquet(spark, path, target_file_mb=128)
+    assert n_after < before
+    assert n_after == len(glob.glob(f"{path}/*.parquet"))
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == \
+        df.agg(F.sum("v")).collect()[0][0]
