@@ -746,3 +746,36 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    content_cols: List[str],
+) -> DataFrame:
+    """Dataset-version diff: classify every id as added / removed /
+    changed between two corpus snapshots — the audit step between
+    ingestion runs (what did this crawl actually change?).
+
+    Both sides reduce to (id, fixed-width content digest) before the
+    FULL OUTER join, so the shuffle carries 32-byte digests instead of
+    document bodies and the compare is equality on the digest — the
+    same trick as incremental dedup.  One keyed shuffle; output is
+    only the delta (unchanged rows drop out).  Returns (id, status)
+    with status in {'added', 'removed', 'changed'}.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    o = old_df.select(F.col(id_col).alias("_id"), digest.alias("_od"))
+    n = new_df.select(F.col(id_col).alias("_id"), digest.alias("_nd"))
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("_id").alias(id_col), "status")
+    )

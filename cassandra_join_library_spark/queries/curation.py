@@ -643,3 +643,49 @@ def corpus_pmi_collocations(spark, sf_dir):
     rounded-then-ranked score, TakeOrderedAndProject top-k."""
     return C.pmi_collocations(_docs(spark, sf_dir), "doc_id", "text",
                               min_count=5, k=50)
+
+
+@register("corpus_snapshot_diff", oracle="""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new document ' || doc_id AS text
+  FROM documents WHERE doc_id % 25 = 0
+), j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         v1.text AS t1, v2.text AS t2
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN t1 IS NULL THEN 'added'
+            WHEN t2 IS NULL THEN 'removed'
+            WHEN t1 <> t2 THEN 'changed' END AS status
+FROM j
+WHERE (t1 IS NULL OR t2 IS NULL OR t1 <> t2)
+""")
+def corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (v2 constructed
+    deterministically in-query: every 10th doc removed, every 7th
+    edited, every 25th re-added under a new id) — digest-keyed FULL
+    OUTER join, only the delta survives."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new document "), F.col("doc_id")).alias("text"),
+            )
+        )
+    )
+    return C.snapshot_diff(docs, v2, "doc_id", ["text"])
