@@ -207,3 +207,27 @@ def test_global_row_numbers_total_order_and_stability(spark, docs):
     assert sorted(r["row_id"] for r in out) == list(range(n))
     ranked = sorted(out, key=lambda r: (-r["n_chars"], r["doc_id"]))
     assert [r["row_id"] for r in ranked] == list(range(n))
+
+
+def test_snapshot_diff_invariants(spark, docs):
+    base = docs.select("doc_id", "text")
+    # identical snapshots -> empty delta
+    assert C.snapshot_diff(base, base, "doc_id", ["text"]).count() == 0
+    # constructed delta: statuses land exactly where they should
+    v2 = base.filter(F.col("doc_id") % 5 != 0).unionAll(
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+        )
+    )
+    d = {r["doc_id"]: r["status"]
+         for r in C.snapshot_diff(base, v2, "doc_id", ["text"]).collect()}
+    old_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    for i, st in d.items():
+        if st == "removed":
+            assert i % 5 == 0 and i in old_ids
+        elif st == "added":
+            assert i >= 50_000
+        else:
+            raise AssertionError(f"unexpected status {st} for {i}")
+    assert sum(1 for s in d.values() if s == "removed") == \
+        base.filter(F.col("doc_id") % 5 == 0).count()
