@@ -405,10 +405,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # initialize each label to min(self, neighbors) — the first
+    # propagation round folded into the init aggregate (one groupBy on
+    # the already-symmetrized edges), so the loop starts a hop ahead
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iterations):
