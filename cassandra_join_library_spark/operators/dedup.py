@@ -660,3 +660,49 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 6),
         )
     )
+
+
+def overlap_pair_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """Jaccard OR containment pairs from ONE posting-list pass.
+
+    Both set-overlap detectors derive from the same (doc_a, doc_b,
+    common, |A|, |B|) co-occurrence tuple, so computing them separately
+    (as chaining :func:`jaccard_pairs_exact` and
+    :func:`containment_pairs_exact` would) runs the shingle explode and
+    the posting self-join — the expensive stages — twice.  This fuses
+    them: one shingles pass, one co-occurrence join, both thresholds
+    applied to the same row.  Containment is directional; either
+    direction qualifying emits the (doc_a < doc_b) pair.  Returns
+    (doc_a, doc_b) for the multi-signal union.
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
+    sh.count()  # eager: three consumers below (see jaccard_pairs_exact)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    c = F.col("common") * F.lit(1.0)
+    jac = c / (F.col("na") + F.col("nb") - F.col("common"))
+    keep = (
+        (jac >= jaccard_threshold)
+        | (c / F.col("na") >= containment_threshold)
+        | (c / F.col("nb") >= containment_threshold)
+    )
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(keep)
+        .select("doc_a", "doc_b")
+    )

@@ -386,21 +386,14 @@ def dedup_multi_signal(spark, sf_dir):
     join + pointer-jump propagation), and the oracle recomputes all
     three signals + transitive closure in SQL."""
     docs = _docs(spark, sf_dir)
-    jac = D.jaccard_pairs_exact(docs, "doc_id", "text", n=5, threshold=0.5)
-    cont = D.containment_pairs_exact(docs, "doc_id", "text", n=5, threshold=0.8)
-    # containment is directional (doc_a is the contained one); fold to
-    # undirected edges with doc_a < doc_b so the three signals union
-    cont_und = cont.select(
-        F.least("doc_a", "doc_b").alias("doc_a"),
-        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    # Jaccard + containment share one posting-list pass (the expensive
+    # stages would otherwise run twice); SimHash is the third signal
+    overlap = D.overlap_pair_signals(
+        docs, "doc_id", "text", n=5,
+        jaccard_threshold=0.5, containment_threshold=0.8,
     )
     simh = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
-    pairs = (
-        jac.select("doc_a", "doc_b")
-        .union(cont_und)
-        .union(simh.select("doc_a", "doc_b"))
-        .distinct()
-    )
+    pairs = overlap.union(simh.select("doc_a", "doc_b")).distinct()
     return D.duplicate_clusters(pairs)
 
 
