@@ -583,3 +583,41 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers: score(d) = Σ 1/(k_const +
+    rank_r(d)) over the rankers that returned d — the standard hybrid
+    (sparse lexical ⊕ dense vector) retrieval combiner; rank-based, so
+    no score normalization across incomparable scales is needed.
+
+    One FULL OUTER join on the doc id (both inputs are top-N slices —
+    bounded), contributions rounded to 9 dp and summed as DECIMAL (the
+    engine's order-independent float discipline), final top-k via
+    orderBy+limit.  Returns (id, rrf_score, in_sparse, in_dense).
+    """
+    s = sparse.select(F.col(id_col).alias("_id"),
+                      F.col(rank_col).alias("_rs"))
+    d = dense.select(F.col(id_col).alias("_id"),
+                     F.col(rank_col).alias("_rd"))
+    contrib = lambda r: F.coalesce(
+        F.round(F.lit(1.0) / (F.lit(k_const) + r), 9), F.lit(0.0)
+    ).cast("decimal(18,9)")
+    fused = (
+        s.join(d, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            (contrib(F.col("_rs")) + contrib(F.col("_rd")))
+            .cast("double").alias("rrf_score"),
+            F.col("_rs").isNotNull().alias("in_sparse"),
+            F.col("_rd").isNotNull().alias("in_dense"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

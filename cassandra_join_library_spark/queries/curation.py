@@ -682,3 +682,93 @@ def corpus_snapshot_diff(spark, sf_dir):
         )
     )
     return C.snapshot_diff(docs, v2, "doc_id", ["text"])
+
+
+@register("corpus_hybrid_rrf", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_len,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE term IN ('join', 'hash', 'vector', 'spark')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(CAST(1.0 AS DOUBLE)
+              + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                / (dfreq.df + CAST(0.5 AS DOUBLE)))
+           * tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (tf.tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl.dl * stats.n_docs
+                   / stats.total_len)),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), bm25 AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 100
+), sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM bm25
+), dense0 AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id = 0
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM dense0
+  ) WHERE rank <= 100
+), fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(round(CAST(1.0 AS DOUBLE) / (60 + s.rank), 9), 0.0)
+              AS DECIMAL(18,9))
+       + CAST(COALESCE(round(CAST(1.0 AS DOUBLE) / (60 + d.rank), 9), 0.0)
+              AS DECIMAL(18,9)) AS rrf,
+         s.rank IS NOT NULL AS in_sparse,
+         d.rank IS NOT NULL AS in_dense
+  FROM sparse s FULL OUTER JOIN dense d USING (doc_id)
+)
+SELECT doc_id, CAST(rrf AS DOUBLE) AS rrf_score, in_sparse, in_dense
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+""")
+def corpus_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-100 (terms {join, hash, vector,
+    spark}) fused with dense cosine top-100 (query vector vec_id=0)
+    by reciprocal-rank fusion — rank-based, so no cross-scale score
+    normalization; decimal-summed contributions, TakeOrdered top-20."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    sparse = C.bm25_search(
+        docs, "doc_id", "text",
+        query_terms=["join", "hash", "vector", "spark"], k=100,
+    )
+    # rank over the top-100 slice: a window over <= 100 rows (bounded
+    # by the limit, not by data)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse_r = sparse.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = S.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=100
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return S.rrf_fuse(sparse_r, dense, "doc_id", "rank", k_const=60, k=20)

@@ -45,6 +45,7 @@ ALLOW = {
         "corpus_mixture": "per-language rate table (|langs| rows) broadcast",
         "text_bigram_perplexity": "1-row vocabulary-size broadcast",
         "corpus_pmi_collocations": "1-row token-count broadcast",
+        "corpus_hybrid_rrf": "embedded BM25 stats broadcast + broadcast query vector",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -53,6 +54,7 @@ ALLOW = {
         "corpus_stats": "share-of-total over group aggregate rows",
         "value_histogram": "bin edges over 21 bins",
         "stratified_sample": "bounded global top-k over per-stratum winners",
+        "corpus_hybrid_rrf": "rank over the top-100 slice (<= 100 rows by limit)",
     },
     "cartesian_product": {},
     "python_udf": {},
