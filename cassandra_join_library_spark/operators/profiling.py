@@ -147,3 +147,25 @@ def value_outliers(
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII in place: each pattern class is replaced by its
+    placeholder token (``<SSN_LIKE>``, ``<EMAIL>``, ``<PHONE>``) — the
+    action the ``pii_flags`` decision feeds.  Map-only (three codegen
+    regexp_replace passes); patterns are RE2-compatible so the SQL
+    oracle reproduces the output byte-for-byte.
+
+    Replacement ORDER is part of the contract: ssn_like runs before
+    phone because the broader phone pattern also matches an SSN shape —
+    applying phone first would redact SSNs under the wrong label.
+    Returns (id, redacted_text, has_redactions).
+    """
+    out = F.col(text_col)
+    for name in ("ssn_like", "email", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        out.alias("redacted_text"),
+        (out != F.col(text_col)).alias("has_redactions"),
+    )

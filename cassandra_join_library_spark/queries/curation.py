@@ -772,3 +772,49 @@ def corpus_hybrid_rrf(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=100
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return S.rrf_fuse(sparse_r, dense, "doc_id", "rank", k_const=60, k=20)
+
+
+@register("text_pii_redact", oracle="""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or +1 555-000-1234 ssn 123-45-6789'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN_LIKE>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted_text,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN_LIKE>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') <> text AS has_redactions
+FROM injected
+""")
+def text_pii_redact(spark, sf_dir):
+    """PII redaction (the action behind the pii_flags decision): every
+    third doc gets an injected email + phone + SSN, then the three
+    pattern classes are replaced by placeholder tokens in a fixed
+    order (SSN before the broader phone pattern) — byte-for-byte
+    oracled."""
+    from ..operators.profiling import pii_redact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com or +1 555-000-1234 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_redact(injected, "doc_id", "text")
