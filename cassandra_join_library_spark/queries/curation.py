@@ -818,3 +818,53 @@ def text_pii_redact(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     return pii_redact(injected, "doc_id", "text")
+
+
+@register("mm_bmp_parse", oracle="""
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 640 + 1 AS width,
+         doc_id % 480 + 1 AS height
+  FROM documents
+), built AS (
+  SELECT doc_id, width, height,
+         from_hex(
+           '424d' || '36000000' || '00000000' || '36000000' || '28000000'
+           || lpad(to_hex(width % 256), 2, '0')
+              || lpad(to_hex((width // 256) % 256), 2, '0') || '0000'
+           || lpad(to_hex(height % 256), 2, '0')
+              || lpad(to_hex((height // 256) % 256), 2, '0') || '0000'
+           || '0100' || '1800' || repeat('00', 24)
+         ) AS payload
+  FROM src
+), hx AS (
+  SELECT doc_id, width, height, hex(payload) AS h, octet_length(payload) AS n
+  FROM built
+)
+SELECT doc_id,
+       n >= 54 AND substr(h, 1, 4) = '424D' AS is_bmp,
+       CAST(('0x' || substr(h, 37, 2))::BIGINT
+            + ('0x' || substr(h, 39, 2))::BIGINT * 256
+            + ('0x' || substr(h, 41, 2))::BIGINT * 65536
+            + ('0x' || substr(h, 43, 2))::BIGINT * 16777216 AS BIGINT)
+         AS bmp_width,
+       CAST(('0x' || substr(h, 45, 2))::BIGINT
+            + ('0x' || substr(h, 47, 2))::BIGINT * 256
+            + ('0x' || substr(h, 49, 2))::BIGINT * 65536
+            + ('0x' || substr(h, 51, 2))::BIGINT * 16777216 AS BIGINT)
+         AS bmp_height,
+       CAST(('0x' || substr(h, 57, 2))::BIGINT
+            + ('0x' || substr(h, 59, 2))::BIGINT * 256 AS BIGINT) AS bpp
+FROM hx
+""")
+def mm_bmp_parse(spark, sf_dir):
+    """REAL binary-format decode without codec libraries: build
+    spec-conformant BMP headers, then parse magic/width/height/bpp
+    back from the payload BYTES by little-endian offset arithmetic —
+    upgrading the multimodal decode story from a labeled fake to an
+    actual format parser, byte-for-byte oracled."""
+    from ..operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    built = M.synthesize_bmp(docs, "doc_id")
+    return M.parse_bmp_metadata(built, "doc_id", "payload")

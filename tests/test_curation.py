@@ -231,3 +231,25 @@ def test_snapshot_diff_invariants(spark, docs):
             raise AssertionError(f"unexpected status {st} for {i}")
     assert sum(1 for s in d.values() if s == "removed") == \
         base.filter(F.col("doc_id") % 5 == 0).count()
+
+
+def test_bmp_parser_rejects_non_bmp(spark, docs):
+    from cassandra_join_library_spark.operators import multimodal as M
+
+    built = M.synthesize_bmp(docs.select("doc_id").limit(10), "doc_id")
+    good = M.parse_bmp_metadata(built, "doc_id").collect()
+    assert all(r["is_bmp"] and r["bpp"] == 24 for r in good)
+    # corrupt payloads (text bytes / truncated header) parse as non-BMP
+    # with NULL fields, never an error
+    bad = M.parse_bmp_metadata(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .limit(10),
+        "doc_id",
+    ).collect()
+    assert all(not r["is_bmp"] and r["bmp_width"] is None for r in bad)
+    trunc = M.parse_bmp_metadata(
+        built.select("doc_id",
+                     F.expr("substring(payload, 1, 10)").alias("payload")),
+        "doc_id",
+    ).collect()
+    assert all(not r["is_bmp"] for r in trunc)
