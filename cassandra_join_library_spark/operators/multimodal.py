@@ -234,3 +234,79 @@ def parse_bmp_metadata(df: DataFrame, id_col: str,
         guard(le_at(23, 4)).alias("bmp_height"),
         guard(le_at(29, 2)).alias("bpp"),
     )
+
+
+def synthesize_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Spec-conformant 44-byte WAV (RIFF/PCM) headers as binary
+    payloads — the audio twin of :func:`synthesize_bmp`.  Sample rate
+    cycles through common rates, channels alternate mono/stereo, 16
+    bps.  Returns (id, sample_rate, channels, payload)."""
+    rate = (
+        F.when(F.col(id_col) % 3 == 0, 16000)
+        .when(F.col(id_col) % 3 == 1, 22050)
+        .otherwise(44100)
+    )
+    ch = (F.col(id_col) % 2 + 1)
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    byte_rate = rate * ch * 2
+    header_hex = F.concat(
+        F.lit("52494646"),     # 'RIFF'
+        le(F.lit(36), 4),      # chunk size (no data)
+        F.lit("57415645"),     # 'WAVE'
+        F.lit("666d7420"),     # 'fmt '
+        le(F.lit(16), 4),      # fmt chunk size
+        le(F.lit(1), 2),       # PCM
+        le(ch, 2),             # channels
+        le(rate, 4),           # sample rate
+        le(byte_rate, 4),      # byte rate
+        le(ch * 2, 2),         # block align
+        le(F.lit(16), 2),      # bits per sample
+        F.lit("64617461"),     # 'data'
+        le(F.lit(0), 4),       # data size
+    )
+    return df.select(
+        F.col(id_col),
+        rate.cast("bigint").alias("sample_rate"),
+        ch.cast("bigint").alias("channels"),
+        F.unhex(header_hex).alias("payload"),
+    )
+
+
+def parse_wav_metadata(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """Parse RIFF/WAV header fields (channels, sample rate, bits per
+    sample) from the payload bytes — same zero-library offset
+    arithmetic as :func:`parse_bmp_metadata`; non-WAV payloads come
+    back ``is_wav=false`` with NULL fields.  Returns (id, is_wav,
+    wav_channels, wav_sample_rate, wav_bps)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    is_wav = (
+        (F.octet_length(payload_col) >= 44)
+        & (F.substring(hx, 1, 8) == F.lit("52494646"))
+        & (F.substring(hx, 17, 8) == F.lit("57415645"))
+    )
+    guard = lambda c: F.when(is_wav, c)
+    return df.select(
+        F.col(id_col),
+        is_wav.alias("is_wav"),
+        guard(le_at(23, 2)).alias("wav_channels"),
+        guard(le_at(25, 4)).alias("wav_sample_rate"),
+        guard(le_at(35, 2)).alias("wav_bps"),
+    )

@@ -868,3 +868,57 @@ def mm_bmp_parse(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     built = M.synthesize_bmp(docs, "doc_id")
     return M.parse_bmp_metadata(built, "doc_id", "payload")
+
+
+@register("mm_wav_parse", oracle="""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 16000
+              WHEN doc_id % 3 = 1 THEN 22050
+              ELSE 44100 END AS rate,
+         doc_id % 2 + 1 AS ch
+  FROM documents
+), built AS (
+  SELECT doc_id, rate, ch,
+         from_hex(
+           '52494646' || '24000000' || '57415645' || '666d7420'
+           || '10000000' || '0100'
+           || lpad(to_hex(ch % 256), 2, '0') || '00'
+           || lpad(to_hex(rate % 256), 2, '0')
+              || lpad(to_hex((rate // 256) % 256), 2, '0')
+              || lpad(to_hex((rate // 65536) % 256), 2, '0') || '00'
+           || lpad(to_hex((rate * ch * 2) % 256), 2, '0')
+              || lpad(to_hex(((rate * ch * 2) // 256) % 256), 2, '0')
+              || lpad(to_hex(((rate * ch * 2) // 65536) % 256), 2, '0') || '00'
+           || lpad(to_hex((ch * 2) % 256), 2, '0') || '00'
+           || '1000' || '64617461' || '00000000'
+         ) AS payload
+  FROM src
+), hx AS (
+  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM built
+)
+SELECT doc_id,
+       n >= 44 AND substr(h, 1, 8) = '52494646'
+         AND substr(h, 17, 8) = '57415645' AS is_wav,
+       CAST(('0x' || substr(h, 45, 2))::BIGINT
+            + ('0x' || substr(h, 47, 2))::BIGINT * 256 AS BIGINT)
+         AS wav_channels,
+       CAST(('0x' || substr(h, 49, 2))::BIGINT
+            + ('0x' || substr(h, 51, 2))::BIGINT * 256
+            + ('0x' || substr(h, 53, 2))::BIGINT * 65536
+            + ('0x' || substr(h, 55, 2))::BIGINT * 16777216 AS BIGINT)
+         AS wav_sample_rate,
+       CAST(('0x' || substr(h, 69, 2))::BIGINT
+            + ('0x' || substr(h, 71, 2))::BIGINT * 256 AS BIGINT) AS wav_bps
+FROM hx
+""")
+def mm_wav_parse(spark, sf_dir):
+    """RIFF/WAV header decode (the audio twin of mm_bmp_parse):
+    channels, sample rate, and bit depth parsed from real
+    spec-conformant header bytes by offset arithmetic — zero codec
+    libraries, byte-for-byte oracled."""
+    from ..operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    built = M.synthesize_wav(docs, "doc_id")
+    return M.parse_wav_metadata(built, "doc_id", "payload")
