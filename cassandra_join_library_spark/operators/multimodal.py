@@ -310,3 +310,58 @@ def parse_wav_metadata(df: DataFrame, id_col: str,
         guard(le_at(25, 4)).alias("wav_sample_rate"),
         guard(le_at(35, 2)).alias("wav_bps"),
     )
+
+
+def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Spec-conformant PNG signature + IHDR chunk as binary payloads —
+    the BIG-endian counterpart of :func:`synthesize_bmp` (PNG stores
+    integers network-order).  8-bit RGBA, deterministic dimensions.
+    Returns (id, width, height, payload)."""
+    wid = (F.col(id_col) % 1024 + 1).cast("bigint")
+    hei = (F.col(id_col) % 768 + 1).cast("bigint")
+    be32 = lambda x: F.lpad(F.hex(x.cast("bigint")), 8, "0")
+    header_hex = F.concat(
+        F.lit("89504e470d0a1a0a"),  # PNG signature
+        F.lit("0000000d"),          # IHDR length (13)
+        F.lit("49484452"),          # 'IHDR'
+        be32(wid),                  # width  (int32 BE)
+        be32(hei),                  # height (int32 BE)
+        F.lit("08"),                # bit depth
+        F.lit("06"),                # color type RGBA
+        F.lit("000000"),            # compression/filter/interlace
+        F.lit("00000000"),          # CRC placeholder
+    )
+    return df.select(
+        F.col(id_col), wid.alias("width"), hei.alias("height"),
+        F.unhex(header_hex).alias("payload"),
+    )
+
+
+def parse_png_metadata(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """Parse PNG IHDR fields (width, height, bit depth, color type)
+    from the payload bytes — BIG-endian offset arithmetic, same
+    zero-library pattern as the BMP/WAV parsers; non-PNG payloads
+    come back ``is_png=false`` with NULL fields.  Returns (id,
+    is_png, png_width, png_height, bit_depth, color_type)."""
+    hx = F.hex(F.col(payload_col))
+
+    def be_at(byte_off, nbytes):  # 1-based byte offset, big-endian
+        return F.conv(
+            F.substring(hx, (byte_off - 1) * 2 + 1, nbytes * 2), 16, 10
+        ).cast("bigint")
+
+    is_png = (
+        (F.octet_length(payload_col) >= 33)
+        & (F.substring(hx, 1, 16) == F.lit("89504E470D0A1A0A"))
+        & (F.substring(hx, 25, 8) == F.lit("49484452"))
+    )
+    guard = lambda c: F.when(is_png, c)
+    return df.select(
+        F.col(id_col),
+        is_png.alias("is_png"),
+        guard(be_at(17, 4)).alias("png_width"),
+        guard(be_at(21, 4)).alias("png_height"),
+        guard(be_at(25, 1)).alias("bit_depth"),
+        guard(be_at(26, 1)).alias("color_type"),
+    )

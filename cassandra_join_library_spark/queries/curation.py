@@ -922,3 +922,42 @@ def mm_wav_parse(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     built = M.synthesize_wav(docs, "doc_id")
     return M.parse_wav_metadata(built, "doc_id", "payload")
+
+
+@register("mm_png_parse", oracle="""
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 1024 + 1 AS width,
+         doc_id % 768 + 1 AS height
+  FROM documents
+), built AS (
+  SELECT doc_id,
+         from_hex(
+           '89504e470d0a1a0a' || '0000000d' || '49484452'
+           || lpad(to_hex(width), 8, '0')
+           || lpad(to_hex(height), 8, '0')
+           || '08' || '06' || '000000' || '00000000'
+         ) AS payload
+  FROM src
+), hx AS (
+  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM built
+)
+SELECT doc_id,
+       n >= 33 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+         AND substr(h, 25, 8) = '49484452' AS is_png,
+       ('0x' || substr(h, 33, 8))::BIGINT AS png_width,
+       ('0x' || substr(h, 41, 8))::BIGINT AS png_height,
+       ('0x' || substr(h, 49, 2))::BIGINT AS bit_depth,
+       ('0x' || substr(h, 51, 2))::BIGINT AS color_type
+FROM hx
+""")
+def mm_png_parse(spark, sf_dir):
+    """PNG IHDR decode — the BIG-endian image twin of mm_bmp_parse
+    (network-order width/height/depth/color-type), parsed from real
+    signature+IHDR bytes with zero codec libraries; byte-for-byte
+    oracled."""
+    from ..operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    built = M.synthesize_png(docs, "doc_id")
+    return M.parse_png_metadata(built, "doc_id", "payload")
