@@ -636,24 +636,39 @@ def ngram_novelty(
     document is mostly assembled from text that exists elsewhere in
     the corpus (template spam, aggregator pages), even when no single
     pair crosses a near-dup threshold.  Same posting-list shape as the
-    Jaccard operators: shingle document frequencies are one bounded
-    groupBy (map-side combine), joined back to the postings, and the
-    per-doc aggregate divides exact BIGINT counts — no float
-    accumulation, fully oracle-checkable.  Returns (doc_id,
-    n_shingles, n_novel, novelty) with novelty rounded to 6 dp.
+    Jaccard operators, but the join is NOVEL-SIDE ONLY: per-doc
+    shingle totals need no join at all (one groupBy over the
+    postings), and n_novel comes from joining the postings against
+    just the df=1 shingles — in a crawl-scale corpus the vast
+    majority of shingles are shared boilerplate (df > 1), so the join
+    build side and its output shrink from |postings| to |novel
+    postings| (this was the growth term when the curation report was
+    measured at 5.2x per 10x data).  Exact BIGINT counts, fully
+    oracle-checkable.  Returns (doc_id, n_shingles, n_novel, novelty)
+    with novelty rounded to 6 dp.
     """
-    sh = shingles(df, id_col, text_col, n=n)
-    dfreq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    sh = shingles(df, id_col, text_col, n=n).persist()
+    sh.count()  # eager: totals, dfreq, and the novel join all read it
+    totals = sh.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") == 1)
+        .select("shingle")
+    )
+    novel_counts = (
+        sh.join(novel_shingles, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
     )
     return (
-        sh.join(dfreq, "shingle")
-        .groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_novel"),
+        totals.join(novel_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .withColumn(
             "novelty",
