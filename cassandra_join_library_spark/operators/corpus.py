@@ -779,3 +779,60 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(F.col("_id").alias(id_col), "status")
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-budget mixture planning: given a global training-token
+    budget and a target weight per source, compute each source's token
+    supply, the sampling fraction that hits its share of the budget,
+    and the epoch count (oversampling factor) when the share exceeds
+    the supply — the planning table a data-mixture run materializes
+    before sampling (the planning half of :func:`mixture_rebalance`,
+    which executes a fixed temperature policy instead).
+
+    Target weights are derived deterministically from the source name
+    (``(source_number % 3) + 1``, normalized over the sources present)
+    so the plan — and its oracle — need no out-of-band weight table;
+    swap in a literal weight map in production.  Cost: one per-source
+    aggregate (map-side combined, |sources| rows) plus a broadcast of
+    the one-row weight total — no data-sized shuffle at any scale.
+    Returns (source, n_docs, n_tokens, target_weight, target_tokens,
+    sample_frac, epochs, expected_tokens).
+    """
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    raw_w = (
+        F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("bigint") % 3 + 1
+    ).cast("double")
+    weighted = per_source.withColumn("_w", raw_w)
+    total = weighted.agg(F.sum("_w").alias("_wtot"))
+    share = F.col("_w") / F.col("_wtot")
+    target_tokens = F.floor(share * F.lit(float(budget_tokens))).cast("bigint")
+    ratio = target_tokens / F.col("n_tokens")
+    sample_frac = F.round(F.least(F.lit(1.0), ratio), round_to)
+    epochs = F.greatest(F.lit(1.0), ratio)
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_tokens",
+            F.round(share, round_to).alias("target_weight"),
+            target_tokens.alias("target_tokens"),
+            sample_frac.alias("sample_frac"),
+            F.ceil(epochs).cast("bigint").alias("epochs"),
+            F.floor(sample_frac * F.col("n_tokens")).cast("bigint")
+            .alias("expected_tokens"),
+        )
+    )

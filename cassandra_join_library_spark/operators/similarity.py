@@ -621,3 +621,121 @@ def rrf_fuse(
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Radius (range) search: every corpus vector with cosine >=
+    threshold of each query — the vector-DB "range query" twin of
+    :func:`cosine_topk_bruteforce` (fixed similarity bar instead of a
+    fixed result count, so callers see ALL sufficiently-close matches,
+    e.g. for recall-critical contamination checks).
+
+    Same plan as the top-k path minus the ranking window: the (small)
+    query side is broadcast, the corpus is scanned once map-only with
+    the threshold applied inline — no corpus shuffle, no window, and
+    the output is bounded by the hit count rather than k·|queries|.
+    Returns (query_id, neighbor_id, cosine_sim).
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"),
+    )
+    sim = F.round(
+        cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")),
+        round_to,
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023 shape: partition the space, drop all-but-one of
+    each within-partition near-duplicate group).
+
+    The partitions here are DETERMINISTIC hyperplane sign buckets (the
+    portable md5-grid planes of :func:`lsh_cosine_pairs`, single
+    table) rather than trained k-means cells, which keeps the whole
+    pipeline replayable in the SQL oracle — bucket assignment, exact
+    within-bucket cosine, and the keep/drop verdict are all
+    value-checked, not just recall-bounded.  A vector is DROPPED when
+    a lower-id vector in its bucket is within the threshold (keep-
+    first policy, the deterministic stand-in for SemDeDup's
+    keep-closest-to-centroid).
+
+    Scale shape: bucket assignment is one map-only pass (literal plane
+    arrays, constant-folded); the pair join is equi on bucket_id —
+    candidates never leave their bucket, so the quadratic term is
+    bounded by the largest bucket, not the corpus (2^n_planes buckets;
+    at 100 TB raise n_planes so mean bucket size stays O(10^3)).
+    Returns (vec_id, bucket_id, n_close, dropped).
+    """
+    n = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("_vec").alias("vec"),
+        F.col("_norm").alias("norm"),
+    )
+    bits = None
+    for p in range(n_planes):
+        bit = (_dot(F.col("vec"), _hyperplane(p, dim)) > 0).cast("long")
+        contrib = F.shiftleft(bit, p)
+        bits = contrib if bits is None else bits + contrib
+    b = n.withColumn("bucket_id", bits.cast("bigint"))
+    a_side = b.select(
+        F.col("id").alias("id_a"), F.col("bucket_id"),
+        F.col("vec").alias("va"), F.col("norm").alias("na"),
+    )
+    b_side = b.select(
+        F.col("id").alias("id_b"), F.col("bucket_id"),
+        F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+    )
+    sim = F.round(
+        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), round_to
+    )
+    close = (
+        a_side.join(b_side, "bucket_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    counts = (
+        close.select(F.col("id_a").alias("id"))
+        .unionAll(close.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_close"))
+    )
+    dropped = close.select(F.col("id_b").alias("id")).distinct() \
+        .withColumn("_dropped", F.lit(True))
+    return (
+        b.join(counts, "id", "left")
+        .join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "bucket_id",
+            F.coalesce(F.col("n_close"), F.lit(0)).cast("bigint")
+            .alias("n_close"),
+            F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+        )
+    )

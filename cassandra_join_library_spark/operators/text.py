@@ -344,3 +344,76 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(avg_nll, 6).alias("avg_nll"),
         F.round(F.exp(avg_nll), 6).alias("perplexity"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    min_stop_hits: int = 2,
+    max_top_word_ratio: float = 0.20,
+    max_symbol_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher/MassiveText-style document quality rules (Rae et al.
+    2021, table A1 shape): word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, stop-word presence, top-word
+    concentration (the single-line stand-in for the duplicate-line
+    fraction), and symbol-to-word ratio ('#' and '...').
+
+    Every metric is a per-row higher-order-function expression over
+    the token array — JVM codegen, map-only, no shuffle, no UDF — so
+    the filter runs at scan speed at any scale and every value is
+    reproducible in the SQL oracle.  The top-word ratio folds
+    count-per-distinct-token inside the row (O(distinct·n) per doc —
+    bounded by document length, not data size).  Returns the metric
+    columns, one boolean per rule, and the final ``passes_gopher``.
+    """
+    w = _words(text_col)
+    n_words = F.size(w).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.round(sum_len * F.lit(1.0) / n_words, 6)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("bigint")
+    alpha_frac = F.round(n_alpha * F.lit(1.0) / n_words, 6)
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w), sw)).cast("bigint")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+    ).cast("bigint")
+    top_ratio = F.round(top_count * F.lit(1.0) / n_words, 6)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("bigint")
+    symbol_ratio = F.round(n_symbols * F.lit(1.0) / n_words, 6)
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": stop_hits >= min_stop_hits,
+        "rule_top_word": top_ratio <= max_top_word_ratio,
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        top_ratio.alias("top_word_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes_gopher"),
+    )

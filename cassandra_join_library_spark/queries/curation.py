@@ -969,3 +969,265 @@ def mm_png_parse(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     built = M.synthesize_png(docs, "doc_id")
     return M.parse_png_metadata(built, "doc_id", "payload")
+
+
+# --- round-5 second wave: rule-based quality filtering, semantic
+# dedup, radius search, and mixture planning (registered here, after
+# the first-50 window, per the rotation ledger in registry.py) ---
+
+
+@register("text_gopher_rules", oracle="""
+WITH x AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w), 6)
+           AS mean_word_len,
+         round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+               * 1.0 / len(w), 6) AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(w),
+                                 ['the','a','and','of','to','is']))
+              AS BIGINT) AS n_stop_hits,
+         round(list_max(list_transform(list_distinct(w),
+                 d -> len(list_filter(w, t -> t = d)))) * 1.0 / len(w), 6)
+           AS top_word_ratio,
+         round(len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(w), 6)
+           AS symbol_ratio
+  FROM x
+), r AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AS rule_mean_word_len,
+         alpha_word_frac >= 0.8 AS rule_alpha_words,
+         n_stop_hits >= 2 AS rule_stopwords,
+         top_word_ratio <= 0.2 AS rule_top_word,
+         symbol_ratio <= 0.1 AS rule_symbol_ratio
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stop_hits,
+       top_word_ratio, symbol_ratio,
+       rule_word_count, rule_mean_word_len, rule_alpha_words,
+       rule_stopwords, rule_top_word, rule_symbol_ratio,
+       (rule_word_count AND rule_mean_word_len AND rule_alpha_words
+        AND rule_stopwords AND rule_top_word AND rule_symbol_ratio)
+         AS passes_gopher
+FROM r
+""")
+def text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule-based quality filter: six public
+    heuristic rules (word-count bounds, mean word length, alphabetic
+    fraction, stop-word presence, top-word concentration, symbol
+    ratio) as one map-only codegen pass — the rule-set curation
+    pipelines run BEFORE any model-based scoring; every metric and
+    every verdict value-oracled."""
+    return T.gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("dedup_semantic", oracle="""
+WITH pl AS (
+  SELECT p.p AS p,
+         list((('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                    CAST(j.j AS VARCHAR)), 1, 15))::BIGINT
+               % 2001 - 1000) / 1000.0 ORDER BY j.j) AS coeffs
+  FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+  GROUP BY 1
+), sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                             pl.coeffs) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket_id
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1
+), close AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a
+  JOIN sig b ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]), 6) >= 0.4
+), cnt AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM (
+    SELECT id_a AS vec_id FROM close
+    UNION ALL
+    SELECT id_b AS vec_id FROM close
+  ) GROUP BY 1
+), dr AS (
+  SELECT DISTINCT id_b AS vec_id FROM close
+)
+SELECT s.vec_id, s.bucket_id,
+       CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+       dr.vec_id IS NOT NULL AS dropped
+FROM sig s
+LEFT JOIN cnt c USING (vec_id)
+LEFT JOIN dr USING (vec_id)
+""")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings: partition
+    the space into deterministic hyperplane sign buckets, exact cosine
+    within each bucket, drop every vector with a lower-id neighbor at
+    cosine >= 0.4 (keep-first).  The quadratic term is bounded by the
+    largest bucket, never the corpus; bucket assignment, pair scores,
+    and verdicts are all replayed in SQL — a full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, "vec_id", "embedding",
+                            dim=64, n_planes=6, threshold=0.4)
+
+
+@register("ann_range_search", oracle="""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 10
+  AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]), 6) >= 0.35
+""")
+def ann_range_search(spark, sf_dir):
+    """Radius (range) similarity search: ALL neighbors with cosine >=
+    0.35 of each query vector (vec_id < 10) — the fixed-similarity-bar
+    twin of ann_topk_bruteforce (recall-critical callers want every
+    match, not the k best); broadcast queries, map-only corpus pass,
+    no window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.radius_search(emb, queries, "vec_id", "embedding",
+                           threshold=0.35)
+
+
+@register("corpus_token_budget_plan", oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 3 + 1
+              AS DOUBLE) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(w) AS wtot FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(w / wtot, 6) AS target_weight,
+       CAST(floor((w / wtot) * 100000.0) AS BIGINT) AS target_tokens,
+       round(least(1.0,
+             CAST(floor((w / wtot) * 100000.0) AS BIGINT) / n_tokens), 6)
+         AS sample_frac,
+       CAST(ceil(greatest(1.0,
+             CAST(floor((w / wtot) * 100000.0) AS BIGINT) / n_tokens))
+            AS BIGINT) AS epochs,
+       CAST(floor(round(least(1.0,
+             CAST(floor((w / wtot) * 100000.0) AS BIGINT) / n_tokens), 6)
+             * n_tokens) AS BIGINT) AS expected_tokens
+FROM per_source CROSS JOIN tot
+""")
+def corpus_token_budget_plan(spark, sf_dir):
+    """Mixture planning: per-source token supply vs a 100k-token
+    budget split by deterministic target weights — sampling fraction,
+    epoch (oversample) count, and expected token yield per source, the
+    planning table a training-data mixer materializes before sampling.
+    One tiny per-source aggregate + a one-row weight-total broadcast;
+    exact to the oracle at every derived column."""
+    return C.token_budget_plan(_docs(spark, sf_dir), "doc_id", "text",
+                               "source", budget_tokens=100_000)
+
+
+@register("corpus_curation_report_capped", oracle="""
+WITH x AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
+  FROM documents
+), quality AS (
+  SELECT doc_id, n_tokens,
+         round(len(list_distinct(w)) * 1.0 / n_tokens, 6) AS uniq_ratio,
+         round(len(list_filter(w, t ->
+               list_contains(['the','a','and','of','to','is'], t))) * 1.0
+               / n_tokens, 6) AS stopword_ratio,
+         (n_tokens >= 10
+          AND round(len(list_distinct(w)) * 1.0 / n_tokens, 6) >= 0.1
+          AND round(alpha_chars * 1.0 / n_tokens, 6) <= 15.0) AS is_quality
+  FROM x
+), words5 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh5 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words5
+), dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh5 GROUP BY 1
+), novelty AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS novelty
+  FROM sh5 JOIN dfreq USING (shingle) GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words5 WHERE len(w) >= 3
+), b0 AS (
+  SELECT DISTINCT shingle, doc_id AS bdoc FROM g WHERE doc_id % 20 = 0
+), b AS (
+  SELECT shingle, bdoc FROM (
+    SELECT shingle, bdoc, COUNT(*) OVER (PARTITION BY shingle) AS bdf
+    FROM b0
+  ) WHERE bdf <= 1
+), hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_overlap
+  FROM g JOIN b ON g.shingle = b.shingle AND g.doc_id <> b.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM g GROUP BY 1
+), contam AS (
+  SELECT t.doc_id,
+         round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 6)
+           AS overlap_ratio,
+         coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles >= 0.5
+           AS is_contaminated
+  FROM tot t LEFT JOIN hits h USING (doc_id)
+)
+SELECT q.doc_id, q.n_tokens, q.uniq_ratio, q.stopword_ratio, q.is_quality,
+       n.novelty,
+       c.overlap_ratio, c.is_contaminated,
+       (q.is_quality
+        AND NOT coalesce(c.is_contaminated, FALSE)
+        AND coalesce(n.novelty, 1.0) >= 0.2) AS keep
+FROM quality q
+LEFT JOIN novelty n USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+""")
+def corpus_curation_report_capped(spark, sf_dir):
+    """The curation scorecard with the 100 TB knob engaged: the
+    contamination signal runs with ``max_bench_doc_freq=1`` (shingles
+    shared by multiple benchmark docs are non-discriminative and
+    multiply into every matching corpus doc — the join-output growth
+    term when the uncapped report was measured at 5.2x per 10x data).
+    Novelty already joins only df=1 shingles; quality is map-only.
+    Same report schema, bounded joins all the way down."""
+    docs = _docs(spark, sf_dir)
+    quality = T.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "uniq_ratio", "stopword_ratio", "is_quality"
+    )
+    novelty = D.ngram_novelty(docs, "doc_id", "text", n=5).select(
+        "doc_id", "novelty"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contam = C.contamination_overlap(
+        docs, "doc_id", "text", bench, n=3, max_bench_doc_freq=1
+    ).select("doc_id", "overlap_ratio", "is_contaminated")
+    keep = (
+        F.col("is_quality")
+        & ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+        & (F.coalesce(F.col("novelty"), F.lit(1.0)) >= 0.2)
+    )
+    return (
+        quality.join(novelty, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("keep", keep)
+    )

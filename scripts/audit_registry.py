@@ -27,6 +27,8 @@ ALLOW = {
         "corpus_contamination_capped": "scalar broadcast",
         "corpus_e2e_pipeline": "scalar broadcast in embedded stages",
         "ann_topk_bruteforce": "broadcast query side, theta self-pair filter",
+        "ann_range_search": "broadcast query side, theta self-pair filter",
+        "corpus_token_budget_plan": "1-row weight-total broadcast",
         "ann_hard_negatives": "broadcast query side, label-inequality join",
         "ann_ivf_topk": "broadcast centroid set (constant size)",
         "ann_ivf_kmeans_topk": "broadcast centroid set (constant size)",

@@ -253,3 +253,94 @@ def test_bmp_parser_rejects_non_bmp(spark, docs):
         "doc_id",
     ).collect()
     assert all(not r["is_bmp"] for r in trunc)
+
+
+def test_gopher_rules_verdict_consistency(spark, docs):
+    """passes_gopher == AND of the six rule booleans, and each rule
+    boolean agrees with re-deriving it from the metric columns."""
+    from cassandra_join_library_spark.operators import text as T
+
+    out = T.gopher_rules(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()
+    for r in out:
+        rules = [
+            r["rule_word_count"], r["rule_mean_word_len"],
+            r["rule_alpha_words"], r["rule_stopwords"],
+            r["rule_top_word"], r["rule_symbol_ratio"],
+        ]
+        assert r["passes_gopher"] == all(rules)
+        assert r["rule_word_count"] == (50 <= r["n_words"] <= 100_000)
+        assert r["rule_top_word"] == (r["top_word_ratio"] <= 0.20)
+        # pure-alpha single-space corpus: alpha fraction is exactly 1
+        assert r["alpha_word_frac"] == 1.0
+        assert 0.0 < r["top_word_ratio"] <= 1.0
+
+
+def test_semantic_dedup_drop_set_vs_exact_pairs(spark, emb):
+    """Dropped => a lower-id same-bucket neighbor at >= threshold
+    exists; every dropped id also appears in the EXACT pair set (the
+    bucketing can only miss pairs, never invent them); n_close
+    consistency."""
+    out = S.semantic_dedup(emb, "vec_id", "embedding",
+                           dim=64, n_planes=6, threshold=0.4).persist()
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()
+    exact = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in S.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    exact_ids = set().union(*exact) if exact else set()
+    dropped = {v for v, r in rows.items() if r["dropped"]}
+    assert dropped, "threshold 0.4 should drop at least one vector"
+    assert dropped <= exact_ids
+    for v, r in rows.items():
+        if r["dropped"]:
+            assert r["n_close"] >= 1
+        if r["n_close"] == 0:
+            assert not r["dropped"]
+
+
+def test_radius_search_consistent_with_topk(spark, emb):
+    """Every top-k hit above the radius threshold appears in the
+    radius result with the same score; radius never returns below
+    threshold."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    radius = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in S.radius_search(
+            emb, queries, "vec_id", "embedding", threshold=0.35
+        ).collect()
+    }
+    assert all(v >= 0.35 for v in radius.values())
+    topk = S.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).collect()
+    for r in topk:
+        if r["cosine_sim"] >= 0.35:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in radius and radius[key] == r["cosine_sim"]
+
+
+def test_token_budget_plan_bounds(spark, docs):
+    """Fractions in (0, 1]; expected tokens never exceed supply or
+    (by more than rounding) the target; epochs >= 1 and > 1 only when
+    the target exceeds the supply."""
+    out = C.token_budget_plan(docs, "doc_id", "text", "source",
+                              budget_tokens=100_000).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    total_weight = sum(r["target_weight"] for r in out)
+    assert abs(total_weight - 1.0) < 1e-3
+    for r in out:
+        assert 0.0 < r["sample_frac"] <= 1.0
+        assert r["expected_tokens"] <= r["n_tokens"]
+        assert r["epochs"] >= 1
+        if r["target_tokens"] <= r["n_tokens"]:
+            assert r["epochs"] == 1
+            # expected ~= target (rounding of the fraction only)
+            assert abs(r["expected_tokens"] - r["target_tokens"]) \
+                <= r["n_tokens"] * 1e-5 + 1
+        else:
+            assert r["sample_frac"] == 1.0
+            assert r["epochs"] > 1
