@@ -1231,3 +1231,73 @@ def corpus_curation_report_capped(spark, sf_dir):
         .join(contam, "doc_id", "left")
         .withColumn("keep", keep)
     )
+
+
+@register("text_c4_line_filter", oracle="""
+WITH w0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), built AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(w) / 12.0) AS BIGINT) - 1),
+           i -> array_to_string(w[i*12+1 : i*12+12], ' ')
+                || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+         ) AS lines0
+  FROM w0
+), injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN list_append(lines0,
+                               'lorem ipsum dolor sit amet consectetur.')
+              ELSE lines0 END AS lines
+  FROM built
+), kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           len(string_split(l, ' ')) >= 5
+           AND regexp_matches(l, '[.!?"]$')
+           AND NOT contains(lower(l), 'lorem ipsum')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(l, '{')) AS keep_lines
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keep_lines) AS BIGINT) AS n_kept,
+       round(len(keep_lines) * 1.0 / len(lines), 6) AS kept_ratio,
+       coalesce(array_to_string(keep_lines, chr(10)), '') AS filtered_text,
+       len(keep_lines) < 3 AS dropped
+FROM kept
+""")
+def text_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning.  The corpus ships as single-line
+    docs, so the query deterministically builds line structure first
+    (12-word lines; every line except each doc's (doc_id+i)%4==0-th
+    gets terminal punctuation; every 17th doc gets an injected 'lorem
+    ipsum' line) — then the operator keeps only well-formed lines and
+    re-assembles the text, dropping docs with < 3 surviving lines.
+    Construction, filtering, and the re-assembled bytes are all
+    value-oracled."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(12.0)).cast("bigint")
+    lines0 = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, (i * 12 + 1).cast("int"), 12), " "),
+            F.when((F.col("doc_id") + i) % 4 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            lines0,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur.")),
+        ),
+    ).otherwise(lines0)
+    structured = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return T.c4_line_filter(structured, "doc_id", "text")

@@ -344,3 +344,31 @@ def test_token_budget_plan_bounds(spark, docs):
         else:
             assert r["sample_frac"] == 1.0
             assert r["epochs"] > 1
+
+
+def test_c4_line_filter_semantics(spark):
+    """Kept lines survive verbatim in order; short/unpunctuated/
+    boilerplate lines go; doc dropped iff < 3 lines survive."""
+    from cassandra_join_library_spark.operators import text as T
+
+    rows = [
+        (1, "this line has five good words.\nshort line.\n"
+            "another perfectly reasonable line right here!\n"
+            "a line that simply does not end\n"
+            "we saw some lorem ipsum boilerplate here.\n"
+            "final valid sentence with enough words?"),
+        (2, "only one good line in this document.\nbad\nbad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in
+           T.c4_line_filter(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 6 and r1["n_kept"] == 3
+    assert r1["filtered_text"].split("\n") == [
+        "this line has five good words.",
+        "another perfectly reasonable line right here!",
+        "final valid sentence with enough words?",
+    ]
+    assert not r1["dropped"]
+    r2 = out[2]
+    assert r2["n_kept"] == 1 and r2["dropped"]
