@@ -382,8 +382,10 @@ def pack_sequences(
         boff_rows.append((b, running))
         running += t
     spark = chunks.sparkSession
-    boffs = spark.createDataFrame(
-        boff_rows or [(0, 0)], "_bkt bigint, _bkt_off bigint"
+    from ..sources.catalog import local_frame
+
+    boffs = local_frame(
+        spark, boff_rows or [(0, 0)], "_bkt bigint, _bkt_off bigint"
     )
     offsets = (
         dt.join(F.broadcast(boffs), "_bkt")

@@ -134,7 +134,10 @@ def cosine_pairs_blocked(
     exact path.
     """
     spark = df.sparkSession
-    pairs = spark.createDataFrame(
+    from ..sources.catalog import local_frame
+
+    pairs = local_frame(
+        spark,
         [(i * n_blocks + j, i, j)
          for i in range(n_blocks) for j in range(i, n_blocks)],
         "pid bigint, bi int, bj int",

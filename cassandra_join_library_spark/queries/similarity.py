@@ -175,7 +175,10 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     _, centroids = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
-    cent_df = spark.createDataFrame(
+    from ..sources.catalog import local_frame
+
+    cent_df = local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cent_id BIGINT, embedding ARRAY<DOUBLE>",
     )

@@ -287,3 +287,43 @@ def qualify(df: DataFrame, alias: str) -> DataFrame:
     column pruning / filter pushdown intact (rename is a no-op in the
     physical plan)."""
     return df.select([df[c].alias(f"{alias}_{c}") for c in df.columns])
+
+
+def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
+    """Driver-local rows → a JVM ``LocalTableScan``-backed DataFrame.
+
+    ``spark.createDataFrame(list_of_rows)`` routes through a pickled
+    Python RDD: the scan launches Python workers at EXECUTION time just
+    to re-serialize a handful of driver rows (seconds of fixed latency
+    per action in a cold environment) and carries UNKNOWN size
+    statistics, so a join against it can never broadcast — a 3-row
+    theta join plans as an n_slices × n_slices CartesianProduct.
+    Converting through pandas + Arrow instead materializes the rows as
+    a JVM local relation: no Python worker at execution time, real
+    stats (tiny side broadcasts), and the plan shows ``LocalTableScan``.
+
+    Use for every constant/driver-small relation fed into a plan
+    (centroid tables, block-pair generators, bucket offsets, in-memory
+    test fixtures).  ``rows`` may be Rows, dicts, or tuples (tuples
+    require ``schema``); ``schema`` is a DDL string or StructType.
+    Without a schema, pandas nullable dtypes preserve integer columns
+    that contain None.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if schema is not None:
+        names = (
+            StructType.fromDDL(schema).fieldNames()
+            if isinstance(schema, str) else schema.fieldNames()
+        )
+        dicts = [
+            r.asDict() if hasattr(r, "asDict")
+            else (dict(r) if isinstance(r, dict)
+                  else dict(zip(names, r)))
+            for r in rows
+        ]
+        pdf = pd.DataFrame(dicts, columns=names)
+        return spark.createDataFrame(pdf, schema=schema)
+    dicts = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    return spark.createDataFrame(pd.DataFrame(dicts).convert_dtypes())

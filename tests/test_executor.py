@@ -15,10 +15,20 @@ from .conftest import SF_SMOKE
 
 
 class MemCatalog(Catalog):
-    """In-memory tables for null/coercion edge cases."""
+    """In-memory tables for null/coercion edge cases.
+
+    Built via ``local_frame`` (JVM LocalTableScan) on purpose:
+    Python-row DataFrames scan as ExistingRDD — Python workers at
+    execution time (~5 s fixed latency per action here) and UNKNOWN
+    size stats, so a 3-row theta join plans as a 32x32-partition
+    CartesianProduct instead of a broadcast nested loop."""
 
     def __init__(self, spark, tables: dict):
-        self._dfs = {name: spark.createDataFrame(rows) for name, rows in tables.items()}
+        from cassandra_join_library_spark.sources.catalog import local_frame
+
+        self._dfs = {
+            name: local_frame(spark, rows) for name, rows in tables.items()
+        }
 
     def load(self, spark, table):
         return self._dfs[table]
