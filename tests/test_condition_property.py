@@ -13,6 +13,7 @@ from pyspark.sql import Row
 
 from cassandra_join_library_spark import Condition, JoinExecutor, TableInfo
 from cassandra_join_library_spark.sources.catalog import Catalog
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 ROWS = [
     {"id": i, "a": a, "b": b, "c": c}
@@ -99,7 +100,7 @@ class _Cat(Catalog):
 
 @pytest.fixture(scope="module")
 def tdf(spark):
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         [Row(**r) for r in ROWS],
         schema="id int, a int, b double, c string",
     ).cache()

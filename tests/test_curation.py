@@ -11,6 +11,7 @@ from cassandra_join_library_spark.operators import corpus as C
 from cassandra_join_library_spark.operators import dedup as D
 from cassandra_join_library_spark.operators import similarity as S
 from cassandra_join_library_spark.sources.catalog import load_table
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 from .conftest import SF_SMOKE
 
@@ -179,7 +180,7 @@ def test_normalize_text_idempotent_and_charset(spark):
         (5, "MiXeD CaSe 123 #tag @user"),
         (6, "unicode: café naïve 中文"),
     ]
-    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df = local_frame(spark, rows, "doc_id bigint, text string")
     once = T.normalize_text(df, "doc_id", "text")
     twice = T.normalize_text(
         once.select("doc_id", F.col("norm_text").alias("text")),
@@ -359,7 +360,7 @@ def test_c4_line_filter_semantics(spark):
             "final valid sentence with enough words?"),
         (2, "only one good line in this document.\nbad\nbad"),
     ]
-    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    df = local_frame(spark, rows, "doc_id BIGINT, text STRING")
     out = {r["doc_id"]: r for r in
            T.c4_line_filter(df, "doc_id", "text").collect()}
     r1 = out[1]

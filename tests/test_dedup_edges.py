@@ -10,12 +10,13 @@ from cassandra_join_library_spark.operators import profiling as P
 from cassandra_join_library_spark.operators.dedup import (
     duplicate_clusters, jaccard_pairs_exact, minhash_lsh_pairs,
 )
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 from .conftest import SF_ORACLE
 
 
 def test_short_docs_through_repetition_and_bigrams(spark):
-    df = spark.createDataFrame([
+    df = local_frame(spark, [
         Row(doc_id=1, text="single"),
         Row(doc_id=2, text=""),
         Row(doc_id=3, text="two words"),
@@ -83,7 +84,7 @@ def test_clustering_matches_union_find_on_random_graphs(spark):
         chain = list(range(100, 100 + rng.randint(10, 25)))
         edges |= {(a, a + 1) for a in chain[:-1]}
         want = union_find_components(sorted(edges))
-        pairs = spark.createDataFrame(
+        pairs = local_frame(spark, 
             [Row(doc_a=a, doc_b=b) for a, b in sorted(edges)]
         )
         got = {r["doc_id"]: r["cluster_id"]
@@ -94,7 +95,7 @@ def test_clustering_matches_union_find_on_random_graphs(spark):
 def test_unconverged_clustering_raises(spark):
     # chain of diameter 5 with max_iterations=2 must refuse, not return
     # silently split clusters
-    pairs = spark.createDataFrame(
+    pairs = local_frame(spark, 
         [Row(doc_a=i, doc_b=i + 1) for i in range(6)]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
@@ -110,7 +111,7 @@ def test_duplicate_passages_maximal_runs(spark):
     once with exact positions, not split or extended."""
     from cassandra_join_library_spark.operators.dedup import duplicate_passages
 
-    docs = spark.createDataFrame([
+    docs = local_frame(spark, [
         Row(doc_id=1, text="a b SHARED1 SHARED2 SHARED3 SHARED4 x y"),
         Row(doc_id=2, text="q SHARED1 SHARED2 SHARED3 SHARED4 r s t"),
         Row(doc_id=3, text="zz"),  # shorter than k -> no grams
@@ -129,7 +130,7 @@ def test_duplicate_passages_stop_gram_cap(spark):
     would create (min_run=1 so they would otherwise surface)."""
     from cassandra_join_library_spark.operators.dedup import duplicate_passages
 
-    docs = spark.createDataFrame([
+    docs = local_frame(spark, [
         Row(doc_id=1, text="HOT1 HOT2 HOT3 a b"),
         Row(doc_id=2, text="c HOT1 HOT2 HOT3 d"),
         Row(doc_id=3, text="e f HOT1 HOT2 HOT3"),

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from cassandra_join_library_spark.operators.edjoin import edit_distance_pairs
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 
 def _lev(a: str, b: str) -> int:
@@ -33,7 +34,7 @@ def _brute(rows, d):
 
 
 def _run(spark, rows, d):
-    df = spark.createDataFrame([Row(id=i, s=s) for i, s in rows])
+    df = local_frame(spark, [Row(id=i, s=s) for i, s in rows])
     got = {(r["key_a"], r["key_b"], r["edit_dist"])
            for r in edit_distance_pairs(df, "id", "s", max_dist=d).collect()}
     assert got == _brute(rows, d)
@@ -77,7 +78,7 @@ def test_edjoin_short_strings_and_duplicates(spark):
 def test_edjoin_plan_has_no_cartesian(spark):
     """Main path (all strings >= d+1 chars): candidate generation is an
     equi-join on (length, segment, text) — no BNLJ/cartesian node."""
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         [Row(id=i, s=f"token{i % 37:04d}") for i in range(200)])
     out = edit_distance_pairs(df, "id", "s", max_dist=2)
     plan = out._jdf.queryExecution().executedPlan().toString().lower()

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from cassandra_join_library_spark.operators.skew import key_histogram, salted_join
 from cassandra_join_library_spark.sources import sinks
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 from .conftest import SF_SMOKE
 
@@ -97,7 +98,7 @@ def test_stratified_topk_matches_single_window(spark):
     from cassandra_join_library_spark.operators.skew import stratified_topk
 
     rows = [Row(g=g, v=(i * 37) % 101, k=i) for g in ("a", "b") for i in range(200)]
-    df = spark.createDataFrame(rows)
+    df = local_frame(spark, rows)
     two = stratified_topk(df, "g", [F.col("v"), F.col("k")], n=7, salt_buckets=4)
     w = Window.partitionBy("g").orderBy("v", "k")
     one = (

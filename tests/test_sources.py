@@ -12,6 +12,7 @@ from cassandra_join_library_spark import (
 )
 from cassandra_join_library_spark.sources import sinks
 from cassandra_join_library_spark.sources.catalog import load_events
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 from .conftest import SF_SMOKE
 
@@ -61,7 +62,7 @@ def test_contains_on_array_column(spark):
         def table_names(self):
             return ["t"]
 
-    df = spark.createDataFrame([
+    df = local_frame(spark, [
         Row(id=1, tags=["red", "blue"]),
         Row(id=2, tags=["green"]),
         Row(id=3, tags=[]),

@@ -7,10 +7,11 @@ timestamps)."""
 from __future__ import annotations
 
 from cassandra_join_library_spark.operators.timeseries import scd2_intervals
+from cassandra_join_library_spark.sources.catalog import local_frame
 
 
 def _run(spark, rows):
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         rows, "k bigint, ts timestamp, v string, id bigint"
     )
     out = scd2_intervals(df, "k", "ts", ["v"], "id")
