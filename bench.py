@@ -49,6 +49,8 @@ HEADLINE = [
     "corpus_bm25_topk",     # BM25 inverted-index retrieval (round-5 add)
     "dedup_survivors",      # pairs->clusters->keep-best materialization (round-5 add)
     "text_bigram_perplexity",  # corpus-LM perplexity filtering (round-5 add)
+    "text_gopher_rules",    # rule-based quality filter, map-only (round-5 add)
+    "dedup_semantic",       # hyperplane-bucketed SemDeDup (round-5 add)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)

@@ -100,8 +100,14 @@ def _load_all() -> None:
     #     twin-variant relocation to `curation`.
     # Round 6+: front-load whatever still lacks rows — the tails of
     #   extras/relational/core/corpus (setops, scalars, windows 2,
-    #   band/interval joins, sinks) and the new `curation` module —
-    #   by moving those imports first; keep this ledger current.
+    #   band/interval joins, sinks) and the whole `curation` module
+    #   (round-5 additions incl. the second wave: dedup_survivors,
+    #   corpus_source_cap, corpus_bm25_topk, dedup_near_exact,
+    #   text_ngram_novelty, ann_hard_negatives, dedup_multi_signal,
+    #   corpus_curation_report[_capped], text_gopher_rules,
+    #   dedup_semantic, ann_range_search, corpus_token_budget_plan,
+    #   text_c4_line_filter, mm_{bmp,wav,png}_parse, ...) — by moving
+    #   those imports first; keep this ledger current.
     from .queries import (  # noqa: F401
         dedup,
         similarity,
