@@ -452,9 +452,21 @@ def pq_topk(
     def sub(s):
         return F.slice(F.col("nv"), s * d + 1, d)
 
+    def book_lit(s):
+        # the whole subspace codebook as ONE literal array<array<double>>
+        return F.array(*[lit_arr(books[s][j]) for j in range(ks)])
+
+    def dists_arr(s):
+        # one higher-order transform over the literal codebook: the
+        # sqdist fold is code-generated ONCE per subspace instead of
+        # ks times (2×m×ks separate fold expressions made the task
+        # binary ~1.7 MB and Janino compile time dominate small runs;
+        # arithmetic, rounding, and results are identical)
+        return F.transform(book_lit(s), lambda bv: sqdist(sub(s), bv))
+
     code_cols = []
     for s in range(m):
-        dists = F.array(*[sqdist(sub(s), lit_arr(books[s][j])) for j in range(ks)])
+        dists = dists_arr(s)
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int").alias(f"code{s}")
@@ -463,11 +475,7 @@ def pq_topk(
         F.col("id").alias("neighbor_id"), F.col("nv").alias("c_vec"), *code_cols
     )
 
-    dt_cols = [
-        F.array(*[sqdist(sub(s), lit_arr(books[s][j])) for j in range(ks)])
-        .alias(f"dt{s}")
-        for s in range(m)
-    ]
+    dt_cols = [dists_arr(s).alias(f"dt{s}") for s in range(m)]
     q = normed(queries).select(
         F.col("id").alias("query_id"), F.col("nv").alias("q_vec"), *dt_cols
     )
