@@ -838,3 +838,55 @@ def token_budget_plan(
             .alias("expected_tokens"),
         )
     )
+
+
+def vocabulary_oov(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary build + per-document OOV audit.
+
+    The vocabulary keeps terms whose document frequency lies in
+    ``[min_df, max_df_ratio · N]`` — the classic band that drops
+    hapaxes (noise, PII fragments) and boilerplate stop-terms at the
+    two ends.  Each document then reports how much of its token mass
+    the vocabulary covers: high-OOV docs are what a fixed tokenizer
+    will shred into bytes.
+
+    Plan: one token explode feeds both the df aggregate (term-keyed,
+    map-side combined) and the coverage join (term-keyed shuffle that
+    reuses the same partitioning).  The vocab is NOT broadcast — at
+    web scale it is millions of rows; the bounded-key sort-merge/hash
+    join is the right shape, and Catalyst broadcasts it anyway when
+    it is actually small.  Returns one row per doc:
+    (doc_id, n_tokens, n_oov, oov_rate).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    ndocs = df.select(F.count_distinct(id_col).cast("bigint").alias("_n"))
+    dfreq = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+    )
+    vocab = dfreq.filter(
+        (F.col("df") >= min_df)
+        & (F.col("df") <= F.col("_n") * F.lit(max_df_ratio))
+    ).select("term", F.lit(True).alias("_in_vocab"))
+    cov = tok.join(vocab, "term", "left")
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

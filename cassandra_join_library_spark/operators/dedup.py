@@ -721,3 +721,74 @@ def overlap_pair_signals(
         .filter(keep)
         .select("doc_a", "doc_b")
     )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: n-gram term-frequency cosine via
+    an inverted-index join.
+
+    The multiset cousin of :func:`jaccard_pairs_exact` — instead of
+    set overlap, each doc is a sparse TF vector over its word n-grams
+    and pairs are scored ``cos = <a,b> / (|a|·|b|)``.  Repetition
+    (boilerplate, templated spam) weighs in, which set Jaccard by
+    construction cannot see.  The dot products are computed on the
+    inverted index (one posting row per (doc, gram)), so the n² pair
+    space is never materialized, and every cross-row sum is exact
+    INTEGER arithmetic — parity with the SQL oracle is exact by
+    construction, only the final sqrt/divide is double.
+
+    ``max_doc_freq`` drops grams appearing in more docs than the cap
+    (broadcast anti-join on the tiny hot-list, same rationale as
+    jaccard's) — at 100 TB this bounds the worst posting list; the
+    cap applies BEFORE norms so dropped grams leave the score's
+    denominator too (both engines agree).
+
+    Returns (doc_a, doc_b, cosine_tf) with doc_a < doc_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("w")
+    )
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
+    grams = F.when(
+        F.size(F.col("w")) >= n,
+        F.expr(f"transform(sequence(0, size(w) - {n}), "
+               f"i -> concat_ws(' ', slice(w, i + 1, {n})))"),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        base.select("doc", F.explode(grams).alias("gram"))
+        .groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    tf.count()  # eager: norms + both join sides read it below
+    if max_doc_freq is not None:
+        hot = (
+            tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq).select("gram")
+        )
+        tf = tf.join(F.broadcast(hot), "gram", "left_anti")
+    norms = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("ss").alias("ssb"))
+    cos = F.col("dot") / (F.sqrt("ssa") * F.sqrt("ssb"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine_tf"))
+    )

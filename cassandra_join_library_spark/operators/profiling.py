@@ -169,3 +169,50 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         out.alias("redacted_text"),
         (out != F.col(text_col)).alias("has_redactions"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outliers via median absolute deviation.
+
+    The breakdown-resistant twin of :func:`value_outliers`: moments
+    move with the outliers they hunt, medians don't.  Flags rows with
+    ``|0.6745 · (x − median) / MAD| > k`` (0.6745 ≈ Φ⁻¹(0.75) makes
+    the score ≈ a z-score under normality; k=3.5 is the standard
+    Iglewicz–Hoban cut).  Values and both medians are rounded to 6 dp
+    so the double arithmetic downstream is identical in the oracle.
+
+    Exact grouped medians sort within each group — acceptable because
+    ``group_col`` is a bounded-cardinality dimension; the per-group
+    stats table is broadcast back, flagging stays map-only.  For
+    unbounded groups or a quick pass at 100 TB, swap in
+    ``percentile_approx`` (documented knob, loses the exact oracle).
+    Returns flagged rows as (``id_col``, ``group_col``, ``value_col``,
+    robust_z).
+    """
+    v6 = F.round(F.col(value_col), 6)
+    med = df.groupBy(group_col).agg(
+        F.round(F.median(v6), 6).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_absdev", F.round(F.abs(v6 - F.col("_med")), 6)
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.median("_absdev"), 6).alias("_mad")
+    )
+    z = F.lit(0.6745) * (v6 - F.col("_med")) / F.col("_mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.abs(z) > k)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -750,3 +750,94 @@ def semantic_dedup(
             F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension distribution statistics over an embedding column.
+
+    The profiling step before whitening / normalization / quantizer
+    training: one row per vector position with count, mean, population
+    std, min, max.  Elements are rounded to ``round_to`` dp and summed
+    as DECIMAL (exact, order-independent — same parity discipline as
+    :func:`label_centroids`), so the stats are bit-stable under any
+    partitioning and reproducible in the SQL oracle.  One shuffle on
+    the bounded ``pos`` key (|dim| cells of constant size); the map
+    side pre-aggregates, so the exchange carries dim-many partial rows
+    per task regardless of corpus size.  Returns
+    (pos, n, mean_val, std_val, min_val, max_val).
+    """
+    el = df.select(F.posexplode(_as_double(vec_col)).alias("pos", "val"))
+    d6 = F.round("val", round_to).cast("decimal(18,6)")
+    agg = el.groupBy(F.col("pos").cast("bigint").alias("pos")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d6).alias("_s"),
+        F.sum(d6 * d6).alias("_s2"),
+        F.round(F.min("val"), round_to).alias("min_val"),
+        F.round(F.max("val"), round_to).alias("max_val"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n")
+    ex2 = F.col("_s2").cast("double") / F.col("n")
+    return agg.select(
+        "pos",
+        "n",
+        F.round(mean, round_to).alias("mean_val"),
+        F.round(F.sqrt(ex2 - mean * mean), round_to).alias("std_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension affine int8 quantization with reconstruction-error
+    audit.
+
+    The embedding-compression step of a retrieval index build: each
+    dimension gets an affine code ``round((x - lo) / step)`` with
+    ``step = (hi - lo) / 255`` from that dimension's min/max, and each
+    vector reports its reconstruction error.  Inputs are rounded to
+    ``round_to`` dp first so both engines quantize the identical
+    value; codes/reconstruction stay in double (IEEE-identical given
+    identical inputs).  Plan shape: posexplode → per-pos min/max (dim
+    rows, broadcast back) → map-only code+error → one aggregate on the
+    vector id.  At 100 TB the only wide ops are the dim-keyed range
+    aggregate and the id-keyed error aggregate, both with map-side
+    combine.  Returns (``id_col``, n_dims, mse, max_abs_err).
+    """
+    el = df.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "val"),
+    ).withColumn("v6", F.round("val", round_to))
+    rng = el.groupBy("pos").agg(
+        F.min("v6").alias("_lo"), F.max("v6").alias("_hi")
+    )
+    q = el.join(F.broadcast(rng), "pos")
+    step = (F.col("_hi") - F.col("_lo")) / F.lit(255.0)
+    code = F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0)).otherwise(
+        F.round((F.col("v6") - F.col("_lo")) / step, 0)
+    )
+    recon = F.col("_lo") + code * F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(0.0)
+    ).otherwise(step)
+    err = F.round(F.col("v6") - recon, round_to)
+    q = q.select("_vid", err.alias("_err"))
+    e6 = F.col("_err").cast("decimal(18,6)")
+    return (
+        q.groupBy("_vid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.round(
+                F.sum(e6 * e6).cast("double") / F.count(F.lit(1)), round_to
+            ).alias("mse"),
+            F.round(F.max(F.abs("_err")), round_to).alias("max_abs_err"),
+        )
+        .withColumnRenamed("_vid", id_col)
+    )

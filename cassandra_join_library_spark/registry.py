@@ -106,8 +106,11 @@ def _load_all() -> None:
     #   text_ngram_novelty, ann_hard_negatives, dedup_multi_signal,
     #   corpus_curation_report[_capped], text_gopher_rules,
     #   dedup_semantic, ann_range_search, corpus_token_budget_plan,
-    #   text_c4_line_filter, mm_{bmp,wav,png}_parse, ...) — by moving
-    #   those imports first; keep this ledger current.
+    #   text_c4_line_filter, mm_{bmp,wav,png}_parse, ...) and the
+    #   `wave3` module (corpus_vocabulary, dedup_tf_cosine,
+    #   embedding_dim_stats, embedding_quantize_int8,
+    #   events_mad_outliers, events_first_touch, text_langid_confusion)
+    #   — by moving those imports first; keep this ledger current.
     from .queries import (  # noqa: F401
         dedup,
         similarity,
@@ -124,5 +127,6 @@ def _load_all() -> None:
         advanced,
         tpch2,
         curation,
+        wave3,
     )
     _loaded = True

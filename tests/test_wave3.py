@@ -1,0 +1,164 @@
+"""Invariant tests for the round-5 third-wave operators (the oracle
+parity gate checks exact values; these pin the semantic contracts a
+hash compare can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+
+
+def test_quantize_int8_error_bounded_by_half_step(spark):
+    """Affine rounding error is ≤ step/2 (+ 6dp rounding slack) on
+    every dimension of every vector."""
+    from cassandra_join_library_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    el = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "val")
+    ).withColumn("v6", F.round("val", 6))
+    rng = (
+        el.groupBy("pos")
+        .agg(((F.max("v6") - F.min("v6")) / 255.0).alias("step"))
+        .agg(F.max("step").alias("max_step"))
+        .collect()[0]
+    )
+    out = quantize_int8(emb, "vec_id", "embedding")
+    worst = out.agg(F.max("max_abs_err").alias("m")).collect()[0]["m"]
+    assert worst <= rng["max_step"] / 2 + 1e-6
+
+
+def test_quantize_int8_covers_every_vector(spark):
+    from cassandra_join_library_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    assert out.count() == emb.count()
+    assert out.filter(F.col("n_dims") != 64).count() == 0
+
+
+def test_dim_stats_bounds(spark):
+    """min ≤ mean ≤ max and std ≥ 0 for every dimension."""
+    from cassandra_join_library_spark.operators.similarity import dim_stats
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    out = dim_stats(load_table(spark, SF_ORACLE, "embeddings"), "embedding")
+    bad = out.filter(
+        (F.col("mean_val") < F.col("min_val"))
+        | (F.col("mean_val") > F.col("max_val"))
+        | (F.col("std_val") < 0)
+    )
+    assert out.count() == 64
+    assert bad.count() == 0
+
+
+def test_tf_cosine_bounds_and_symmetric_ids(spark):
+    """Scores in (0, 1 + eps]; pair ids strictly ordered."""
+    from cassandra_join_library_spark.operators.dedup import tf_cosine_pairs
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = tf_cosine_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                          max_doc_freq=20)
+    rows = out.collect()
+    assert rows, "expected near-dup pairs in the oracle corpus"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.5 <= r["cosine_tf"] <= 1.000001
+
+
+def test_tf_cosine_exact_duplicates_score_one(spark):
+    """Two identical texts must score exactly 1.0."""
+    from cassandra_join_library_spark.operators.dedup import tf_cosine_pairs
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    df = local_frame(
+        spark,
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id bigint, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["cosine_tf"]
+           for r in tf_cosine_pairs(df, "doc_id", "text", n=3,
+                                    threshold=0.1).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_first_touch_window_contract(spark):
+    """Attributed conversions have 0 ≤ latency ≤ 7 days; the touch
+    really is the user's EARLIEST click in the window."""
+    from cassandra_join_library_spark.operators.timeseries import (
+        first_touch_attribution,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_events
+
+    out = first_touch_attribution(load_events(spark, SF_ORACLE))
+    bad = out.filter(
+        F.col("attributed")
+        & ((F.col("latency_sec") < 0) | (F.col("latency_sec") > 604800))
+    )
+    assert bad.count() == 0
+    n_attr = out.filter("attributed").count()
+    assert 0 < n_attr <= out.count()
+
+
+def test_first_touch_prefers_earliest_click(spark):
+    from cassandra_join_library_spark.operators.timeseries import (
+        first_touch_attribution,
+    )
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    ev = local_frame(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 0.0, ""),
+            (2, "2024-01-02 00:00:00", 7, "click", 0.0, ""),
+            (3, "2024-01-03 00:00:00", 7, "purchase", 1.0, ""),
+            # outside the 7d lookback:
+            (4, "2024-02-01 00:00:00", 8, "click", 0.0, ""),
+            (5, "2024-03-01 00:00:00", 8, "purchase", 1.0, ""),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["event_id"]: r
+            for r in first_touch_attribution(ev).collect()}
+    assert rows[3]["latency_sec"] == 2 * 86400  # earliest, not latest
+    assert rows[5]["attributed"] is False
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    """A single huge value is flagged and does not drag the median."""
+    from cassandra_join_library_spark.operators.profiling import mad_outliers
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    vals = [(i, "g", float(i % 7)) for i in range(100)] + [(999, "g", 1e6)]
+    df = local_frame(spark, vals, "id bigint, grp string, v double")
+    out = mad_outliers(df, "id", "grp", "v", k=3.5).collect()
+    assert any(r["id"] == 999 for r in out)
+    assert all(abs(r["robust_z"]) > 3.5 for r in out)
+
+
+def test_vocabulary_oov_rates_well_formed(spark):
+    from cassandra_join_library_spark.operators.corpus import vocabulary_oov
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = vocabulary_oov(docs, "doc_id", "text", min_df=2, max_df_ratio=0.8)
+    assert out.count() == docs.count()
+    bad = out.filter(
+        (F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)
+        | (F.col("n_oov") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    # the band must actually split the vocabulary on this corpus:
+    # some docs fully covered, OOV mass strictly positive overall
+    assert out.agg(F.sum("n_oov")).collect()[0][0] > 0
