@@ -452,13 +452,33 @@ def shuffle_shards(
     )
 
 
-def _sq_dist(vec: Column, centroid: List[float]) -> Column:
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
+# k-means runs on fixed-point microunits (x · 10^6 as BIGINT): every
+# distance and mean is exact integer arithmetic, so assignments are
+# identical under any partitioning, any fold order, AND in any other
+# engine — which is what lets the iterative algorithm carry a full
+# value oracle (see queries/_kmeans_sql.py for the unrolled SQL twin).
+KMEANS_SCALE = 1_000_000
+
+
+def _sq_dist(vec: Column, centroid: List[int]) -> Column:
+    """Exact squared distance between a microunit BIGINT vector and a
+    literal microunit centroid.  Magnitudes: |x| ≤ ~10 ⇒ microunits
+    ≤ 10^7, squared diff ≤ 4·10^14, × 4096 dims ≤ 1.6·10^18 < 2^63."""
+    lit = F.array(*[F.lit(int(c)).cast("bigint") for c in centroid])
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def _rounded_div(s: int, n: int) -> int:
+    """Integer division rounded half away from zero — pure integer, so
+    the SQL twin (floor/abs/modulo on BIGINTs) reproduces it exactly."""
+    a = abs(s)
+    q, r = divmod(a, n)
+    q += 1 if 2 * r >= n else 0
+    return q if s >= 0 else -q
 
 
 def kmeans_assign(
@@ -484,15 +504,19 @@ def kmeans_fit(
     """Deterministic Lloyd's k-means over an embedding column.
 
     The canonical scale pattern (same as IVF in similarity.py):
-    centroids are k×dim floats — driver-small at ANY corpus size — so
+    centroids are k×dim values — driver-small at ANY corpus size — so
     each iteration broadcasts them as literals and assignment is a
     MAP-ONLY pass (no corpus shuffle); the update is one partial
-    aggregate on (cluster, pos).  Determinism: init = embeddings of
-    the k smallest ids; centroid means are computed over
-    decimal(28,12) (exact, order-independent sums), so re-runs and
-    re-partitionings produce identical clusters; argmin ties break to
-    the lowest cluster index.  Iterative ⇒ not SQL-expressible; the
-    driver's rows-only check applies, invariants are pytest-enforced.
+    aggregate on (cluster, pos).  Determinism AND oracle parity: the
+    whole algorithm runs on fixed-point microunits (``KMEANS_SCALE``)
+    — init = microunit embeddings of the k smallest ids, distances
+    are exact BIGINT sums (order-independent), centroid means are
+    integer divisions rounded half away from zero, argmin ties break
+    to the lowest cluster index.  Nothing depends on float summation
+    order, so the unrolled SQL twin (``queries/_kmeans_sql.py``)
+    reproduces every assignment bit-for-bit — a FULL value oracle for
+    an iterative algorithm.  Returned centroids are microunits / 10^6
+    (same double both engines compute).
 
     The loop runs one driver action per iteration (centroid update),
     plus the init collect and the caller's final action — so the
@@ -502,14 +526,17 @@ def kmeans_fit(
     """
     from pyspark import StorageLevel
 
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0).cast("bigint"),
+    )
     base = df.select(
         F.col(id_col).alias("vid"), vec.alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     init = [
-        [float(x) for x in r["v"]]
+        [int(x) for x in r["v"]]
         for r in base.orderBy("vid").limit(k).collect()
     ]
     if len(init) < k:
@@ -527,17 +554,25 @@ def kmeans_fit(
         new_rows = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("decimal(28,12)")).alias("m"))
+            .agg(
+                F.sum("x").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         upd = {}
         for r in new_rows:
-            upd.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+            upd.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                _rounded_div(int(r["s"]), int(r["n"]))
+            )
         centroids = [
             [upd[j][p] for p in range(len(centroids[j]))] if j in upd else centroids[j]
             for j in range(k)
         ]
-    return assigned.select("vid", "cluster"), centroids
+    return (
+        assigned.select("vid", "cluster"),
+        [[c / KMEANS_SCALE for c in row] for row in centroids],
+    )
 
 
 def cap_per_group(

@@ -399,10 +399,20 @@ def corpus_shuffle_shards(spark, sf_dir):
     return C.shuffle_shards(_docs(spark, sf_dir), "doc_id", n_shards=64)
 
 
-@register("kmeans_clusters")  # iterative — rows-only check;
-def kmeans_clusters(spark, sf_dir):  # invariants in tests/test_corpus.py
+def _kmeans_oracle():
+    from ._kmeans_sql import kmeans_assign_sql
+
+    return kmeans_assign_sql(k=8, n_iter=5)
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle())
+def kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means (k=8, 5 iterations) over the
-    embeddings table: broadcast-centroid map-side assignment +
-    decimal-exact centroid updates."""
+    embeddings table: broadcast-centroid map-side assignment, exact
+    fixed-point (microunit BIGINT) distances and centroid updates —
+    which is what lets an ITERATIVE algorithm carry a full value
+    oracle: the SQL twin unrolls the 5 iterations into CTE pairs
+    (``queries/_kmeans_sql.py``) and reproduces every assignment
+    bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return C.kmeans_assign(emb, "vec_id", "embedding", k=8, n_iter=5)

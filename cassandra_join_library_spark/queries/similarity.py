@@ -162,15 +162,64 @@ def ann_ivf_topk(spark, sf_dir):
                       k=5, centroid_stride=32, nprobe=4)
 
 
-@register("ann_ivf_kmeans_topk")  # approximate (probe subset) -> rows-only
+def _ivf_kmeans_oracle():
+    from ._kmeans_sql import kmeans_centroids_cte
+
+    return (
+        "WITH " + kmeans_centroids_cte(k=8, n_iter=3)
+        + """, c_rank AS (
+  SELECT e.vec_id AS neighbor_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.embedding), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), c_assign AS (
+  SELECT neighbor_id, cent_id AS list_id FROM c_rank WHERE rn = 1
+), q_rank AS (
+  SELECT e.vec_id AS query_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.embedding), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < 10
+), q_assign AS (
+  SELECT query_id, cent_id AS list_id FROM q_rank WHERE rn <= 3
+), cand AS (
+  SELECT DISTINCT q.query_id, ca.neighbor_id
+  FROM q_assign q JOIN c_assign ca USING (list_id)
+  WHERE q.query_id <> ca.neighbor_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+"""
+    )
+
+
+@register("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
 def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k with TRAINED centroids: k-means (k=8, 3 iterations,
     deterministic) learns the inverted-list centroids, then the IVF
     probe search runs against them — the composed offline-train /
     online-search pipeline the stride-centroid default stands in for.
-    Centroid quality only affects recall (asserted against brute force
-    in tests/test_similarity.py), never correctness of returned
-    scores."""
+    The fixed-point k-means (see ``kmeans_fit``) makes the trained
+    centroids SQL-reproducible, so the whole train+search composition
+    carries a FULL value oracle (unrolled k-means CTEs feeding the
+    same assignment/probe/re-rank SQL as ``ann_ivf_topk``); recall
+    vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     from ..operators.corpus import kmeans_fit
 
     emb = _emb(spark, sf_dir)

@@ -94,10 +94,11 @@ def _load_all() -> None:
     #     first 50 — see CORRECTNESS_r02..r04);
     #   round 5 (this order): dedup, similarity, text, multimodal,
     #     streaming, events, profiling heads + string_similarity,
-    #     explode_tokens, agg_cube; window rows-only count is 4 (the
-    #     genuinely non-SQL ops: ann_ivf_kmeans_topk + 3 stateful
-    #     streaming queries) after the ANN oracle upgrades and the
-    #     twin-variant relocation to `curation`.
+    #     explode_tokens, agg_cube; window rows-only count is 3 (the
+    #     genuinely non-SQL stateful streaming queries) after the ANN
+    #     oracle upgrades, the twin-variant relocation to `curation`,
+    #     and the fixed-point k-means upgrade (ann_ivf_kmeans_topk and
+    #     kmeans_clusters now carry full unrolled-CTE value oracles).
     # Round 6+: front-load whatever still lacks rows — the tails of
     #   extras/relational/core/corpus (setops, scalars, windows 2,
     #   band/interval joins, sinks) and the whole `curation` module
