@@ -51,6 +51,10 @@ HEADLINE = [
     "text_bigram_perplexity",  # corpus-LM perplexity filtering (round-5 add)
     "text_gopher_rules",    # rule-based quality filter, map-only (round-5 add)
     "dedup_semantic",       # hyperplane-bucketed SemDeDup (round-5 add)
+    "corpus_vocabulary",    # df-banded vocab + OOV audit (round-5 wave 3)
+    "dedup_tf_cosine",      # weighted n-gram cosine posting join (wave 3)
+    "embedding_quantize_int8",  # int8 quantization + recon audit (wave 3)
+    "events_first_touch",   # RANGE-window attribution (wave 3)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)

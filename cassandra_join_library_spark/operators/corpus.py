@@ -5,11 +5,11 @@ The ops a 100 TB pre-training corpus build actually needs between
 ingest and tokenization: term weighting, deterministic train/test
 splitting, quantile-based quality filtering, benchmark-contamination
 checks, composition reporting, sequence chunking, and embedding
-clustering.  Everything except k-means is pure built-in-function
-DataFrame code (JVM-side, codegen) with a portable ANSI-SQL twin so
-the DuckDB oracle verifies it exactly; k-means is iterative
-(non-SQL-expressible) but fully deterministic — decimal-exact centroid
-updates make re-runs and re-partitioning bit-stable.
+clustering.  Everything is pure built-in-function DataFrame code
+(JVM-side, codegen) with a portable ANSI-SQL twin so the DuckDB oracle
+verifies it exactly — including the iterative k-means, which runs on
+exact fixed-point integers so its unrolled-CTE SQL twin
+(``queries/_kmeans_sql.py``) reproduces every assignment bit-for-bit.
 
 Scale notes per operator are in the docstrings; the common theme is
 that every shuffle is on a bounded key (term, (cluster, pos), shingle
@@ -460,15 +460,24 @@ def shuffle_shards(
 KMEANS_SCALE = 1_000_000
 
 
-def _sq_dist(vec: Column, centroid: List[int]) -> Column:
-    """Exact squared distance between a microunit BIGINT vector and a
-    literal microunit centroid.  Magnitudes: |x| ≤ ~10 ⇒ microunits
+def _sq_dists_all(vec: Column, centroids: "List[List[int]]") -> Column:
+    """Exact squared distances from a microunit BIGINT vector to EVERY
+    centroid, as one array — the distance fold is generated once via a
+    ``transform`` over a literal 2-D centroid array (k-independent
+    codegen size; same trick as the PQ codebook in similarity.py), not
+    k copies of the expression.  Magnitudes: |x| ≤ ~10 ⇒ microunits
     ≤ 10^7, squared diff ≤ 4·10^14, × 4096 dims ≤ 1.6·10^18 < 2^63."""
-    lit = F.array(*[F.lit(int(c)).cast("bigint") for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    cents = F.array(*[
+        F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        for c in centroids
+    ])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -546,7 +555,7 @@ def kmeans_fit(
     centroids = init
     assigned = None
     for _ in range(n_iter):
-        dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+        dists = _sq_dists_all(F.col("v"), centroids)
         cluster = (
             F.array_position(dists, F.array_min(dists)).cast("bigint") - 1
         ).alias("cluster")
