@@ -250,3 +250,66 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register("approx_distinct_kmv", oracle="""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h
+), t AS (
+  SELECT l_returnflag, max(h) AS kth,
+         CAST(count(*) AS BIGINT) AS n_min_values
+  FROM r WHERE rn <= 256 GROUP BY 1
+)
+SELECT l_returnflag, n_min_values,
+       round(CASE WHEN n_min_values < 256
+                  THEN CAST(n_min_values AS DOUBLE)
+                  ELSE (255.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE)
+             END, 2) AS approx_distinct
+FROM t
+""")
+def approx_distinct_kmv(spark, sf_dir):
+    """K-Minimum-Values distinct estimator (k=256, ~6% rel. error) —
+    the PORTABLE twin of the HLL queries: md5-derived 60-bit hashes
+    and exact tie-breaks make the ESTIMATE itself reproducible in SQL,
+    so an approximate operator carries a full value oracle (the native
+    HLL path stays the production default; accuracy of both is bounded
+    in tests)."""
+    from ..operators.sketch import kmv_distinct
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(l, "l_returnflag", "l_partkey", k=256)
+
+
+@register("approx_percentiles_sampled", oracle="""
+WITH s AS (
+  SELECT event_type, round(value, 6) AS v6
+  FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        < 144115188075855872
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       round(quantile_cont(v6, 0.5), 6) AS p50,
+       round(quantile_cont(v6, 0.9), 6) AS p90,
+       round(quantile_cont(v6, 0.99), 6) AS p99
+FROM s GROUP BY 1
+""")
+def approx_percentiles_sampled(spark, sf_dir):
+    """Approximate percentiles from a deterministic 1/8 hash-Bernoulli
+    sample — the portable twin of ``percentile_approx``: both engines
+    draw the identical sample (hash of the row id), so the estimates
+    value-match exactly while the exact sort only ever sees 1/8 of the
+    scan."""
+    from ..operators.sketch import sampled_percentiles
+    from ..sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return sampled_percentiles(
+        ev, "event_type", "value", "event_id",
+        rate=8, percentiles=(0.5, 0.9, 0.99),
+    )
