@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from cassandra_join_library_spark import Condition, JoinExecutor, TableInfo
 from cassandra_join_library_spark.registry import all_queries
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 QUERIES = all_queries()
 
@@ -332,3 +332,47 @@ def test_audit_plan_flags_and_allows(spark):
     assert_scale_safe(glob, allow={"unpartitioned_window"})
     with _pytest.raises(ValueError):
         assert_scale_safe(keyed, allow={"nope"})
+
+
+def test_tf_cosine_no_cartesian_and_equi_posting_join(spark):
+    """tf_cosine_pairs must stay an inverted-index EQUI-join on the
+    gram key (plus the id-inequality as a post-condition) — never a
+    cartesian/BNLJ pair enumeration."""
+    from cassandra_join_library_spark.operators.dedup import tf_cosine_pairs
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    df = tf_cosine_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                         max_doc_freq=20)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_int8_broadcasts_dim_ranges(spark):
+    """The 64-row per-dimension range table must broadcast back onto
+    the exploded elements — no shuffle of the element side on pos."""
+    from cassandra_join_library_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    plan = _plan(quantize_int8(emb, "vec_id", "embedding"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_first_touch_single_user_partitioned_window(spark):
+    """One window, partitioned by user — no unpartitioned frame, no
+    self-join."""
+    from cassandra_join_library_spark.operators.timeseries import (
+        first_touch_attribution,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_events
+
+    plan = _formatted(first_touch_attribution(load_events(spark, SF_ORACLE)))
+    assert "WindowExec: No Partition Defined" not in plan
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
