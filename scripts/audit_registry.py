@@ -23,6 +23,7 @@ ALLOW = {
         # 1-row or constant-size broadcast sides (the documented pattern)
         "corpus_bm25_topk": "1-row corpus-stats broadcast",
         "tfidf_top_terms": "1-row N-docs broadcast",
+        "corpus_vocabulary": "1-row N-docs broadcast",
         "corpus_contamination": "scalar broadcast",
         "corpus_contamination_capped": "scalar broadcast",
         "corpus_e2e_pipeline": "scalar broadcast in embedded stages",
