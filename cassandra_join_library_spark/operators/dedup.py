@@ -752,19 +752,10 @@ def tf_cosine_pairs(
 
     Returns (doc_a, doc_b, cosine_tf) with doc_a < doc_b.
     """
-    base = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("w")
-    )
-    base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
-    )
-    grams = F.when(
-        F.size(F.col("w")) >= n,
-        F.expr(f"transform(sequence(0, size(w) - {n}), "
-               f"i -> concat_ws(' ', slice(w, i + 1, {n})))"),
-    ).otherwise(F.array().cast("array<string>"))
+    # gram extraction is positional_grams' (shared tokenization, guard,
+    # and doc-repartition); collapsing positions into counts IS the TF
     tf = (
-        base.select("doc", F.explode(grams).alias("gram"))
+        positional_grams(df, id_col, text_col, k=n)
         .groupBy("doc", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .persist()

@@ -206,9 +206,14 @@ def mad_outliers(
         F.round(F.median("_absdev"), 6).alias("_mad")
     )
     z = F.lit(0.6745) * (v6 - F.col("_med")) / F.col("_mad")
+    # MAD = 0 (a majority of the group sits exactly on its median) is
+    # the textbook degenerate case: z would be ±Infinity for every
+    # off-median row and NaN for median-equal rows (which Spark sorts
+    # ABOVE k, silently flagging non-outliers).  Such groups carry no
+    # robust-scale information — skip them rather than emit garbage.
     return (
         dev.join(F.broadcast(mad), group_col)
-        .filter(F.abs(z) > k)
+        .filter((F.col("_mad") > 0) & (F.abs(z) > k))
         .select(
             F.col(id_col),
             F.col(group_col),

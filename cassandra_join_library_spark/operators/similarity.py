@@ -785,7 +785,11 @@ def dim_stats(
         "pos",
         "n",
         F.round(mean, round_to).alias("mean_val"),
-        F.round(F.sqrt(ex2 - mean * mean), round_to).alias("std_val"),
+        # greatest(.., 0): ex2 and mean² round differently in double,
+        # so a constant dimension can land at ~-1e-17 and sqrt → NaN
+        F.round(
+            F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))), round_to
+        ).alias("std_val"),
         "min_val",
         "max_val",
     )

@@ -32,7 +32,11 @@ HASH_SPACE = 1 << 60
 def _h60(col) -> "F.Column":
     """Deterministic uniform 60-bit hash: decimal value of the first 15
     hex digits of md5 of the value's string form.  Identical in any
-    engine with md5 (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    engine with md5 (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)
+    — for INTEGER and STRING inputs, whose string forms are canonical.
+    Floats/timestamps format differently across engines ('1.0E20' vs
+    '1e+20'), so the cross-engine contract does not extend to them;
+    hash a stable key column instead."""
     return F.conv(
         F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -60,9 +64,12 @@ def kmv_distinct(
     round-to-nearest in both engines, one division, rounded to 2 dp —
     engine-identical end to end.
 
-    Returns (group, n_min_values, approx_distinct).
+    Returns (group, n_min_values, approx_distinct).  NULL values are
+    excluded up front (they are not a value; left in, md5(NULL)=NULL
+    would eat a sketch slot under Spark's NULLS-FIRST ascending sort
+    while the SQL twin sorts NULLs last — divergent estimates).
     """
-    hashes = df.select(
+    hashes = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col), _h60(F.col(value_col)).alias("_h")
     ).distinct()
     w = Window.partitionBy(group_col).orderBy("_h")
@@ -103,15 +110,23 @@ def sampled_percentiles(
     re-run, at any parallelism) draws the IDENTICAL sample; exact
     percentiles of the sample then approximate the population's.  The
     1/rate scan-output reduction is the point at 100 TB: the exact
-    sort only ever sees the sample.  Returns one row per group with
+    sort only ever sees the sample.  Returns one row per group WITH AT
+    LEAST ONE SAMPLED ROW (a tiny group can miss the sample entirely —
+    left-join the output back if every group key must appear), with
     ``n_sampled`` and one column per requested percentile
-    (``p50``, ``p90``, ...).
+    (``p50``, ``p90``, ...; distinct whole-percent values only —
+    colliding names raise instead of silently mislabeling a quantile).
     """
+    names = [f"p{round(p * 100)}" for p in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentiles {percentiles} collide after whole-percent "
+            f"naming ({names}) — use distinct whole-percent values"
+        )
     thresh = HASH_SPACE // rate
     sample = df.filter(_h60(F.col(id_col)) < thresh)
     v6 = F.round(F.col(value_col).cast("double"), round_to)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_sampled")]
-    for p in percentiles:
-        name = f"p{int(p * 100)}"
+    for p, name in zip(percentiles, names):
         aggs.append(F.round(F.percentile(v6, F.lit(p)), round_to).alias(name))
     return sample.groupBy(group_col).agg(*aggs)

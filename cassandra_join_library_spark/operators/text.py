@@ -94,9 +94,18 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
     """Stopword-hit language ID: score each language by stopword
-    matches, pick the max (priority order breaks ties)."""
+    matches, pick the max (priority order breaks ties).
+
+    ``carry_cols`` pass through unchanged (e.g. a ground-truth label
+    for a confusion-matrix audit) — the predictor is map-only, so
+    carrying columns through beats joining them back on the id."""
     w = _words(text_col)
     scores = {}
     for lang, stops in STOPWORDS.items():
@@ -109,7 +118,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
     # reversed() + otherwise-chaining makes the FIRST priority language
     # win ties (en before de before ...)
-    sel = [F.col(id_col)]
+    sel = [F.col(id_col)] + [F.col(c) for c in carry_cols]
     for lang in LANG_PRIORITY:
         sel.append(scores[lang].alias(f"score_{lang}"))
     sel.append(pred.alias("lang_pred"))

@@ -105,8 +105,9 @@ WITH el AS (
 )
 SELECT pos, n,
        round(CAST(s AS DOUBLE) / n, 6) AS mean_val,
-       round(sqrt(CAST(s2 AS DOUBLE) / n
-                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+       round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                  0.0)),
              6) AS std_val,
        min_val, max_val
 FROM a
@@ -168,7 +169,7 @@ WITH e AS (
 SELECT event_id, event_type, value,
        round(0.6745 * (v6 - med) / mad, 6) AS robust_z
 FROM d JOIN md USING (event_type)
-WHERE abs(0.6745 * (v6 - med) / mad) > 3.5
+WHERE mad > 0 AND abs(0.6745 * (v6 - med) / mad) > 3.5
 """)
 def events_mad_outliers(spark, sf_dir):
     """Median/MAD robust outliers per event type (Iglewicz–Hoban
@@ -236,18 +237,17 @@ FROM p GROUP BY 1, 2
 def text_langid_confusion(spark, sf_dir):
     """Language-ID quality audit: confusion matrix of the stopword
     heuristic's prediction against the labeled ``lang`` column —
-    one join-free pass (the predictor is map-only) plus a
-    (lang, pred)-keyed aggregate."""
+    one join-free map-only pass (the label rides through the
+    predictor via ``carry_cols``) plus a (lang, pred)-keyed
+    aggregate."""
     from pyspark.sql import functions as F
 
     from ..operators.text import lang_id
 
     docs = _docs(spark, sf_dir)
-    pred = lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    pred = lang_id(docs, "doc_id", "text", carry_cols=("lang",))
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "lang_pred")
+        pred.groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 
@@ -256,7 +256,7 @@ def text_langid_confusion(spark, sf_dir):
 WITH h AS (
   SELECT DISTINCT l_returnflag,
          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM lineitem
+  FROM lineitem WHERE l_partkey IS NOT NULL
 ), r AS (
   SELECT l_returnflag, h,
          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn

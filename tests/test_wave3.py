@@ -162,3 +162,51 @@ def test_vocabulary_oov_rates_well_formed(spark):
     # the band must actually split the vocabulary on this corpus:
     # some docs fully covered, OOV mass strictly positive overall
     assert out.agg(F.sum("n_oov")).collect()[0][0] > 0
+
+
+def test_mad_outliers_skips_zero_mad_groups(spark):
+    """Majority-on-median groups (MAD = 0) carry no robust scale — no
+    Infinity/NaN rows may escape."""
+    import math
+
+    from cassandra_join_library_spark.operators.profiling import mad_outliers
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    df = local_frame(
+        spark,
+        [(1, "g", 5.0), (2, "g", 5.0), (3, "g", 5.0), (4, "g", 100.0),
+         (5, "h", 1.0), (6, "h", 2.0), (7, "h", 3.0), (8, "h", 50.0)],
+        "id bigint, grp string, v double",
+    )
+    out = mad_outliers(df, "id", "grp", "v", k=3.5).collect()
+    assert all(r["grp"] != "g" for r in out)  # degenerate group skipped
+    assert all(math.isfinite(r["robust_z"]) for r in out)
+    assert any(r["id"] == 8 for r in out)  # healthy group still flags
+
+
+def test_dim_stats_constant_dimension_std_zero(spark):
+    """A constant dimension must report std 0.0, never NaN from a
+    negative double rounding."""
+    from cassandra_join_library_spark.operators.similarity import dim_stats
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    df = local_frame(
+        spark,
+        [(1, [0.1, 7.0]), (2, [0.1, 9.0]), (3, [0.1, 11.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["pos"]: r for r in dim_stats(df, "embedding").collect()}
+    assert rows[0]["std_val"] == 0.0
+    assert rows[1]["std_val"] > 0
+
+
+def test_sampled_percentiles_rejects_colliding_names():
+    import pytest
+
+    from cassandra_join_library_spark.operators.sketch import (
+        sampled_percentiles,
+    )
+
+    with pytest.raises(ValueError, match="collide"):
+        sampled_percentiles(None, "g", "v", "id",
+                            percentiles=(0.001, 0.002))
