@@ -110,7 +110,8 @@ def _load_all() -> None:
     #   text_c4_line_filter, mm_{bmp,wav,png}_parse, ...) and the
     #   `wave3` module (corpus_vocabulary, dedup_tf_cosine,
     #   embedding_dim_stats, embedding_quantize_int8,
-    #   events_mad_outliers, events_first_touch, text_langid_confusion)
+    #   events_mad_outliers, events_first_touch, text_langid_confusion,
+    #   approx_distinct_kmv, approx_percentiles_sampled)
     #   — by moving those imports first; keep this ledger current.
     from .queries import (  # noqa: F401
         dedup,
