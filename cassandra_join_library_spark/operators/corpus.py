@@ -780,12 +780,17 @@ def pmi_collocations(
         ),
         6,
     )
+    # the unigram-count joins carry NO broadcast hint: the vocabulary
+    # is data-dependent (billions of distinct tokens in crawl text),
+    # so forcing a broadcast would OOM at scale — these are ordinary
+    # word-keyed equi-joins (AQE still broadcasts when cu is actually
+    # small); only the 1-row N aggregate is unconditionally broadcast
     scored = (
         c12.filter(F.col("c12") >= min_count)
-        .join(F.broadcast(cu.select(F.col("word").alias("w1"),
-                                    F.col("c").alias("c1"))), "w1")
-        .join(F.broadcast(cu.select(F.col("word").alias("w2"),
-                                    F.col("c").alias("c2"))), "w2")
+        .join(cu.select(F.col("word").alias("w1"),
+                        F.col("c").alias("c1")), "w1")
+        .join(cu.select(F.col("word").alias("w2"),
+                        F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(n))
         .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
     )
@@ -811,7 +816,17 @@ def snapshot_diff(
     only the delta (unchanged rows drop out).  Returns (id, status)
     with status in {'added', 'removed', 'changed'}.
     """
-    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    # NULL-safe encoding: concat_ws SKIPS nulls, so ('a', NULL) and
+    # (NULL, 'a') — or NULL vs '' — would digest identically and real
+    # changes would vanish from the diff.  Tag each cell: NULL → \x00,
+    # value v → \x01·v; the tags are disjoint, so every distinct
+    # content state digests distinctly.
+    cells = [
+        F.when(F.col(c).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+        for c in content_cols
+    ]
+    digest = F.sha2(F.concat_ws("\x1f", *cells), 256)
     o = old_df.select(F.col(id_col).alias("_id"), digest.alias("_od"))
     n = new_df.select(F.col(id_col).alias("_id"), digest.alias("_nd"))
     joined = o.join(n, "_id", "full_outer")
@@ -858,8 +873,13 @@ def token_budget_plan(
         .cast("bigint")
         .alias("n_tokens"),
     )
-    raw_w = (
-        F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("bigint") % 3 + 1
+    # try_cast: regexp_extract yields '' for sources without trailing
+    # digits, and cast('' AS BIGINT) THROWS under ANSI mode (the
+    # Spark 4 default) — digitless sources fall back to weight 1
+    raw_w = F.coalesce(
+        F.regexp_extract(F.col(source_col), r"(\d+)$", 1)
+        .try_cast("bigint") % 3 + 1,
+        F.lit(1),
     ).cast("double")
     weighted = per_source.withColumn("_w", raw_w)
     total = weighted.agg(F.sum("_w").alias("_wtot"))

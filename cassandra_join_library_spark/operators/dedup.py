@@ -605,12 +605,17 @@ def dedup_survivors(
     labels = clusters.select(
         F.col("doc_id").alias("_member_id"), F.col("cluster_id").alias("_cid")
     )
+    # singleton fallback casts the id to the CLUSTER LABEL's own type:
+    # a hardcoded bigint cast would throw under ANSI for string doc
+    # ids (URLs), or — with ANSI off — null them all into ONE bogus
+    # cluster whose top-1 window silently drops unique documents
+    cid_type = labels.schema["_cid"].dataType
     labeled = (
         df.join(labels, df[id_col] == labels["_member_id"], "left")
         .drop("_member_id")
         .withColumn(
             "cluster_id",
-            F.coalesce(F.col("_cid"), F.col(id_col).cast("bigint")),
+            F.coalesce(F.col("_cid"), F.col(id_col).cast(cid_type)),
         )
         .drop("_cid")
     )

@@ -134,12 +134,17 @@ def value_outliers(
     stats = stats.select(
         group_col,
         mean.alias("_mean"),
-        F.sqrt(ex2 - mean * mean).alias("_std"),
+        # greatest(.., 0): ex2 - mean² can round to ~-1e-17 for a
+        # constant group; sqrt of that is NaN, and NaN sorts ABOVE any
+        # number in Spark, which would flag the whole group
+        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("_std"),
     )
     z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    # _std > 0 guard: a zero-variance group has no z-scores — dividing
+    # raises DIVIDE_BY_ZERO under ANSI mode (the default on Spark 4)
     return (
         df.join(F.broadcast(stats), group_col)
-        .filter(F.abs(z) > n_sigma)
+        .filter((F.col("_std") > 0) & (F.abs(z) > n_sigma))
         .select(
             F.col(id_col),
             F.col(group_col),

@@ -593,14 +593,15 @@ WITH stats AS (
 ), m AS (
   SELECT event_type,
          CAST(s AS DOUBLE) / n AS mean,
-         sqrt(CAST(s2 AS DOUBLE) / n
-              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+              0.0)) AS std
   FROM stats
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - m.mean) / m.std, 6) AS zscore
 FROM events e JOIN m USING (event_type)
-WHERE abs((e.value - m.mean) / m.std) > 3.0
+WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > 3.0
 """)
 def events_value_outliers(spark, sf_dir):
     """Per-event-type 3-sigma outliers: decimal-exact moments, one-row-

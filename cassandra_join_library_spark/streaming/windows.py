@@ -161,7 +161,7 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     )
 
 
-def read_documents_stream(spark: DataFrame, sf_dir: str,
+def read_documents_stream(spark: SparkSession, sf_dir: str,
                           max_files_per_trigger: int = 1) -> DataFrame:
     """File-based stream of the documents table (schema pinned from
     the batch read, glob-filtered like :func:`read_events_stream`) —

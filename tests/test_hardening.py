@@ -1,0 +1,124 @@
+"""Degenerate-input regression tests for the review-hardening fixes
+(ANSI-mode division guards, NULL-safe digests, type-generic ids,
+Arrow-independent local relations)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cassandra_join_library_spark.sources.catalog import local_frame
+
+
+def test_value_outliers_zero_variance_group(spark):
+    """A constant group must be skipped, not crash with DIVIDE_BY_ZERO
+    (ANSI default) or mass-flag via NaN."""
+    from cassandra_join_library_spark.operators.profiling import (
+        value_outliers,
+    )
+
+    df = local_frame(
+        spark,
+        [(1, "g", 7.5), (2, "g", 7.5), (3, "g", 7.5),
+         (4, "h", 0.0)] + [(10 + i, "h", 1.0) for i in range(30)],
+        "id bigint, grp string, v double",
+    )
+    out = value_outliers(df, "id", "grp", "v", n_sigma=3.0).collect()
+    assert all(r["grp"] != "g" for r in out)
+    assert all(math.isfinite(r["zscore"]) for r in out)
+
+
+def test_snapshot_diff_null_vs_empty_and_swapped_nulls(spark):
+    """NULL↔'' and column-swapped NULLs are CHANGES, not digest
+    collisions."""
+    from cassandra_join_library_spark.operators.corpus import snapshot_diff
+
+    schema = "id bigint, a string, b string"
+    old = local_frame(spark, [(1, "a", None), (2, None, None), (3, "x", "y")],
+                      schema)
+    new = local_frame(spark, [(1, None, "a"), (2, "", None), (3, "x", "y")],
+                      schema)
+    out = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()}
+    assert out == {1: "changed", 2: "changed"}  # 3 unchanged, absent
+
+
+def test_dedup_survivors_string_ids(spark):
+    """String doc ids (URLs) flow through the singleton fallback
+    without a bigint cast."""
+    from cassandra_join_library_spark.operators.dedup import dedup_survivors
+
+    docs = local_frame(
+        spark,
+        [("http://a", 10), ("http://b", 20), ("http://c", 5)],
+        "doc_id string, n_chars bigint",
+    )
+    clusters = local_frame(
+        spark,
+        [("http://a", "http://a"), ("http://b", "http://a")],
+        "doc_id string, cluster_id string",
+    )
+    out = dedup_survivors(docs, clusters, "doc_id", "n_chars").collect()
+    kept = {r["doc_id"] for r in out}
+    # b wins its cluster (longer); c is its own singleton and survives
+    assert kept == {"http://b", "http://c"}
+
+
+def test_token_budget_plan_digitless_source(spark):
+    """Sources without trailing digits get the fallback weight instead
+    of an ANSI cast error / silent NULL exclusion."""
+    from cassandra_join_library_spark.operators.corpus import (
+        token_budget_plan,
+    )
+
+    df = local_frame(
+        spark,
+        [(1, "a b c", "wikipedia"), (2, "d e", "src7"), (3, "f", "src7")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r["source"]: r
+            for r in token_budget_plan(df, "doc_id", "text", "source",
+                                       budget_tokens=100).collect()}
+    assert set(rows) == {"wikipedia", "src7"}
+    assert abs(sum(r["target_weight"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_local_frame_arrow_disabled_fallback(spark):
+    """local_frame must produce correct rows (incl. None in int
+    columns) even if a caller's session had Arrow off — it re-pins
+    the conf itself."""
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        df = local_frame(spark, [(1, None), (2, 5)], "a bigint, b bigint")
+        rows = sorted((r["a"], r["b"]) for r in df.collect())
+        assert rows == [(1, None), (2, 5)]
+        assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def test_runtime_parity_confs_pin_arrow():
+    from cassandra_join_library_spark.sources.catalog import (
+        RUNTIME_PARITY_CONFS,
+    )
+
+    assert RUNTIME_PARITY_CONFS[
+        "spark.sql.execution.arrow.pyspark.enabled"] == "true"
+
+
+def test_pmi_has_no_forced_vocab_broadcast(spark):
+    """The unigram joins must not carry broadcast HINTS (vocabulary is
+    data-dependent); only the 1-row N scalar may force one."""
+    from cassandra_join_library_spark.operators.corpus import (
+        pmi_collocations,
+    )
+
+    docs = local_frame(
+        spark,
+        [(1, "new york new york city"), (2, "the of the of a")],
+        "doc_id bigint, text string",
+    )
+    plan = pmi_collocations(docs, "doc_id", "text", k=5, min_count=1)
+    logical = plan._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") <= 1  # the N scalar only
