@@ -34,7 +34,12 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
-    return _dot(a_vec, b_vec) / (a_norm * b_norm)
+    """try_divide: a zero vector has no direction, so its cosine is
+    NULL — which every downstream threshold filter and DESC rank
+    (NULLS LAST) naturally excludes.  A plain division would throw
+    DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default) and kill the
+    whole query on one degenerate row."""
+    return F.try_divide(_dot(a_vec, b_vec), a_norm * b_norm)
 
 
 def cosine_topk_bruteforce(
@@ -69,6 +74,10 @@ def cosine_topk_bruteforce(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        # zero-norm vectors (NULL cosine, see cosine()) are not
+        # neighbors — drop them before ranking so they never pad the
+        # top-k tail
+        .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

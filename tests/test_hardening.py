@@ -122,3 +122,23 @@ def test_pmi_has_no_forced_vocab_broadcast(spark):
     plan = pmi_collocations(docs, "doc_id", "text", k=5, min_count=1)
     logical = plan._jdf.queryExecution().analyzed().toString()
     assert logical.count("ResolvedHint") <= 1  # the N scalar only
+
+
+def test_cosine_zero_vector_is_excluded_not_crash(spark):
+    """A zero embedding (no direction) must not kill similarity
+    queries under ANSI mode; it simply never matches."""
+    from cassandra_join_library_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = local_frame(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+         (3, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+    rows = out.collect()
+    assert {r["neighbor_id"] for r in rows} == {1, 3}  # 2 excluded
+    assert all(r["cosine_sim"] is not None for r in rows)
