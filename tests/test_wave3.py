@@ -210,3 +210,80 @@ def test_sampled_percentiles_rejects_colliding_names():
     with pytest.raises(ValueError, match="collide"):
         sampled_percentiles(None, "g", "v", "id",
                             percentiles=(0.001, 0.002))
+
+
+def test_first_touch_matches_bruteforce_on_random_events(spark):
+    """Cross-check the RANGE-window implementation against a pure-
+    Python brute force on a seeded random event set."""
+    import random
+
+    from cassandra_join_library_spark.operators.timeseries import (
+        first_touch_attribution,
+    )
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    rng = random.Random(42)
+    base = 1_700_000_000
+    rows = []
+    for eid in range(300):
+        user = rng.randrange(12)
+        ts = base + rng.randrange(30 * 86400)
+        etype = rng.choice(["click", "purchase", "view"])
+        rows.append((eid, user, etype, ts))
+    # brute force: earliest click in [t-7d, t] per purchase (RANGE
+    # frame includes same-timestamp peers regardless of event order)
+    expected = {}
+    for eid, user, etype, ts in rows:
+        if etype != "purchase":
+            continue
+        clicks = [t for (e2, u2, ty2, t) in rows
+                  if u2 == user and ty2 == "click"
+                  and ts - 604800 <= t <= ts]
+        expected[eid] = min(clicks) if clicks else None
+    ev = local_frame(
+        spark,
+        [(eid, u, ty, t) for (eid, u, ty, t) in rows],
+        "event_id bigint, user_id bigint, event_type string, ep bigint",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_seconds(ep) AS ts", "0.0 AS value")
+    got = {r["event_id"]: r["first_touch_epoch"]
+           for r in first_touch_attribution(ev).collect()}
+    assert got == expected
+
+
+def test_tf_cosine_matches_bruteforce_on_random_docs(spark):
+    """Cross-check the inverted-index TF cosine against a dict-based
+    brute force over random word-salad documents."""
+    import math
+    import random
+    from collections import Counter
+    from itertools import combinations
+
+    from cassandra_join_library_spark.operators.dedup import tf_cosine_pairs
+    from cassandra_join_library_spark.sources.catalog import local_frame
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 30))))
+            for i in range(25)]
+
+    def grams(text, n=3):
+        w = text.split(" ")
+        return Counter(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+
+    expected = {}
+    tfs = {i: grams(t) for i, t in docs}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        a, b = tfs[ia], tfs[ib]
+        dot = sum(a[g] * b[g] for g in a.keys() & b.keys())
+        if not dot:
+            continue
+        cos = dot / (math.sqrt(sum(v * v for v in a.values()))
+                     * math.sqrt(sum(v * v for v in b.values())))
+        if cos >= 0.3:
+            expected[(ia, ib)] = round(cos, 6)
+    df = local_frame(spark, docs, "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["cosine_tf"]
+           for r in tf_cosine_pairs(df, "doc_id", "text", n=3,
+                                    threshold=0.3).collect()}
+    assert got == expected
