@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,6)"
+# 27,6: exact to 6 dp with headroom to |v| < 10^21 — a DECIMAL(18,6)
+# element cast would abort the whole aggregate (ANSI overflow) on a
+# single corrupt value >= 10^12; the SUM result widens further, and
+# the final double cast is unchanged.  The SQL mirrors keep (18,6):
+# for in-range data both are exact, so the values agree.
+DEC = "decimal(27,6)"
 
 
 def dsum(col: "Column | str", alias: "str | None" = None) -> Column:

@@ -50,42 +50,65 @@ def asof_join(
             "Pass a numeric surrogate id, or add one with xxhash64/row_number."
         )
 
+    # SQL join semantics for the degenerate rows, matching the ASOF
+    # JOIN oracle: a NULL key or NULL ts on the right can never satisfy
+    # `l.key = r.key AND r.ts <= l.ts` — filtered up front (otherwise
+    # the window's NULLS-FIRST sort would treat a NULL-ts row as
+    # existing at -infinity, and NULL keys would match NULL keys).
+    # NULL-key LEFT rows still flow through — their partition simply
+    # contains no right rows, so they emerge unmatched, as a left join
+    # must.
     r = (
-        right.groupBy(key, right_ts)
+        right.filter(
+            F.col(key).isNotNull()
+            & F.col(right_ts).isNotNull()
+            & F.col(right_id).isNotNull()
+        )
+        .groupBy(key, right_ts)
         .agg(
             F.max(right_id).alias(right_id),
             *[F.max_by(c, right_id).alias(c) for c in right_payload],
         )
     )
-    l_tagged = left.select(
-        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"), F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast("long").alias("_rid"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rp_{c}") for c in right_payload],
-    )
+    # ONE struct carries the matched row's id AND payloads atomically:
+    # per-column last(ignorenulls) would skip a NULL payload value but
+    # not the id, stitching together a row that exists nowhere on the
+    # right.
     r_tagged = r.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        F.col(right_id).cast("long").alias("_rid"),
-        *[F.col(c).alias(f"_rp_{c}") for c in right_payload],
+        F.struct(
+            F.col(right_id).cast("long").alias("_rid"),
+            *[F.col(c).alias(c) for c in right_payload],
+        ).alias("_r"),
+    )
+    l_tagged = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal ts => "<=" semantics
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_rid").asc_nulls_last())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_left").asc(),
+            F.col("_r._rid").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "_is_left", "_l",
-        F.last("_rid", ignorenulls=True).over(w).alias(f"matched_{right_id}"),
-        *[
-            F.last(f"_rp_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
-            for c in right_payload
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col(f"matched_{right_id}"))
-    out_cols.extend(F.col(f"matched_{c}") for c in right_payload)
+    out_cols.append(F.col("_m._rid").alias(f"matched_{right_id}"))
+    out_cols.extend(
+        F.col(f"_m.{c}").alias(f"matched_{c}") for c in right_payload
+    )
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)

@@ -58,8 +58,12 @@ def bloom_build(
     ``bit_or`` per word — one small shuffle of at most m/64 groups.
     Returns the dense word list (length m/64, missing words zero).
     """
-    if num_bits % 64:
-        raise ValueError("num_bits must be a multiple of 64")
+    if num_bits <= 0 or num_bits % 64:
+        # 0 passes a bare modulus check but makes the positions' pmod
+        # an ANSI DIVIDE_BY_ZERO at execution; negatives likewise
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
     key = F.col(key) if isinstance(key, str) else key
     probes = F.array(*[
         F.struct(

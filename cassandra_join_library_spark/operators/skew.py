@@ -22,6 +22,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt_basis(df: DataFrame) -> "list[Column]":
+    """All hashable columns of ``df`` — the default content-salt basis.
+    Map-typed columns are excluded (xxhash64 rejects them outright);
+    if nothing hashable remains, demand an explicit salt column."""
+    from pyspark.sql.types import MapType
+
+    names = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    if not names:
+        raise ValueError(
+            "no hashable columns available for the content salt — pass "
+            "salt_source explicitly"
+        )
+    return [F.col(c) for c in names]
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -49,7 +67,9 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (skew is a "
                          "big-side problem; other joins re-shuffle anyway)")
-    salt_basis = [F.col(salt_source)] if salt_source else [F.col(c) for c in big.columns]
+    salt_basis = (
+        [F.col(salt_source)] if salt_source else _content_salt_basis(big)
+    )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_basis), F.lit(salt_buckets)).cast("int")
     )
@@ -105,10 +125,13 @@ def stratified_topk(
     from pyspark.sql import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in rank_cols]
+    # salt from the ROW's hashable columns, not the rank expressions:
+    # rank_cols legitimately contain SortOrder wrappers (F.col.desc()),
+    # which cannot be cast or hashed — and any content-derived salt is
+    # equally retry-stable
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[c.cast("string") for c in cols]),
-               F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*_content_salt_basis(df)), F.lit(salt_buckets)),
     )
     w_local = Window.partitionBy(stratum_col, "_salt").orderBy(*cols)
     local = (

@@ -142,3 +142,95 @@ def test_cosine_zero_vector_is_excluded_not_crash(spark):
     rows = out.collect()
     assert {r["neighbor_id"] for r in rows} == {1, 3}  # 2 excluded
     assert all(r["cosine_sim"] is not None for r in rows)
+
+
+def test_asof_null_payload_not_stitched_from_older_row(spark):
+    """The matched payload must come from the SAME right row as the
+    matched id — a NULL payload is a NULL match, not a carry-forward."""
+    from cassandra_join_library_spark.operators.asof import asof_join
+
+    right = local_frame(
+        spark,
+        [(7, 1, 1, 100.0), (7, 2, 2, None)],
+        "k bigint, ts bigint, event_id bigint, price double",
+    )
+    left = local_frame(spark, [(7, 3)], "k bigint, ts bigint")
+    r = asof_join(left, right, "k", "ts", "ts", "event_id",
+                  right_payload=["price"]).collect()[0]
+    assert r["matched_event_id"] == 2
+    assert r["matched_price"] is None  # NOT 100.0 from the older row
+
+
+def test_asof_null_right_ts_and_null_keys_never_match(spark):
+    """SQL semantics (the ASOF oracle's): NULL right timestamps and
+    NULL keys match nothing; NULL-key left rows still appear."""
+    from cassandra_join_library_spark.operators.asof import asof_join
+
+    right = local_frame(
+        spark,
+        [(7, None, 99), (None, 1, 98)],
+        "k bigint, ts bigint, event_id bigint",
+    )
+    left = local_frame(spark, [(7, 5), (None, 5)], "k bigint, ts bigint")
+    rows = {r["k"]: r["matched_event_id"]
+            for r in asof_join(left, right, "k", "ts", "ts",
+                               "event_id").collect()}
+    assert rows == {7: None, None: None}
+
+
+def test_interval_join_reversed_and_null_intervals_match_nothing(spark):
+    from cassandra_join_library_spark.operators.range_join import (
+        interval_join,
+    )
+
+    pts = local_frame(spark, [(1, 5.0)], "pid bigint, v double")
+    iv = local_frame(
+        spark,
+        [(10, 0.0, 10.0), (11, 20.0, 10.0), (12, None, 30.0)],
+        "iid bigint, lo double, hi double",
+    )
+    out = interval_join(pts, "v", iv, "lo", "hi", bucket_width=5.0)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_band_join_zero_width_fails_fast():
+    import pytest
+
+    from cassandra_join_library_spark.operators.range_join import band_join
+
+    with pytest.raises(ValueError, match="width must be > 0"):
+        band_join(None, "a", None, "b", width=0.0)
+
+
+def test_stratified_topk_accepts_desc_rank_columns(spark):
+    from cassandra_join_library_spark.operators.skew import stratified_topk
+
+    df = local_frame(
+        spark,
+        [(i, "g%d" % (i % 2), float(i)) for i in range(40)],
+        "id bigint, g string, score double",
+    )
+    out = stratified_topk(df, "g", [F.col("score").desc(), "id"], n=2)
+    rows = sorted((r["g"], r["rn"], r["id"]) for r in out.collect())
+    assert rows == [("g0", 1, 38), ("g0", 2, 36),
+                    ("g1", 1, 39), ("g1", 2, 37)]
+
+
+def test_dsum_survives_values_beyond_1e12(spark):
+    """One outlier above the old DECIMAL(18,6) ceiling must not abort
+    the aggregate under ANSI."""
+    from cassandra_join_library_spark.functions.scalars import dsum
+
+    df = local_frame(spark, [(1, 1e13), (2, 2.5)], "id bigint, v double")
+    got = df.agg(dsum("v", "s")).collect()[0]["s"]
+    assert got == 1e13 + 2.5
+
+
+def test_bloom_build_rejects_zero_bits(spark):
+    import pytest
+
+    from cassandra_join_library_spark.operators.bloom import bloom_build
+
+    df = local_frame(spark, [(1,)], "k bigint")
+    with pytest.raises(ValueError, match="positive multiple"):
+        bloom_build(df, "k", num_bits=0)
