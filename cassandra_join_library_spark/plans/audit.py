@@ -47,7 +47,19 @@ CHECKS = {
 
 
 def _physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        # Spark Connect sessions have no _jdf JVM handle — fall back to
+        # the public explain output (same operator names the matchers
+        # scan for; captures stdout, the only public plan channel)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="extended")
+        return buf.getvalue()
 
 
 def _window_is_unpartitioned(line: str) -> bool:

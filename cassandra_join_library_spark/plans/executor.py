@@ -202,15 +202,22 @@ class JoinExecutor:
         return q
 
     def _theta_condition(self, lcols: "List[Column]", rcols: "List[Column]",
-                         op: str, numeric: "List[bool]") -> Column:
-        def cmp(lc: Column, rc: Column, o: str, is_num: bool) -> Column:
-            if not is_num and o != "=" and o != "!=":
+                         op: str, numeric: "List[bool]",
+                         mixed: "List[bool] | None" = None) -> Column:
+        mixed = mixed or [False] * len(lcols)
+
+        def cmp(lc: Column, rc: Column, o: str, is_num: bool,
+                is_mixed: bool) -> Column:
+            if not is_num and (o not in ("=", "!=") or is_mixed):
                 lc2, rc2 = lc.try_cast("double"), rc.try_cast("double")
                 both = lc2.isNotNull() & rc2.isNotNull()
                 # fallback when either side is non-numeric: compare as
                 # strings — a deterministic total order where the
                 # reference (Python 3 mixed-type compare) would crash;
                 # ANSI mode also forbids the implicit string<->int cast
+                # (a bare string==bigint comparison THROWS
+                # CAST_INVALID_INPUT on the first non-numeric string,
+                # which is why mixed-type equality routes here too)
                 return F.when(both, _apply(lc2, rc2, o)).otherwise(
                     _apply(lc.cast("string"), rc.cast("string"), o)
                 )
@@ -222,14 +229,17 @@ class JoinExecutor:
                 ">": a > b, "<=": a <= b, ">=": a >= b,
             }[o]
 
+        def eq(i: int, lc: Column, rc: Column) -> Column:
+            return cmp(lc, rc, "=", numeric[i], mixed[i])
+
         n = len(lcols)
         if n == 1:
-            return cmp(lcols[0], rcols[0], op, numeric[0])
+            return cmp(lcols[0], rcols[0], op, numeric[0], mixed[0])
         # composite key: lexicographic tuple comparison (Python tuple
         # semantics, as the reference compares key tuples directly)
         eq_all = F.lit(True)
-        for lc, rc in zip(lcols, rcols):
-            eq_all = eq_all & (lc == rc)
+        for i, (lc, rc) in enumerate(zip(lcols, rcols)):
+            eq_all = eq_all & eq(i, lc, rc)
         if op == "=":
             return eq_all
         if op == "!=":
@@ -238,8 +248,9 @@ class JoinExecutor:
         prefix_eq = F.lit(True)
         base = "<" if op in ("<", "<=") else ">"
         for i, (lc, rc) in enumerate(zip(lcols, rcols)):
-            strict = strict | (prefix_eq & cmp(lc, rc, base, numeric[i]))
-            prefix_eq = prefix_eq & (lc == rc)
+            strict = strict | (prefix_eq & cmp(lc, rc, base, numeric[i],
+                                               mixed[i]))
+            prefix_eq = prefix_eq & eq(i, lc, rc)
         if op in ("<=", ">="):
             return strict | eq_all
         return strict
@@ -335,7 +346,15 @@ class JoinExecutor:
         ).first()
         if stats is None or stats["aw"] is None:
             return None
-        bucket = max(float(stats["aw"]), float(stats["mw"]) / 256.0, 1e-9)
+        if float(stats["aw"]) <= 0:
+            # degenerate (point / reversed) intervals: the old 1e-9
+            # width floor made floor(p / 1e-9) SATURATE to Long.max for
+            # values beyond ~9e9 (epoch micros, large keys), silently
+            # collapsing every row into one hot bucket — the O(N·M)
+            # cross product the rewrite exists to avoid, reported as a
+            # success.  No meaningful width exists; keep the BNLJ.
+            return None
+        bucket = max(float(stats["aw"]), float(stats["mw"]) / 256.0)
 
         B = "_cjl_bucket"
         pb = pdf.withColumn(B, F.floor(F.col(p) / F.lit(bucket)).cast("long"))
@@ -416,10 +435,32 @@ class JoinExecutor:
                 isinstance(ltypes[lk], NumericType) and isinstance(rtypes[rk], NumericType)
                 for lk, rk in zip(lkeys, rkeys)
             ]
+            # string-vs-numeric key pairs: a bare == would make ANSI
+            # mode (the Spark 4 default) cast the string side and THROW
+            # on the first non-numeric value — route through the same
+            # coerce-else-string-compare fallback the theta path uses
+            from pyspark.sql.types import StringType
+
+            mixed = [
+                (isinstance(ltypes[lk], StringType)
+                 and isinstance(rtypes[rk], NumericType))
+                or (isinstance(ltypes[lk], NumericType)
+                    and isinstance(rtypes[rk], StringType))
+                for lk, rk in zip(lkeys, rkeys)
+            ]
             if op == "=":
                 cond = None
-                for lk, rk in zip(lkeys, rkeys):
-                    c = current[lk] == rdf[rk]
+                for i, (lk, rk) in enumerate(zip(lkeys, rkeys)):
+                    if mixed[i]:
+                        lc2 = current[lk].try_cast("double")
+                        rc2 = rdf[rk].try_cast("double")
+                        both = lc2.isNotNull() & rc2.isNotNull()
+                        c = F.when(both, lc2 == rc2).otherwise(
+                            current[lk].cast("string")
+                            == rdf[rk].cast("string")
+                        )
+                    else:
+                        c = current[lk] == rdf[rk]
                     cond = c if cond is None else (cond & c)
                 current = current.join(rdf, on=cond, how=_HOW[how])
             else:
@@ -431,7 +472,7 @@ class JoinExecutor:
                 else:
                     cond = self._theta_condition(
                         [current[k] for k in lkeys], [rdf[k] for k in rkeys],
-                        op, numeric
+                        op, numeric, mixed
                     )
                     current = current.join(rdf, on=cond, how=_HOW[how])
             loaded[right.name] = rdf

@@ -341,4 +341,11 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
         pdf = pd.DataFrame(dicts, columns=names)
         return spark.createDataFrame(pdf, schema=schema)
     dicts = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    if not dicts:
+        # a zero-column pandas frame fails deep in Arrow inference with
+        # an unrelated error; the empty relation NEEDS a schema
+        raise ValueError(
+            "local_frame with no rows requires an explicit schema "
+            "(an empty relation has no inferable columns)"
+        )
     return spark.createDataFrame(pd.DataFrame(dicts).convert_dtypes())

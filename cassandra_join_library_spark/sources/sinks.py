@@ -77,9 +77,30 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     size_bytes = fs.getContentSummary(p).getLength()
     n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
 
+    # hive-partitioned layouts (dir names like ``col=value``, as
+    # write_partitioned produces) must be REWRITTEN partitioned — a
+    # flat rewrite would silently destroy the pruning layout and every
+    # path-addressed reader.  Partition columns are recovered from the
+    # first-level directory names (multi-level via recursion into the
+    # first child chain).
+    part_cols: "list[str]" = []
+    probe = p
+    while True:
+        subdirs = [f.getPath().getName() for f in fs.listStatus(probe)
+                   if f.isDirectory()
+                   and "=" in f.getPath().getName()
+                   and not f.getPath().getName().startswith("_")]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = jvm.org.apache.hadoop.fs.Path(probe, subdirs[0])
+
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
     df = spark.read.parquet(path)
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp.toString())
 
     backup = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
     if fs.exists(backup):

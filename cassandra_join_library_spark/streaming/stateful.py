@@ -49,12 +49,18 @@ def _update_running(
     if state.exists:
         n, total, mx = state.get
     else:
-        n, total, mx = 0, 0.0, float("-inf")
+        n, total, mx = 0, 0.0, None
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
+        total += float(pdf["value"].sum())  # pandas sum skips NaN,
+        # matching Spark's null-ignoring SUM
+        non_null = pdf["value"].dropna()
+        if len(non_null):
+            m = float(non_null.max())
+            # None (not -inf) when no non-null value has been seen:
+            # max(-inf, nan) returns -inf and a fabricated -Infinity
+            # would leak into the output as max_value
+            mx = m if mx is None else max(mx, m)
     state.update((n, total, mx))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n],
@@ -126,7 +132,14 @@ def _make_sessionizer(gap_seconds: int):
         parts = [p for p in batches if len(p)]
         if not parts:
             return
-        rows = pd.concat(parts, ignore_index=True).sort_values("ts")
+        rows = pd.concat(parts, ignore_index=True)
+        # a NULL ts passes the engine's late-row filter (NULL < wm is
+        # not true) but has no place on the event-time axis — dropped
+        # here before NaT would convert to int64-min and poison the
+        # session bounds / timeout timestamp
+        rows = rows.dropna(subset=["ts"]).sort_values("ts")
+        if not len(rows):
+            return
         # normalize to microsecond epoch regardless of the Arrow
         # datetime64 resolution (ns locally, us under newer Arrow)
         ts_us = (rows["ts"].astype("datetime64[us]").astype("int64")).tolist()
@@ -138,8 +151,13 @@ def _make_sessionizer(gap_seconds: int):
         for t, v in zip(ts_us, vals):
             if t - last_us > gap_us:
                 yield session_row(start_us, last_us, n, total)
-                start_us, n, total = t, 0, 0.0
-            last_us = t
+                start_us, last_us, n, total = t, t, 0, 0.0
+            # max/min, not assignment: a LATE event (allowed while the
+            # watermark lags) merging into an open session must not
+            # REWIND the session end — that would split the session on
+            # the next on-time event and set the timeout too early
+            last_us = max(last_us, t)
+            start_us = min(start_us, t)
             n += 1
             total += float(v)
         state.update((start_us, last_us, n, total))

@@ -115,12 +115,19 @@ def dedup_stream(stream: DataFrame, keys: "list[str]",
     return stream.dropDuplicates(keys)
 
 
-def run_to_memory(result: DataFrame, output_mode: str = "complete",
+def run_to_memory(result: DataFrame, output_mode: str = "append",
                   name: "str | None" = None) -> "tuple[str, object]":
     """Execute a streaming DataFrame to completion (AvailableNow) into
     an in-memory table; returns (table_name, query).  Test/driver
     harness — production sinks are kafka/delta/parquet via the same
-    ``writeStream`` call."""
+    ``writeStream`` call.
+
+    Default mode is ``append`` — the only mode valid for the
+    non-aggregating streams half this module produces (``complete``
+    throws AnalysisException without a streaming aggregation; pass
+    ``complete``/``update`` explicitly for aggregations).  The
+    checkpoint directory is a fresh tempdir per call and is left on
+    disk with the memory table (test-harness lifetime)."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         result.writeStream.format("memory")

@@ -234,3 +234,150 @@ def test_bloom_build_rejects_zero_bits(spark):
     df = local_frame(spark, [(1,)], "k bigint")
     with pytest.raises(ValueError, match="positive multiple"):
         bloom_build(df, "k", num_bits=0)
+
+
+def test_mixed_type_equality_join_coerces_not_crashes(spark):
+    """String-vs-numeric equality keys: numeric strings match by value,
+    non-numeric strings match nothing — no ANSI CAST_INVALID_INPUT."""
+    from cassandra_join_library_spark import (
+        JoinExecutor, MemoryCatalog, TableInfo,
+    )
+
+    a = local_frame(spark, [(1, "5"), (2, "abc"), (3, "7.0")],
+                    "id bigint, v string")
+    b = local_frame(spark, [(10, 5), (11, 7)], "bid bigint, w int")
+    mc = MemoryCatalog({"a": a, "b": b})
+    got = sorted(
+        (r["a_id"], r["b_bid"])
+        for r in JoinExecutor(spark, mc)
+        .join(TableInfo("a", "v"), TableInfo("b", "w")).execute().collect()
+    )
+    assert got == [(1, 10), (3, 11)]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing transition fns."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_running_stats_all_null_values_emit_null_max():
+    import pandas as pd
+
+    from cassandra_join_library_spark.streaming.stateful import (
+        _update_running,
+    )
+
+    state = _FakeState()
+    pdf = pd.DataFrame({"user_id": [1, 1], "value": [None, None]})
+    [out] = list(_update_running((1,), iter([pdf]), state))
+    assert out["n_events"][0] == 2
+    assert out["max_value"][0] is None  # NOT -inf
+    assert out["total_value"][0] == 0.0
+
+
+def test_sessionizer_drops_null_ts_and_keeps_session_end():
+    import pandas as pd
+
+    from cassandra_join_library_spark.streaming.stateful import (
+        _make_sessionizer,
+    )
+
+    fn = _make_sessionizer(gap_seconds=600)
+    state = _FakeState()
+    # batch 1: events at 10:00 and 10:05 plus a NULL ts row
+    b1 = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00",
+                              "2024-01-01 10:05:00", pd.NaT]),
+        "value": [1.0, 1.0, 1.0],
+    })
+    assert list(fn((1,), iter([b1]), state)) == []  # session still open
+    last_before = state.get[1]
+    # batch 2: a LATE event at 09:58 merges but must not rewind the end
+    b2 = pd.DataFrame({
+        "user_id": [1],
+        "ts": pd.to_datetime(["2024-01-01 09:58:00"]),
+        "value": [1.0],
+    })
+    assert list(fn((1,), iter([b2]), state)) == []
+    assert state.get[1] == last_before  # session end unchanged
+    # an on-time event 6 min after 10:05 still merges (no bogus split)
+    b3 = pd.DataFrame({
+        "user_id": [1],
+        "ts": pd.to_datetime(["2024-01-01 10:11:00"]),
+        "value": [1.0],
+    })
+    assert list(fn((1,), iter([b3]), state)) == []
+    assert state.get[2] == 4  # all 4 timestamped events in ONE session
+    # (the NaT row was dropped, not counted)
+
+
+def test_interval_rewrite_declines_point_intervals(spark):
+    """Zero-width intervals at epoch-microsecond magnitudes: the old
+    1e-9 bucket floor saturated floor(p/w) to Long.max (one hot
+    bucket); the rewrite must decline instead."""
+    from cassandra_join_library_spark import (
+        Condition, JoinExecutor, MemoryCatalog, TableInfo,
+    )
+
+    pts = local_frame(spark, [(1, 1_700_000_000_000_000)],
+                      "pid bigint, p double")
+    iv = local_frame(spark, [(9, 1_699_999_999_000_000.0,
+                              1_699_999_999_000_000.0)],
+                     "ik bigint, lo double, hi double")
+    ex = (
+        JoinExecutor(spark, MemoryCatalog({"pts": pts, "iv": iv}),
+                     auto_range_join=True)
+        .join(TableInfo("pts", "p"), TableInfo("iv", "lo"), ">=")
+        .filter_by(Condition("pts.p", "<=", "iv.hi"))
+    )
+    assert ex.execute().count() == 0  # correct: p > hi
+    assert not any("interval-rewrite" in n for n in ex.plan_notes)
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    import os
+
+    from cassandra_join_library_spark.sources import sinks
+
+    path = str(tmp_path / "part_ds")
+    df = local_frame(
+        spark,
+        [(i, "d%d" % (i % 3), float(i)) for i in range(30)],
+        "id bigint, dt string, v double",
+    )
+    df.write.partitionBy("dt").parquet(path)
+    n = sinks.compact_parquet(spark, path, target_file_mb=128)
+    assert n >= 0
+    subdirs = {d for d in os.listdir(path) if d.startswith("dt=")}
+    assert subdirs == {"dt=d0", "dt=d1", "dt=d2"}
+    back = spark.read.parquet(path)
+    assert back.count() == 30 and "dt" in back.columns
+
+
+def test_local_frame_empty_without_schema_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        local_frame(spark, [])
+    # with a schema the empty relation is fine
+    assert local_frame(spark, [], "a bigint").count() == 0

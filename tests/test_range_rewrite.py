@@ -161,11 +161,12 @@ def test_no_rewrite_for_non_numeric_keys(spark):
 
 
 def test_inverted_intervals_cannot_match(spark, frames):
-    """Intervals with hi < lo are dropped by the rewrite's guard; the
-    un-rewritten plan gives the same (empty-for-those) result."""
+    """SOME intervals inverted (hi < lo): the rewrite still fires (avg
+    width positive) and its per-row hi >= lo guard drops the inverted
+    rows — identical results to the un-rewritten plan."""
     bad_iv = frames["iv"].withColumn(
         "hi_epoch",
-        F.when(F.col("iv_key") % 2 == 0, F.col("lo_epoch") - 1).otherwise(
+        F.when(F.col("iv_key") % 40 == 0, F.col("lo_epoch") - 1).otherwise(
             F.col("hi_epoch")
         ),
     )
@@ -174,3 +175,18 @@ def test_inverted_intervals_cannot_match(spark, frames):
     slow = _executor(spark, fr, auto=False)
     assert _rows(fast.execute()) == _rows(slow.execute())
     assert any("interval-rewrite" in n for n in fast.plan_notes)
+
+
+def test_all_degenerate_intervals_decline_rewrite(spark, frames):
+    """EVERY interval inverted → avg width <= 0: no meaningful bucket
+    width exists, so the rewrite declines (the old 1e-9 floor would
+    saturate floor(p/w) to Long.max — one hot bucket) and the BNLJ
+    fallback still yields the correct (empty) result."""
+    bad_iv = frames["iv"].withColumn(
+        "hi_epoch", F.col("lo_epoch") - 1
+    )
+    fr = {"pts": frames["pts"], "iv": bad_iv}
+    fast = _executor(spark, fr, auto=True)
+    slow = _executor(spark, fr, auto=False)
+    assert _rows(fast.execute()) == _rows(slow.execute()) == []
+    assert not any("interval-rewrite" in n for n in fast.plan_notes)
