@@ -50,3 +50,23 @@ def bigint(col: Column, alias: "str | None" = None) -> Column:
 # the convention can't drift:
 SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({x})"
+
+
+def content_digest(content_cols: "list[str]") -> Column:
+    """NULL-safe fixed-width (sha2-256) content digest.
+
+    ``concat_ws`` alone SKIPS NULLs, so ('a', NULL) / (NULL, 'a') /
+    ('a',) would all digest identically — and an unescaped separator
+    lets ('a\\x1f', 'b') collide with ('a', '\\x1fb').  Each cell is
+    tagged first: NULL → \\x00, value v → \\x01·v — the tags are
+    disjoint, so every distinct content tuple digests distinctly
+    (separator bytes inside values still differ by the adjacent tag).
+    Shared by incremental dedup and snapshot diffing so the two
+    digest-keyed paths can never disagree.
+    """
+    cells = [
+        F.when(F.col(c).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+        for c in content_cols
+    ]
+    return F.sha2(F.concat_ws("\x1f", *cells), 256)

@@ -25,10 +25,20 @@ from pyspark.sql import functions as F
 
 from .dedup import shingles
 
-# Knuth multiplicative-hash constant; modulus 2^31-1 keeps every
-# intermediate inside BIGINT in any engine
+# Knuth multiplicative-hash constant.  The id is reduced mod 2^31-1
+# BEFORE multiplying — (id % m) * mult tops out at ~5.7e18 < 2^63, so
+# the arithmetic stays inside BIGINT for ANY id (raw id * mult
+# overflows — ANSI ARITHMETIC_OVERFLOW — once |id| > ~3.5e9, i.e. for
+# every snowflake/hash-derived id space); pmod keeps buckets
+# non-negative for negative ids (plain % follows the dividend's sign).
 _HASH_MULT = 2654435761
 _HASH_MOD = 2147483647
+
+
+def _knuth_hash(id_col: Column) -> Column:
+    return F.pmod(
+        F.pmod(id_col.cast("bigint"), _HASH_MOD) * _HASH_MULT, _HASH_MOD
+    )
 
 
 def tfidf_top_terms(
@@ -84,16 +94,17 @@ def stratified_split(
     TABLESAMPLE), and rows never migrate between splits when data is
     appended.  Map-only: zero shuffles.
     """
-    h = (
-        F.col(id_col).cast("bigint") * _HASH_MULT
-        + F.ascii(F.col(strata_col)).cast("bigint") * 7919
-    ) % _HASH_MOD
-    bucket = (h % 1000).alias("bucket")
+    h = F.pmod(
+        _knuth_hash(F.col(id_col))
+        + F.ascii(F.col(strata_col)).cast("bigint") * 7919,
+        _HASH_MOD,
+    )
+    bucket = F.pmod(h, 1000).alias("bucket")
     return df.select(
         F.col(id_col),
         F.col(strata_col),
         bucket,
-        F.when(h % 1000 < test_per_mille, F.lit("test"))
+        F.when(F.pmod(h, 1000) < test_per_mille, F.lit("test"))
         .otherwise(F.lit("train"))
         .alias("split"),
     )
@@ -162,7 +173,12 @@ def contamination_overlap(
     denominator (``n_shingles``) is NOT capped: only matching is —
     capping the denominator would inflate ratios of generic docs.
     """
-    doc_sh = shingles(df, id_col, text_col, n=n)  # (doc, shingle), distinct
+    # (doc, shingle), distinct — persisted: hits AND totals both read
+    # it, and without the cache the expensive corpus-wide gram
+    # transform executes twice per action (the same reason every
+    # sibling posting-list operator persists its shingles)
+    doc_sh = shingles(df, id_col, text_col, n=n).persist()
+    doc_sh.count()
     bench_sh = (
         shingles(bench, id_col, text_col, n=n)
         .select(F.col("shingle"), F.col("doc").alias("bdoc"))
@@ -281,9 +297,7 @@ def mixture_rebalance(
     )
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     frac = F.sqrt(F.col("_cmin") / F.col("_c"))
-    bucket = (
-        (F.col(id_col).cast("bigint") * _HASH_MULT) % _HASH_MOD
-    ) % bucket_mod
+    bucket = F.pmod(_knuth_hash(F.col(id_col)), bucket_mod)
     return (
         df.join(F.broadcast(counts), source_col)
         .crossJoin(F.broadcast(cmin))
@@ -340,7 +354,13 @@ def pack_sequences(
     from pyspark import StorageLevel
 
     tok = F.ceil(F.col(chars_col) / 4.0).cast("bigint")
-    c = chunks.select(
+    # a NULL doc id would flow into a NULL range bucket and crash the
+    # driver-side bucket-offset fold with int(None) — assert loudly per
+    # row instead (in a FILTER so column pruning can't elide the check)
+    c = chunks.filter(F.assert_true(
+        F.col(doc_col).isNotNull(),
+        F.lit("pack_sequences: NULL doc id in chunk input"),
+    ).isNull()).select(
         F.col(doc_col).cast("bigint").alias("doc_id"),
         F.col(chunk_col).alias("chunk_id"),
         tok.alias("n_tokens"),
@@ -439,9 +459,9 @@ def shuffle_shards(
     by shard — every shard sorts in parallel, no global sort.  The
     (shard, pos) pair defines a reproducible total order any trainer
     can stream."""
-    h = (F.col(id_col).cast("bigint") * _HASH_MULT) % _HASH_MOD
+    h = _knuth_hash(F.col(id_col))
     base = df.select(
-        F.col(id_col), (h % n_shards).cast("bigint").alias("shard"),
+        F.col(id_col), F.pmod(h, n_shards).cast("bigint").alias("shard"),
         h.alias("_h"),
     )
     w = Window.partitionBy("shard").orderBy("_h", id_col)
@@ -552,6 +572,18 @@ def kmeans_fit(
         raise ValueError(
             f"k={k} exceeds the {len(init)} available input rows"
         )
+    dim = len(init[0])
+    # a vector with a NULL element or a different length would NULL its
+    # distances (cluster NULL) and crash the driver-side centroid
+    # update with an opaque TypeError/KeyError — assert per row with a
+    # diagnosable message instead (assert_true raises on first offender)
+    base = base.filter(F.assert_true(
+        (F.size("v") == dim) & ~F.exists("v", lambda x: x.isNull()),
+        F.format_string(
+            "kmeans_fit: embedding with NULL element or length %s != "
+            "expected %s", F.size("v").cast("string"), F.lit(str(dim)),
+        ),
+    ).isNull())
     centroids = init
     assigned = None
     for _ in range(n_iter):
@@ -816,17 +848,9 @@ def snapshot_diff(
     only the delta (unchanged rows drop out).  Returns (id, status)
     with status in {'added', 'removed', 'changed'}.
     """
-    # NULL-safe encoding: concat_ws SKIPS nulls, so ('a', NULL) and
-    # (NULL, 'a') — or NULL vs '' — would digest identically and real
-    # changes would vanish from the diff.  Tag each cell: NULL → \x00,
-    # value v → \x01·v; the tags are disjoint, so every distinct
-    # content state digests distinctly.
-    cells = [
-        F.when(F.col(c).isNull(), F.lit("\x00"))
-        .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
-        for c in content_cols
-    ]
-    digest = F.sha2(F.concat_ws("\x1f", *cells), 256)
+    from ..functions.scalars import content_digest
+
+    digest = content_digest(content_cols)  # NULL-safe, separator-safe
     o = old_df.select(F.col(id_col).alias("_id"), digest.alias("_od"))
     n = new_df.select(F.col(id_col).alias("_id"), digest.alias("_nd"))
     joined = o.join(n, "_id", "full_outer")

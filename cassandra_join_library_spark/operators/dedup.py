@@ -54,12 +54,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame
     ).otherwise(F.array().cast("array<string>"))
     # per-doc distinct is row-LOCAL: sort the array (O(k log k)) and
     # drop adjacent duplicates — no shuffle, unlike dropDuplicates, and
-    # no O(k^2) array_distinct scan
-    deduped = F.expr(
-        "filter(array_sort(sh), (x, i) -> i == 0 OR x != array_sort(sh)[i - 1])"
-    )
+    # no O(k^2) array_distinct scan.  The sorted array is BOUND TO A
+    # COLUMN first: higher-order-function lambdas are interpreted with
+    # no common-subexpression elimination, so referencing
+    # array_sort(sh) inside the lambda would re-sort the whole array
+    # per element — O(k² log k) in the hottest map stage.
+    deduped = F.expr("filter(ss, (x, i) -> i == 0 OR x != ss[i - 1])")
     return (
-        base.select("doc", grams.alias("sh"))
+        base.select("doc", F.array_sort(grams).alias("ss"))
         .select("doc", F.explode(deduped).alias("shingle"))
     )
 
@@ -570,7 +572,9 @@ def incremental_dedup(
     32-byte keys instead of document bodies, and the history side can
     be a pre-materialized digest table (never rescan the corpus text).
     """
-    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    from ..functions.scalars import content_digest
+
+    digest = content_digest(content_cols)  # NULL-safe, separator-safe
     seen = corpus_df.select(digest.alias("_digest")).distinct()
     return (
         new_df.withColumn("_digest", digest)

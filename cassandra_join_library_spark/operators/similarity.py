@@ -244,10 +244,32 @@ def ivf_topk(
                    F.col("_norm"), F.col("cent_norm")),
             round_to,
         )
-        w = Window.partitionBy(sid).orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
-        return (
+        scored = (
             side.join(F.broadcast(cent), F.lit(True))
             .withColumn("_csim", sim)
+        )
+        if n_lists == 1:
+            # CORPUS side: argmax as an AGGREGATE, not a window — the
+            # window would hash-exchange num_centroids copies of every
+            # corpus vector (payload included) to rank them, a
+            # ~centroids× corpus shuffle; max_by partial-aggregates
+            # map-side and shuffles ONE row per vector.  Tie-break
+            # matches the window's (sim desc, cent_id asc): max of
+            # (sim, -cent_id).  NULL sims (zero vectors) order lowest,
+            # so a real centroid wins whenever one exists.
+            other = [c for c in side.columns if c != sid]
+            best = F.max_by(
+                F.struct(F.col("cent_id"), *[F.col(c) for c in other]),
+                F.struct(F.col("_csim"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_best")
+            agg = scored.groupBy(sid).agg(best)
+            return agg.select(
+                sid, *[F.col(f"_best.{c}").alias(c)
+                       for c in ["cent_id", *other]]
+            )
+        w = Window.partitionBy(sid).orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
+        return (
+            scored
             .withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= n_lists)
             .drop("_csim", "_crank", "cent_vec", "cent_norm")
@@ -339,6 +361,18 @@ def lsh_cosine_pairs(
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_vec").alias("vec"), F.col("_norm").alias("norm")
     )
+    # a dim mismatch would NULL every signature (zip_with pads with
+    # NULL) and the sig-equality join would silently return ZERO pairs
+    # — a wrong answer for a pure parameter mistake; fail loudly on the
+    # first offending row instead (assert_true evaluates per row)
+    n = n.filter(F.assert_true(
+        F.size("vec") == dim,
+        F.format_string(
+            "lsh_cosine_pairs: vector length %s != dim=%s — pass the "
+            "embedding's true dimension", F.size("vec").cast("string"),
+            F.lit(str(dim)),
+        ),
+    ).isNull())
     sigs = []
     for t in range(n_tables):
         bits = None
@@ -497,6 +531,11 @@ def pq_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_approx", approx)
+        # degenerate corpus vectors (NULL element / wrong length) give a
+        # NULL ADC distance, and asc() defaults NULLS FIRST — unfiltered
+        # they would outrank every real candidate and evict the true
+        # neighbors from the k·refine shortlist
+        .filter(F.col("_approx").isNotNull())
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("_approx").asc(), F.col("neighbor_id").asc()

@@ -46,7 +46,7 @@ def tfidf_top_terms(spark, sf_dir):
 @register("corpus_split", oracle="""
 WITH h AS (
   SELECT doc_id, lang,
-         (CAST(doc_id AS BIGINT) * 2654435761
+         (((((CAST(doc_id AS BIGINT) % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647
           + CAST(ascii(lang) AS BIGINT) * 7919) % 2147483647 AS hv
   FROM documents
 )
@@ -204,7 +204,7 @@ WITH c AS (
 SELECT d.doc_id, d.source,
        round(sqrt(m._cmin * 1.0 / c._c), 6) AS keep_frac
 FROM documents d JOIN c USING (source) CROSS JOIN m
-WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 2147483647) % 1000000
+WHERE (((((CAST(d.doc_id AS BIGINT) % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647) % 1000000
       < sqrt(m._cmin * 1.0 / c._c) * 1000000
 """)
 def corpus_mixture(spark, sf_dir):
@@ -383,7 +383,7 @@ def events_latest_state(spark, sf_dir):
 @register("corpus_shuffle_shards", oracle="""
 WITH h AS (
   SELECT doc_id,
-         (CAST(doc_id AS BIGINT) * 2654435761) % 2147483647 AS hv
+         ((((CAST(doc_id AS BIGINT) % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647 AS hv
   FROM documents
 )
 SELECT doc_id, hv % 64 AS shard,

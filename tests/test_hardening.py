@@ -381,3 +381,70 @@ def test_local_frame_empty_without_schema_raises(spark):
         local_frame(spark, [])
     # with a schema the empty relation is fine
     assert local_frame(spark, [], "a bigint").count() == 0
+
+
+def test_knuth_hash_survives_snowflake_and_negative_ids(spark):
+    """Hash-derived / snowflake-scale and negative ids: no ANSI
+    overflow, non-negative buckets, stable split fractions."""
+    from cassandra_join_library_spark.operators.corpus import (
+        mixture_rebalance, shuffle_shards, stratified_split,
+    )
+
+    df = local_frame(
+        spark,
+        [(7_219_402_918_237_551_123, "en", "s0"),
+         (-4_611_686_018_427_387_904, "de", "s1"),
+         (123, "en", "s0"), (456, "de", "s1")],
+        "doc_id bigint, lang string, source string",
+    )
+    split = stratified_split(df, "doc_id", "lang").collect()
+    assert {r["split"] for r in split} <= {"train", "test"}
+    assert all(0 <= r["bucket"] < 1000 for r in split)
+    shards = shuffle_shards(df, "doc_id", n_shards=8).collect()
+    assert all(0 <= r["shard"] < 8 for r in shards)
+    mixture_rebalance(df, "doc_id", "source").collect()  # no overflow
+
+
+def test_incremental_dedup_null_and_separator_safety(spark):
+    """Distinct contents must never collide in the digest: NULL
+    placement and separator bytes inside values are encoded."""
+    from cassandra_join_library_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    corpus = local_frame(spark, [(1, None, "a"), (2, "a\x1f", "b")],
+                         "id bigint, c1 string, c2 string")
+    new = local_frame(spark, [(10, "a", None), (11, "a", "\x1fb")],
+                      "id bigint, c1 string, c2 string")
+    kept = {r["id"] for r in
+            incremental_dedup(new, corpus, ["c1", "c2"]).collect()}
+    assert kept == {10, 11}  # both genuinely new — nothing collides
+
+
+def test_lsh_dim_mismatch_fails_loudly(spark):
+    import pytest
+
+    from cassandra_join_library_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    emb = local_frame(spark, [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.1])],
+                      "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="vector length"):
+        lsh_cosine_pairs(emb, "vec_id", "embedding", dim=64).collect()
+
+
+def test_pq_shortlist_excludes_null_approx(spark):
+    """A corpus vector with a NULL element must not hijack the ADC
+    shortlist via NULLS FIRST ascending rank."""
+    from cassandra_join_library_spark.operators.similarity import pq_topk
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5])
+            for i in range(40)]
+    rows.append((99, [None, 1.0, 1.0, 1.0]))
+    emb = local_frame(spark, rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = pq_topk(emb, queries, "vec_id", "embedding", k=3, m=2, ks=4)
+    rows = out.collect()
+    assert all(r["neighbor_id"] != 99 for r in rows)
+    assert all(r["cosine_sim"] is not None for r in rows)
