@@ -60,7 +60,9 @@ def _fake_decode(doc_id: int, text: str) -> "tuple[int, int, int, int, int]":
         raise NotImplementedError("install pillow/librosa and decode payload")
 
     Instead we derive stable pseudo-metadata from the payload so the
-    full Arrow pipeline is exercised and oracle-checkable."""
+    full Arrow pipeline is exercised and oracle-checkable.  NULL text
+    (pandas None) is a zero-byte payload, not a worker crash."""
+    text = text if text is not None else ""
     byte_len = len(text.encode("utf-8"))
     width = byte_len % 640
     height = (byte_len * 7) % 480

@@ -25,17 +25,26 @@ def profile_table(df: DataFrame) -> DataFrame:
     """Narrow per-column profile: (column, n_rows, n_nulls, n_distinct,
     min_str, max_str) — ONE aggregation job for every column at once,
     min/max serialized to strings so the schema is uniform."""
+    from pyspark.sql.types import MapType
+
     aggs = []
     for f in df.schema.fields:
         c = f.name
+        # map columns are unorderable/unhashable: min/max/count_distinct
+        # fail ANALYSIS for the whole job — profile them as NULLs so the
+        # rest of the table still gets its stats
+        orderable = not isinstance(f.dataType, MapType)
         aggs.append(
             F.struct(
                 F.lit(c).alias("column"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_str"),
-                F.max(F.col(c)).cast("string").alias("max_str"),
+                (F.count_distinct(F.col(c)) if orderable
+                 else F.lit(None).cast("bigint")).alias("n_distinct"),
+                (F.min(F.col(c)).cast("string") if orderable
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(F.col(c)).cast("string") if orderable
+                 else F.lit(None).cast("string")).alias("max_str"),
             ).alias(c)
         )
     wide = df.agg(*aggs)
@@ -67,15 +76,19 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     duplicate-bigram ratio — the standard cheap signals for degenerate
     (looping) text.  Computed via explode + per-doc aggregation, not
     per-row O(k^2) lambdas."""
+    # NULL text is EMPTY text, not an excuse to vanish: explode of
+    # split(NULL) yields no rows, silently dropping exactly the
+    # degenerate docs a profile exists to surface
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     words = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("w")
+        F.col(id_col).alias("doc"), F.explode(F.split(txt, " ")).alias("w")
     )
     top_word = (
         words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc")
         .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_tokens"))
     )
-    base = df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("w"))
+    base = df.select(F.col(id_col).alias("doc"), F.split(txt, " ").alias("w"))
     # guard: size(w)<2 would make sequence(0, -1) count DOWN and
     # w[i+1] index out of bounds (ANSI crash) — same hazard shingles()
     # guards in operators/dedup.py
@@ -122,6 +135,12 @@ def value_outliers(
     oracle); the per-group stats table is one row per group —
     broadcast back, map-only flagging.  Returns the outlier rows with
     ``zscore`` (rounded to 6).
+
+    Magnitude ceiling: the exact sum-of-squares needs ~2·digits, so
+    |value| must stay below ~10^15 ((27,6)² caps at decimal(38,...)) —
+    beyond that ANSI overflows the aggregate.  Values that large are
+    corrupt for a z-score anyway; pre-filter them into their own bucket
+    (they ARE outliers) before calling if the domain allows them.
     """
     x6 = F.round(F.col(value_col), 6).cast("decimal(27,6)")
     stats = df.groupBy(group_col).agg(

@@ -190,15 +190,23 @@ def model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # decimal math is the only cross-engine-bit-stable path, same as
     # the money-aggregate convention); the sigmoid then starts from
     # the identical rounded double on every engine
-    def dec(c):
+    # asymmetric precisions keep the products EXACT at scale 12:
+    # (12,6)·(21,6) → decimal(34,12), inside the 38-digit cap, so no
+    # precision-loss rounding — while the (21,6) feature cast holds
+    # documents up to 10^15 tokens (a (12,6) feature cast overflowed —
+    # ANSI abort — at one million tokens)
+    def dec_w(c):
         return c.cast("decimal(12,6)")
 
+    def dec_f(c):
+        return c.cast("decimal(21,6)")
+
     raw = (
-        dec(F.lit(W["bias"]))
-        + dec(F.lit(W["n_tokens"])) * dec(n_tokens)
-        + dec(F.lit(W["avg_token_len"])) * dec(avg_tok_len)
-        + dec(F.lit(W["uniq_ratio"])) * dec(uniq_ratio)
-        + dec(F.lit(W["stopword_ratio"])) * dec(stop_ratio)
+        dec_w(F.lit(W["bias"]))
+        + dec_w(F.lit(W["n_tokens"])) * dec_f(n_tokens)
+        + dec_w(F.lit(W["avg_token_len"])) * dec_f(avg_tok_len)
+        + dec_w(F.lit(W["uniq_ratio"])) * dec_f(uniq_ratio)
+        + dec_w(F.lit(W["stopword_ratio"])) * dec_f(stop_ratio)
     )
     score = F.round(raw, 6).cast("double")
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
@@ -247,7 +255,13 @@ def exact_dedup_normalized(
     duplicate GROUP (>= 2 members): (digest, n_dups, keep_id) with
     keep_id the lowest member id.
     """
-    normed = normalize_text(df, id_col, text_col)
+    # NULL text carries no content: sha2(NULL) is NULL and groupBy
+    # buckets NULL digests together, so unrelated NULL-text docs would
+    # form one bogus "duplicate" group whose members a downstream
+    # consumer then deletes — exclude them from dup detection entirely
+    normed = normalize_text(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col
+    )
     return (
         normed.select(
             F.col(id_col),
@@ -268,7 +282,10 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token dominates (repetition spam), high entropy with low stopword
     ratio suggests noise.
 
-    Two bounded-key aggregates (doc×word counts, then per-doc fold);
+    Documents whose text is NULL produce no token rows and are absent
+    from the output (as in the SQL twin) — LEFT-join the result back if
+    every doc id must appear.  Two bounded-key aggregates (doc×word
+    counts, then per-doc fold);
     each term ``-p·ln(p)`` is computed in double with a fixed operand
     order, rounded to 9 dp and summed as DECIMAL — order-independent
     and engine-portable (the BM25 convention).  Returns (id, n_tokens,
@@ -432,7 +449,8 @@ def c4_line_filter(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    line_sep: str = "\n",
+    line_sep: str = r"\r?\n",
+    join_sep: str = "\n",
     min_words_per_line: int = 5,
     min_kept_lines: int = 3,
 ) -> DataFrame:
@@ -447,8 +465,14 @@ def c4_line_filter(
     the split line array plus an array_join to re-assemble the kept
     text: per-row JVM codegen, map-only, no shuffle, no UDF, and the
     re-assembled ``filtered_text`` is byte-reproducible in the SQL
-    oracle.  Returns (id, n_lines, n_kept, kept_ratio, filtered_text,
-    dropped).
+    oracle.  ``line_sep`` is a REGEX and defaults to ``\r?\n`` so
+    CRLF web text splits cleanly — splitting on bare ``\n`` would
+    leave a trailing ``\r`` on every line, which Java's ``$`` matches
+    before but RE2's does not (a silent Spark/DuckDB divergence), and
+    the stray byte would survive into ``filtered_text``; kept lines
+    re-join with the literal ``join_sep`` (line_sep is a pattern, not
+    a byte sequence).  Returns (id, n_lines, n_kept, kept_ratio,
+    filtered_text, dropped).
     """
     lines = F.split(F.col(text_col), line_sep)
 
@@ -470,6 +494,6 @@ def c4_line_filter(
         n_lines.alias("n_lines"),
         n_kept.alias("n_kept"),
         F.round(n_kept * F.lit(1.0) / n_lines, 6).alias("kept_ratio"),
-        F.array_join(kept, line_sep).alias("filtered_text"),
+        F.array_join(kept, join_sep).alias("filtered_text"),
         (n_kept < min_kept_lines).alias("dropped"),
     )

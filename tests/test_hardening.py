@@ -448,3 +448,78 @@ def test_pq_shortlist_excludes_null_approx(spark):
     rows = out.collect()
     assert all(r["neighbor_id"] != 99 for r in rows)
     assert all(r["cosine_sim"] is not None for r in rows)
+
+
+def test_multimodal_null_text_rows_survive(spark):
+    from cassandra_join_library_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    df = local_frame(spark, [(1, "abc"), (2, None)],
+                     "doc_id bigint, text string")
+    rows = {r["doc_id"]: r
+            for r in decode_features(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["byte_len"] == 0  # NULL payload = zero bytes
+
+
+def test_model_score_survives_million_token_doc(spark):
+    from cassandra_join_library_spark.operators.text import model_score
+
+    big = local_frame(spark, [(1, " ".join(["w"] * 1_100_000))],
+                      "doc_id bigint, text string")
+    assert model_score(big, "doc_id", "text").collect()[0]["prob"] == 1.0
+
+
+def test_exact_dedup_normalized_excludes_null_text(spark):
+    from cassandra_join_library_spark.operators.text import (
+        exact_dedup_normalized,
+    )
+
+    df = local_frame(
+        spark,
+        [(1, None), (2, None), (3, "Same text."), (4, "same TEXT")],
+        "doc_id bigint, text string",
+    )
+    groups = exact_dedup_normalized(df, "doc_id", "text").collect()
+    # the two NULL docs are NOT a duplicate group; 3/4 normalize equal
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 3
+
+
+def test_c4_crlf_lines_clean_and_cr_free(spark):
+    from cassandra_join_library_spark.operators.text import c4_line_filter
+
+    doc = ("one two three four five six.\r\n"
+           "short\r\n"
+           "a b c d e f g final sentence.\r\n"
+           "another very fine sentence right here.")
+    df = local_frame(spark, [(1, doc)], "doc_id bigint, text string")
+    r = c4_line_filter(df, "doc_id", "text").collect()[0]
+    assert r["n_kept"] == 3 and "\r" not in r["filtered_text"]
+
+
+def test_profile_table_with_map_column(spark):
+    from cassandra_join_library_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.sql(
+        "SELECT 1 AS id, map('k', 'v') AS props "
+        "UNION ALL SELECT 2, map('a', 'b')"
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["props"]["n_rows"] == 2
+    assert rows["props"]["min_str"] is None  # profiled as NULL, no crash
+
+
+def test_repetition_scores_keeps_null_text_docs(spark):
+    from cassandra_join_library_spark.operators.profiling import (
+        repetition_scores,
+    )
+
+    df = local_frame(spark, [(1, "a a a b"), (2, None)],
+                     "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in repetition_scores(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # the NULL-text doc still appears
