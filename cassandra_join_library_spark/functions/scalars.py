@@ -63,6 +63,12 @@ def content_digest(content_cols: "list[str]") -> Column:
     (separator bytes inside values still differ by the adjacent tag).
     Shared by incremental dedup and snapshot diffing so the two
     digest-keyed paths can never disagree.
+
+    NULL-equality contract: digest equality gives content tuples
+    ``IS NOT DISTINCT FROM`` semantics — (NULL,) matches (NULL,).
+    That is the intended dedup behavior (two NULL-text docs ARE
+    duplicates of each other); SQL oracles over digest-keyed paths
+    must therefore compare with ``IS NOT DISTINCT FROM``, never ``=``.
     """
     cells = [
         F.when(F.col(c).isNull(), F.lit("\x00"))

@@ -8,7 +8,10 @@ fixed-point microunits (``KMEANS_SCALE``): distances are exact BIGINT
 sums (order-independent), centroid means are integer divisions rounded
 half away from zero, and argmin ties break on the cluster index — no
 step depends on float summation order, so DuckDB reproduces every
-assignment bit-for-bit.
+assignment bit-for-bit.  The centroid update uses DuckDB's ``//``
+(BIGINT integer division), exact at any magnitude; coordinate SUMs
+must still fit BIGINT (|sum| < 2^63 microunits ≈ 9.2e12 at |x|<=10 per
+member — ~9e11 members per cluster), far above any realistic corpus.
 
 CTEs produced (matching the operator step-for-step):
   v      — (vid, pos, x) microunit long-format vectors
@@ -60,13 +63,15 @@ def kmeans_ctes(
     FROM d{i}) WHERE rn = 1
 )""")
         # integer mean rounded half away from zero, in exact integer
-        # arithmetic: q = (|s| - |s| % n) / n is an exact division
+        # arithmetic: `//` is DuckDB INTEGER division on BIGINTs, so
+        # abs(s) // n stays exact at any magnitude — float `/` would
+        # silently lose exactness past 2^53 (~1e9 members at |x|<=10)
         parts.append(f"""c{i + 1} AS (
   SELECT cc.cl, cc.pos, coalesce(m.cx, cc.cx) AS cx
   FROM c{i} cc LEFT JOIN (
     SELECT a.cl, v.pos,
            CAST((CASE WHEN sum(v.x) >= 0 THEN 1 ELSE -1 END)
-                * ((abs(sum(v.x)) - abs(sum(v.x)) % count(*)) / count(*)
+                * (abs(sum(v.x)) // count(*)
                    + CASE WHEN 2 * (abs(sum(v.x)) % count(*)) >= count(*)
                      THEN 1 ELSE 0 END)
                 AS BIGINT) AS cx

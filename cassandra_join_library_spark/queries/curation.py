@@ -267,7 +267,7 @@ WHERE CAST(substr(d.source, 4) AS BIGINT) >= 10
   AND NOT EXISTS (
     SELECT 1 FROM documents c
     WHERE CAST(substr(c.source, 4) AS BIGINT) < 10
-      AND c.text = d.text
+      AND c.text IS NOT DISTINCT FROM d.text
   )
 """)
 def stream_incremental_dedup(spark, sf_dir):

@@ -201,7 +201,7 @@ WHERE CAST(substr(d.source, 4) AS BIGINT) >= 10
   AND NOT EXISTS (
     SELECT 1 FROM documents c
     WHERE CAST(substr(c.source, 4) AS BIGINT) < 10
-      AND c.text = d.text
+      AND c.text IS NOT DISTINCT FROM d.text
   )
 """)
 def dedup_incremental(spark, sf_dir):
@@ -209,7 +209,11 @@ def dedup_incremental(spark, sf_dir):
     incoming batch, src0-src9 the existing corpus; new docs whose text
     digest already exists in the corpus are dropped via a fixed-width
     digest anti-join (the oracle's NOT EXISTS on text equality —
-    identical barring SHA-256 collisions)."""
+    identical barring SHA-256 collisions).
+
+    NULL-equality contract: the digest is NULL-safe (a NULL-text doc
+    matches a NULL-text corpus doc — they ARE duplicates), so the
+    oracle compares with ``IS NOT DISTINCT FROM``, not ``=``."""
     d = _docs(spark, sf_dir)
     batch_no = F.substring("source", 4, 10).cast("bigint")
     new = d.filter(batch_no >= 10)

@@ -162,16 +162,30 @@ def ann_ivf_topk(spark, sf_dir):
                       k=5, centroid_stride=32, nprobe=4)
 
 
+def _guarded_cos(a: str, b: str) -> str:
+    """NaN-proof oracle cosine: DuckDB's list_cosine_similarity yields
+    NaN for a zero-norm operand and NaN sorts ABOVE all doubles, while
+    the operator's try_divide yields NULL (sorts last in Spark).  The
+    CASE maps the zero-norm case to NULL so both engines agree; pair
+    with explicit NULLS LAST in the ORDER BY."""
+    return (
+        f"CASE WHEN list_dot_product({a}, {a}) > 0"
+        f" AND list_dot_product({b}, {b}) > 0"
+        f" THEN round(list_cosine_similarity({a}, {b}), 6) END"
+    )
+
+
 def _ivf_kmeans_oracle():
     from ._kmeans_sql import kmeans_centroids_cte
 
+    cent_cos = _guarded_cos("e.embedding::DOUBLE[]", "c.embedding")
+    pair_cos = _guarded_cos("qe.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")
     return (
         "WITH " + kmeans_centroids_cte(k=8, n_iter=3)
-        + """, c_rank AS (
+        + f""", c_rank AS (
   SELECT e.vec_id AS neighbor_id, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                 c.embedding), 6) DESC,
+           ORDER BY {cent_cos} DESC NULLS LAST,
                     c.cent_id ASC) AS rn
   FROM embeddings e CROSS JOIN cent c
 ), c_assign AS (
@@ -179,8 +193,7 @@ def _ivf_kmeans_oracle():
 ), q_rank AS (
   SELECT e.vec_id AS query_id, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                 c.embedding), 6) DESC,
+           ORDER BY {cent_cos} DESC NULLS LAST,
                     c.cent_id ASC) AS rn
   FROM embeddings e CROSS JOIN cent c
   WHERE e.vec_id < 10
@@ -192,15 +205,16 @@ def _ivf_kmeans_oracle():
   WHERE q.query_id <> ca.neighbor_id
 ), scored AS (
   SELECT cand.query_id, cand.neighbor_id,
-         round(list_cosine_similarity(qe.embedding::DOUBLE[],
-                                      ce.embedding::DOUBLE[]), 6) AS cosine_sim
+         {pair_cos} AS cosine_sim
   FROM cand
   JOIN embeddings qe ON qe.vec_id = cand.query_id
   JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
-), ranked AS (
+), ranked AS ("""
+        + """
   SELECT query_id, neighbor_id, cosine_sim,
          CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+               ORDER BY cosine_sim DESC NULLS LAST, neighbor_id ASC)
+              AS BIGINT) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5

@@ -113,6 +113,79 @@ def stream_sessionize_custom(spark, sf_dir):
     return spark.table(name)
 
 
+@register("stream_stateful_stats_final", oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""")
+def stream_stateful_stats_final(spark, sf_dir):
+    """POST-ALL-BATCHES state of the custom applyInPandasWithState
+    accumulator: run ``running_user_stats`` through the streaming
+    engine, then keep each user's LAST snapshot (n_events is strictly
+    increasing per emission, so max-n selects it deterministically).
+    The accumulator sums exact microunits (DECIMAL(18,6) convention),
+    so the final state equals the batch aggregate bit-for-bit and the
+    SQL twin is a full value oracle — the live per-micro-batch
+    emission stream stays rows-only (``stream_stateful_stats``)."""
+    from pyspark.sql.window import Window
+
+    from ..streaming.stateful import running_user_stats
+
+    stream = W.read_events_stream(spark, sf_dir)
+    name, _ = W.run_to_memory(running_user_stats(stream), output_mode="update")
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register("stream_sessionize_final", oracle="""
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_last_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM g
+GROUP BY user_id, sid
+""")
+def stream_sessionize_final(spark, sf_dir):
+    """COMPLETE session set from the custom stateful sessionizer: the
+    replay is followed by a per-user end-of-stream SENTINEL micro-batch
+    that flushes every still-open session (the piece the rows-only
+    ``stream_sessionize_custom`` can't emit), so the output is exactly
+    the batch gaps-and-islands sessionization and carries a full value
+    oracle.  Session split on gap > 600 s (strict), sums in exact
+    microunits."""
+    from ..streaming.stateful import sessionize_with_timeout
+
+    stream = W.stage_events_with_sentinels(spark, sf_dir).withWatermark(
+        "ts", "10 minutes")
+    out = sessionize_with_timeout(stream, gap_seconds=600,
+                                  flush_on_sentinel=True)
+    name, _ = W.run_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
 @register("stream_session", oracle="""
 WITH x AS (
   SELECT user_id, ts, value,

@@ -168,6 +168,68 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     )
 
 
+def stage_events_with_sentinels(spark: SparkSession, sf_dir: str,
+                                sentinel_lead_seconds: int = 14400) -> DataFrame:
+    """Stream of the events table followed by one per-user SENTINEL row
+    far past the last real event — the end-of-replay flush marker that
+    lets a stateful operator close (and emit) every open session, so
+    its total output equals the batch twin and can carry a full value
+    oracle.
+
+    Mechanics: the events table is staged (with ``sentinel=false``)
+    as file 00, the sentinel rows (``sentinel=true``, ``ts = max(ts) +
+    lead``, NULL payload) as file 01 with a later mtime; the file
+    source with ``maxFilesPerTrigger=1`` replays them in mtime order,
+    so the sentinels arrive in a final micro-batch after the watermark
+    has advanced past the real data.  On a production bus the same
+    marker is an end-of-partition control message from the producer —
+    this helper only builds the file-source equivalent.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.types import TimestampType
+
+    from ..sources.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(ev.schema["ts"].dataType, TimestampType):
+        ev = ev.withColumn("ts", F.col("ts").cast(TimestampType()))
+    ev2 = ev.withColumn("sentinel", F.lit(False))
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinels = (
+        ev.select("user_id").distinct()
+        .withColumn("ts", F.lit(max_ts) + F.expr(
+            f"INTERVAL {sentinel_lead_seconds} SECOND"))
+        .withColumn("sentinel", F.lit(True))
+    )
+    for c in ev2.columns:
+        if c not in sentinels.columns:
+            sentinels = sentinels.withColumn(
+                c, F.lit(None).cast(ev2.schema[c].dataType))
+    sentinels = sentinels.select(*ev2.columns)
+
+    tmp = tempfile.mkdtemp(prefix="evflush_")
+    ev2.coalesce(1).write.parquet(f"{tmp}/a")
+    sentinels.coalesce(1).write.parquet(f"{tmp}/b")
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    for i, sub in enumerate(("a", "b")):
+        (part,) = [f for f in os.listdir(f"{tmp}/{sub}")
+                   if f.endswith(".parquet")]
+        dst = f"{stream_dir}/{i:02d}.parquet"
+        shutil.move(f"{tmp}/{sub}/{part}", dst)
+        # mtime drives the file source's replay order — pin it
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    return (
+        spark.readStream.schema(ev2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str,
                           max_files_per_trigger: int = 1) -> DataFrame:
     """File-based stream of the documents table (schema pinned from

