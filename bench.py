@@ -69,6 +69,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
+    # isolation hook: SPARK_GRAFT_ONLY="tfidf_top_terms,theta_lt" runs
+    # just those queries — for separating a query's own cost from
+    # suite-level interference (GC pressure, code-cache churn), and for
+    # scale measurements of non-headline queries (any registered name
+    # is accepted)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [q for q in only.split(",") if q in queries] if only else HEADLINE
+    )
+
     # warm the JVM / codegen / parquet reader so timings measure query
     # execution, not session spin-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -82,9 +92,14 @@ def main() -> None:
     # code, not the JVM's state of undress.
     timings: "dict[str, float]" = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         best = float("inf")
+        # full-GC between queries: the previous query's shuffle/broadcast
+        # garbage otherwise lands in THIS query's timed runs as major-GC
+        # pauses — the cross-query interference that made small queries
+        # drift +30-80% as the suite grew (round-5 bench)
+        spark.sparkContext._jvm.System.gc()
         for i in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
