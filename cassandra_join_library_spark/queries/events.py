@@ -357,3 +357,115 @@ def events_scd2_history(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return scd2_intervals(e, "user_id", "ts",
                           ["event_type"], "event_id")
+
+
+_CDC_MERGE_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+), target AS (
+  SELECT user_id, event_id, event_type, value, ts_us FROM base WHERE rn = 1
+), ch AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+), latest AS (SELECT * FROM ch WHERE rn = 1)
+SELECT t.user_id, t.event_id, t.event_type, t.value, t.ts_us
+FROM target t LEFT JOIN latest l ON l.user_id = t.user_id
+WHERE l.user_id IS NULL
+UNION ALL
+SELECT user_id, event_id, event_type, value, ts_us
+FROM latest WHERE op <> 'D'
+"""
+
+_CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _cdc_target_and_changes(spark, sf_dir):
+    """Shared setup: pre-cutoff events compacted into a per-user
+    snapshot (the target), post-cutoff events as the changelog with
+    op = D for 'error' events (the takedown/correction signal), U
+    otherwise.  Seq key = (ts_us, event_id) — total order."""
+    from ..operators import cdc as CD
+
+    ev = load_events(spark, sf_dir)
+    cut = F.to_timestamp(F.lit(_CDC_CUTOFF))
+
+    def state_shape(df):
+        return df.select(
+            "user_id", "event_id", "event_type", "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+    target = state_shape(
+        CD.compact_changelog(ev.filter(F.col("ts") < cut),
+                             ["user_id"], ["ts", "event_id"]))
+    changes = state_shape(ev.filter(F.col("ts") >= cut)).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+    )
+    return target, changes
+
+
+@register("cdc_merge_upsert", oracle=_CDC_MERGE_ORACLE)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format: apply a compacted
+    changelog (upserts + deletes) onto a snapshot via one seq-aware
+    full-outer join (operators/cdc.py).  Covers all four MERGE cases:
+    update (change wins by seq), delete (op='D' drops the row), insert
+    (key absent from target), keep (key untouched).  At 100 TB the
+    delta side broadcasts and the snapshot never shuffles."""
+    from ..operators import cdc as CD
+
+    target, changes = _cdc_target_and_changes(spark, sf_dir)
+    return CD.merge_upsert(target, changes, ["user_id"],
+                           ["ts_us", "event_id"], "op")
+
+
+@register("stream_upsert_foreachbatch", oracle=_CDC_MERGE_ORACLE)
+def stream_upsert_foreachbatch(spark, sf_dir):
+    """The streaming twin: the changelog arrives as a STREAM and each
+    micro-batch is merged into the held snapshot via ``foreachBatch``
+    — the standard Structured-Streaming upsert-sink pattern (the sink
+    a Delta/Iceberg MERGE would be in production).  Because
+    ``merge_upsert`` is seq-aware, batch-wise application composes to
+    the same final snapshot as one global merge regardless of batch
+    boundaries, so the batch oracle applies verbatim."""
+    from ..operators import cdc as CD
+    from ..streaming import windows as W
+
+    target, _ = _cdc_target_and_changes(spark, sf_dir)
+    cut = F.to_timestamp(F.lit(_CDC_CUTOFF))
+    stream = W.read_events_stream(spark, sf_dir).filter(F.col("ts") >= cut)
+    changes = stream.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+    )
+
+    held = {"snap": target.localCheckpoint(eager=True)}
+
+    def apply_batch(bdf, _bid):
+        merged = CD.merge_upsert(held["snap"], bdf, ["user_id"],
+                                 ["ts_us", "event_id"], "op")
+        # materialize: cut lineage so N batches don't stack N joins
+        held["snap"] = merged.localCheckpoint(eager=True)
+
+    import tempfile
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .start()
+    )
+    q.awaitTermination()
+    return held["snap"]

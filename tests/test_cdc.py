@@ -1,0 +1,84 @@
+"""CDC merge operator semantics: the four MERGE cases, seq-awareness,
+and batch-composition invariance."""
+
+from __future__ import annotations
+
+from cassandra_join_library_spark.operators.cdc import (
+    compact_changelog, merge_upsert,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+        "k bigint, payload string, seq bigint",
+    )
+
+
+def _rows(df):
+    return {r["k"]: (r["payload"], r["seq"]) for r in df.collect()}
+
+
+def test_merge_covers_all_four_cases(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 20, "U"),   # update
+            (2, None, 20, "D"),   # delete
+            (4, "d", 20, "U"),    # insert (new key)
+            # k=3 untouched -> keep
+        ],
+        "k bigint, payload string, seq bigint, op string",
+    )
+    out = _rows(merge_upsert(_target(spark), changes, ["k"], ["seq"]))
+    assert out == {1: ("a2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_merge_is_seq_aware_stale_change_loses(spark):
+    """A change with an OLDER seq than the target row must not win —
+    the invariant that makes replays and out-of-order batches safe."""
+    changes = spark.createDataFrame(
+        [(1, "stale", 5, "U"), (2, None, 5, "D")],
+        "k bigint, payload string, seq bigint, op string",
+    )
+    out = _rows(merge_upsert(_target(spark), changes, ["k"], ["seq"]))
+    # both stale: update ignored, delete ignored
+    assert out == {1: ("a", 10), 2: ("b", 10), 3: ("c", 10)}
+
+
+def test_merge_batchwise_equals_global(spark):
+    """Applying the changelog split into two batches (in either order)
+    must equal applying it all at once."""
+    all_changes = [
+        (1, "v1", 20, "U"), (1, "v2", 30, "U"),   # two updates, 30 wins
+        (2, None, 25, "D"), (2, "back", 40, "U"),  # delete then re-insert
+        (3, None, 50, "D"),                        # delete
+        (5, "new", 15, "U"),                       # insert
+    ]
+    schema = "k bigint, payload string, seq bigint, op string"
+    full = merge_upsert(_target(spark),
+                        spark.createDataFrame(all_changes, schema),
+                        ["k"], ["seq"])
+    want = _rows(full)
+    assert want == {1: ("v2", 30), 2: ("back", 40), 5: ("new", 15)}
+
+    for split in (3, 1, 5):
+        for order in (0, 1):
+            parts = [all_changes[:split], all_changes[split:]]
+            if order:
+                parts.reverse()
+            snap = _target(spark)
+            for p in parts:
+                if p:
+                    snap = merge_upsert(
+                        snap, spark.createDataFrame(p, schema),
+                        ["k"], ["seq"])
+            assert _rows(snap) == want, (split, order)
+
+
+def test_compact_changelog_ties_break_on_last_seq_col(spark):
+    ch = spark.createDataFrame(
+        [(1, "x", 10, 1), (1, "y", 10, 2)],
+        "k bigint, payload string, seq bigint, tiebreak bigint",
+    )
+    out = compact_changelog(ch, ["k"], ["seq", "tiebreak"]).collect()
+    assert len(out) == 1 and out[0]["payload"] == "y"

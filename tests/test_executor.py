@@ -335,7 +335,8 @@ def test_registry_integrity():
     assert window == registry._ROUND6_FRONT, (
         "registry order drifted from the declared rotation front"
     )
-    assert names[50:75] == registry._NEXT_WINDOW, (
+    nw = registry._NEXT_WINDOW
+    assert names[50:50 + len(nw)] == nw, (
         "round-7 promotion window drifted from the declared list"
     )
 

@@ -278,6 +278,9 @@ class _FakeState:
     def setTimeoutTimestamp(self, ms):
         self.timeout_ms = ms
 
+    def getCurrentWatermarkMs(self):
+        return 0
+
 
 def test_running_stats_all_null_values_emit_null_max():
     import pandas as pd

@@ -127,3 +127,111 @@ def test_stream_stream_interval_join_equals_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the transition function
+    directly (no streaming engine)."""
+
+    def __init__(self, value=None, watermark_ms=0):
+        self._v = value
+        self._wm = watermark_ms
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _batch(ts_epochs, values, sentinels=None):
+    import pandas as pd
+
+    d = {
+        "ts": pd.to_datetime(pd.Series(ts_epochs), unit="s"),
+        "value": pd.Series(values, dtype="float64"),
+    }
+    if sentinels is not None:
+        d["sentinel"] = pd.Series(sentinels, dtype="bool")
+    return iter([pd.DataFrame(d)])
+
+
+def test_sessionizer_late_event_before_open_session_forms_own_session():
+    """A watermark-permitted event more than gap BEFORE the open
+    session must become its own (immediately emitted) session, not
+    rewind the open session's start (advisor finding)."""
+    from cassandra_join_library_spark.streaming.stateful import _make_sessionizer
+
+    fn = _make_sessionizer(gap_seconds=600)
+    t0 = 1_700_000_000
+    # open session [t0, t0+300], 2 events, 5.0 total
+    state = _FakeState((t0 * 1_000_000, (t0 + 300) * 1_000_000, 2, 5_000_000))
+    # late event a full hour BEFORE the session start
+    out = list(fn((7,), _batch([t0 - 3600], [1.25]), state))
+    assert len(out) == 1, "early event did not emit its own session"
+    row = out[0].iloc[0]
+    assert row["session_start_epoch"] == t0 - 3600
+    assert row["session_last_epoch"] == t0 - 3600
+    assert row["n_events"] == 1
+    assert row["total_value"] == 1.25
+    # open session untouched
+    assert state.get == (t0 * 1_000_000, (t0 + 300) * 1_000_000, 2, 5_000_000)
+
+
+def test_sessionizer_late_event_within_gap_still_extends_backwards():
+    """An event within gap of the open session's start legitimately
+    extends the session backwards (no spurious split)."""
+    from cassandra_join_library_spark.streaming.stateful import _make_sessionizer
+
+    fn = _make_sessionizer(gap_seconds=600)
+    t0 = 1_700_000_000
+    state = _FakeState((t0 * 1_000_000, (t0 + 300) * 1_000_000, 2, 5_000_000))
+    out = list(fn((7,), _batch([t0 - 200], [1.0]), state))
+    assert out == []
+    start_us, last_us, n, total = state.get
+    assert start_us == (t0 - 200) * 1_000_000  # extended backwards
+    assert last_us == (t0 + 300) * 1_000_000   # end not rewound
+    assert n == 3 and total == 6_000_000
+
+
+def test_sessionizer_sentinel_flushes_open_session_uncounted():
+    from cassandra_join_library_spark.streaming.stateful import _make_sessionizer
+
+    fn = _make_sessionizer(gap_seconds=600, sentinel=True)
+    t0 = 1_700_000_000
+    state = _FakeState((t0 * 1_000_000, (t0 + 300) * 1_000_000, 2, 5_000_000))
+    out = list(fn((7,), _batch([t0 + 86400], [None], [True]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2           # sentinel not counted
+    assert row["total_value"] == 5.0
+    assert row["session_last_epoch"] == t0 + 300
+    assert state.removed and not state.exists
+
+
+def test_running_stats_microunit_exactness():
+    """0.1 + 0.2 must come out exactly 0.3 (decimal microunits), not
+    0.30000000000000004 (float accumulation)."""
+    from cassandra_join_library_spark.streaming.stateful import _update_running
+
+    state = _FakeState()
+    out = list(_update_running((1,), _batch([0, 60], [0.1, 0.2]), state))
+    assert out[0].iloc[0]["total_value"] == 0.3
