@@ -1,0 +1,84 @@
+"""Unrolled-iteration SQL twin of ``operators.bpe.bpe_train``.
+
+Same macro-unrolling trick as ``_kmeans_sql``: the merge count is a
+fixed parameter, so each iteration becomes a CTE chain
+(pair-count → argmax → occurrence islands → greedy-kept parity →
+rewritten symbol table).  Everything is integer counts and string
+comparisons — no floats — so DuckDB reproduces every merge decision
+bit-for-bit, including the lexicographic (left, right) tie-break and
+the even-offset-within-run rule for overlapping same-symbol pairs
+(SQL expresses the greedy fold as gaps-and-islands + odd row_number,
+which is equivalent for ascending occurrence positions).
+"""
+
+from __future__ import annotations
+
+
+def bpe_train_sql(n_merges: int = 8, top_words: int = 2000,
+                  table: str = "documents", text_col: str = "text") -> str:
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS word
+        FROM {table})
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words}
+)""",
+        """wids AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY word) AS wid, word, freq FROM words
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT wid, freq, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(word) THEN word[i] ELSE '</w>' END AS sym
+  FROM wids, UNNEST(generate_series(1, length(word) + 1)) AS t(i)
+)""",
+    ]
+    for t in range(n_merges):
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT a.sym AS la, b.sym AS lb, CAST(SUM(a.freq) AS BIGINT) AS cnt
+  FROM w{t} a JOIN w{t} b ON b.wid = a.wid AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""best{t} AS MATERIALIZED (
+  SELECT la, lb, cnt FROM p{t} ORDER BY cnt DESC, la ASC, lb ASC LIMIT 1
+)""")
+        parts.append(f"""occ{t} AS MATERIALIZED (
+  SELECT a.wid, a.pos
+  FROM w{t} a
+  JOIN w{t} b ON b.wid = a.wid AND b.pos = a.pos + 1
+  CROSS JOIN best{t} s
+  WHERE a.sym = s.la AND b.sym = s.lb
+)""")
+        # greedy fold == keep odd positions within each island of
+        # consecutive occurrences (only same-symbol pairs make islands
+        # longer than 1)
+        parts.append(f"""kept{t} AS MATERIALIZED (
+  SELECT wid, pos FROM (
+    SELECT wid, pos,
+           row_number() OVER (PARTITION BY wid, isl ORDER BY pos) AS k
+    FROM (SELECT wid, pos,
+                 pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS isl
+          FROM occ{t})
+  ) WHERE k % 2 = 1
+)""")
+        parts.append(f"""w{t + 1} AS MATERIALIZED (
+  SELECT w.wid, w.freq,
+         row_number() OVER (PARTITION BY w.wid ORDER BY w.pos) AS pos,
+         CASE WHEN k.pos IS NOT NULL THEN w.sym || nx.sym ELSE w.sym END AS sym
+  FROM w{t} w
+  LEFT JOIN kept{t} k ON k.wid = w.wid AND k.pos = w.pos
+  LEFT JOIN kept{t} k2 ON k2.wid = w.wid AND k2.pos = w.pos - 1
+  LEFT JOIN w{t} nx ON nx.wid = w.wid AND nx.pos = w.pos + 1
+  WHERE k2.pos IS NULL
+)""")
+    selects = [
+        f"SELECT CAST({t + 1} AS BIGINT) AS step, la AS merge_left,"
+        f" lb AS merge_right, cnt AS pair_count FROM best{t}"
+        for t in range(n_merges)
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY step"
+    )

@@ -313,3 +313,26 @@ def approx_percentiles_sampled(spark, sf_dir):
         ev, "event_type", "value", "event_id",
         rate=8, percentiles=(0.5, 0.9, 0.99),
     )
+
+
+def _bpe_oracle():
+    from ._bpe_sql import bpe_train_sql
+
+    return bpe_train_sql(n_merges=8, top_words=2000)
+
+
+@register("corpus_bpe_merges", oracle=_bpe_oracle())
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): ONE
+    corpus pass builds the word-frequency dictionary, then 8 merge
+    iterations of distributed pair counting + constant-size argmax
+    learn the merge table — the Sennrich word-frequency formulation,
+    all JVM-side array lambdas.  Fully deterministic (integer counts,
+    lexicographic tie-breaks, greedy even-offset rule for overlapping
+    same-symbol pairs), so the unrolled-CTE DuckDB twin value-matches
+    every learned merge — the same macro-unrolling trick as the
+    k-means oracle."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=8, top_words=2000)

@@ -139,8 +139,9 @@ _NEXT_WINDOW = [
     "window_range_30d", "window_lag_lead", "setop_union",
     "setop_intersect", "setop_except", "scalar_string", "scalar_datetime",
     "scalar_math", "scalar_json",
-    # round-6 additions (CDC merge surface) — graded with this window
-    "cdc_merge_upsert", "stream_upsert_foreachbatch",
+    # round-6 additions (CDC merge + BPE training) — graded with this
+    # window
+    "cdc_merge_upsert", "stream_upsert_foreachbatch", "corpus_bpe_merges",
 ]
 
 
