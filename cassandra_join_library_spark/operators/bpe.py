@@ -92,6 +92,20 @@ def bpe_train(
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns (step, merge_left,
     merge_right, pair_count) — the merge table a tokenizer ships."""
+    merges, _ = bpe_train_state(spark, df, text_col, n_merges, top_words)
+    return merges
+
+
+def bpe_train_state(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    top_words: int = 2000,
+) -> "tuple[DataFrame, DataFrame]":
+    """Training returning BOTH artifacts: the merge table and the
+    final (word, syms) symbol table — the trained tokenization of
+    every vocabulary word, which is what encoding joins against."""
     words = _init_symbols(build_word_vocab(df, text_col, top_words))
     words = words.localCheckpoint(eager=True)
 
@@ -142,7 +156,50 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "step bigint, merge_left string, merge_right string, pair_count bigint",
+    )
+    return merges_df, words
+
+
+def bpe_encode_counts(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+    top_words: int = 2000,
+) -> DataFrame:
+    """Tokenize every document with the trained merges: per doc,
+    (n_words, n_bpe_tokens).
+
+    The trained symbol table already holds each vocabulary word's
+    tokenization, so encoding is a plain equi-join of the corpus's
+    exploded words against a ≤``top_words``-row dimension — Catalyst
+    broadcasts it and the corpus never shuffles (the scale path: the
+    expensive merge loop runs once on the vocab, never per document).
+    Out-of-vocabulary words fall back to character tokens
+    (len + 1 for the end mark), the untrained-BPE floor."""
+    _, vocab = bpe_train_state(spark, df, text_col, n_merges, top_words)
+    vocab_tok = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_sym"))
+    doc_words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    return (
+        doc_words.join(F.broadcast(vocab_tok), "word", "left")
+        .withColumn(
+            "n_tok",
+            F.coalesce(F.col("n_sym"), F.length("word").cast("bigint") + 1),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
     )

@@ -16,6 +16,53 @@ from __future__ import annotations
 
 def bpe_train_sql(n_merges: int = 8, top_words: int = 2000,
                   table: str = "documents", text_col: str = "text") -> str:
+    parts = _bpe_ctes(n_merges, top_words, table, text_col)
+    selects = [
+        f"SELECT CAST({t + 1} AS BIGINT) AS step, la AS merge_left,"
+        f" lb AS merge_right, cnt AS pair_count FROM best{t}"
+        for t in range(n_merges)
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY step"
+    )
+
+
+def bpe_encode_sql(n_merges: int = 8, top_words: int = 2000,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Oracle for ``bpe_encode_counts``: per doc (n_words,
+    n_bpe_tokens) under the trained symbol table; OOV words cost
+    len + 1 character tokens."""
+    parts = _bpe_ctes(n_merges, top_words, table, text_col)
+    parts.append(f"""vocab_tok AS MATERIALIZED (
+  SELECT wd.word, CAST(COUNT(*) AS BIGINT) AS n_sym
+  FROM w{n_merges} w JOIN wids wd ON wd.wid = w.wid
+  GROUP BY wd.word
+)""")
+    parts.append(f"""doc_words AS MATERIALIZED (
+  SELECT {id_col}, word FROM (
+    SELECT {id_col},
+           unnest(string_split(lower({text_col}), ' ')) AS word
+    FROM {table})
+  WHERE regexp_matches(word, '^[a-z]+$')
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT d.{id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(coalesce(v.n_sym, length(d.word) + 1)) AS BIGINT)
+         AS n_bpe_tokens
+FROM doc_words d LEFT JOIN vocab_tok v ON v.word = d.word
+GROUP BY d.{id_col}"""
+    )
+
+
+def _bpe_ctes(n_merges: int, top_words: int,
+              table: str, text_col: str) -> "list[str]":
     parts = [
         f"""words AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -71,14 +118,4 @@ def bpe_train_sql(n_merges: int = 8, top_words: int = 2000,
   LEFT JOIN w{t} nx ON nx.wid = w.wid AND nx.pos = w.pos + 1
   WHERE k2.pos IS NULL
 )""")
-    selects = [
-        f"SELECT CAST({t + 1} AS BIGINT) AS step, la AS merge_left,"
-        f" lb AS merge_right, cnt AS pair_count FROM best{t}"
-        for t in range(n_merges)
-    ]
-    return (
-        "WITH " + ",\n".join(parts)
-        + "\nSELECT * FROM (\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\n) ORDER BY step"
-    )
+    return parts

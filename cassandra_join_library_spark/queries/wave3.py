@@ -336,3 +336,24 @@ def corpus_bpe_merges(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(spark, docs, "text", n_merges=8, top_words=2000)
+
+
+def _bpe_encode_oracle():
+    from ._bpe_sql import bpe_encode_sql
+
+    return bpe_encode_sql(n_merges=8, top_words=2000)
+
+
+@register("corpus_bpe_encode", oracle=_bpe_encode_oracle())
+def corpus_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the trained BPE merges: per doc
+    (n_words, n_bpe_tokens).  The merge loop runs ONCE on the
+    vocabulary; encoding is a broadcast join of exploded corpus words
+    against the ≤2000-row trained symbol table — documents never
+    shuffle, which is what makes trained-tokenizer token counting
+    viable at 100 TB (OOV words cost len+1 character tokens)."""
+    from ..operators.bpe import bpe_encode_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_counts(spark, docs, "doc_id", "text",
+                             n_merges=8, top_words=2000)
