@@ -53,17 +53,34 @@ def merge_upsert(
     seq_cols: "list[str]",
     op_col: str = "op",
     delete_op: str = "D",
+    strategy: str = "broadcast_delta",
 ) -> DataFrame:
     """Apply a changelog onto a snapshot (MERGE INTO semantics).
 
     ``target`` columns = keys + payload + ``seq_cols`` (the seq of the
-    row's last applied change).  ``changes`` carries the same columns
-    plus ``op_col`` ('U' upsert / ``delete_op``).  Winner per key is
-    decided by lexicographic ``seq_cols`` comparison (change wins ties
-    — idempotent re-application), making batch-wise application
-    composition-safe in any batch grouping.
+    row's last applied change; keys unique — the snapshot invariant).
+    ``changes`` carries the same columns plus ``op_col`` ('U' upsert /
+    ``delete_op``).  Winner per key is decided by lexicographic
+    ``seq_cols`` comparison (change wins ties — idempotent
+    re-application), making batch-wise application composition-safe in
+    any batch grouping.  Output schema == target schema.
 
-    Output schema == target schema.
+    ``strategy`` picks the physical plan for the same semantics:
+
+    - ``broadcast_delta`` (default): the daily delta is orders of
+      magnitude smaller than a 100 TB snapshot, so it is BROADCAST
+      and the snapshot is only ever STREAMED — an anti join drops
+      touched keys and an inner join resolves the seq contest, both
+      broadcast-hash (a full-outer join can never broadcast in Spark,
+      so the naive formulation would shuffle the entire snapshot).
+      Cost: two snapshot scans, zero snapshot shuffles — at 100 TB
+      two sequential reads beat one full shuffle write+read by a wide
+      margin, and the second scan prunes to keys+seq via parquet
+      column pruning.
+    - ``copartitioned``: one full-outer join — the right plan when the
+      delta is COMPARABLE to the snapshot (backfills, re-keys); with
+      both sides bucketed by key it runs shuffle-free as a
+      co-partitioned sort-merge join.
 
     Tombstone caveat: a delete drops the row AND its seq, so a STALE
     update (seq older than the delete) arriving in a LATER batch would
@@ -78,6 +95,40 @@ def merge_upsert(
     latest = compact_changelog(changes, keys, seq_cols)
     payload = [c for c in target.columns if c not in keys]
 
+    if strategy == "broadcast_delta":
+        c = latest.select(
+            *keys, F.struct(*payload).alias("_c"),
+            F.struct(*seq_cols).alias("_cseq"), F.col(op_col).alias("_op"),
+        )
+        # untouched keys stream straight through (broadcast anti)
+        kept = target.join(F.broadcast(c.select(*keys)), keys, "left_anti")
+        # touched keys: small inner-join result carries both versions
+        contested = target.select(
+            *keys, F.struct(*payload).alias("_t"),
+            F.struct(*seq_cols).alias("_tseq"),
+        ).join(F.broadcast(c), keys, "inner")
+        change_wins: Column = F.col("_cseq") >= F.col("_tseq")
+        stale_keep = (
+            contested.filter(~change_wins)
+            .select(*keys, "_t.*").select(*target.columns)
+        )
+        updates = (
+            contested.filter(change_wins & (F.col("_op") != delete_op))
+            .select(*keys, "_c.*").select(*target.columns)
+        )
+        # inserts: delta keys that hit no target row (delta-sized
+        # anti join against the contested key set, never the snapshot)
+        inserts = (
+            c.join(contested.select(*keys), keys, "left_anti")
+            .filter(F.col("_op") != delete_op)
+            .select(*keys, "_c.*").select(*target.columns)
+        )
+        return kept.unionByName(stale_keep).unionByName(updates) \
+                   .unionByName(inserts)
+
+    if strategy != "copartitioned":
+        raise ValueError(f"unknown merge strategy: {strategy!r}")
+
     t = target.select(
         *keys, F.struct(*payload).alias("_t"),
         F.struct(*seq_cols).alias("_tseq"),
@@ -89,7 +140,7 @@ def merge_upsert(
     j = t.join(c, keys, "full_outer")
     # struct comparison is lexicographic over fields — exactly the
     # multi-column seq order
-    change_wins: Column = F.col("_c").isNotNull() & (
+    change_wins = F.col("_c").isNotNull() & (
         F.col("_t").isNull() | (F.col("_cseq") >= F.col("_tseq"))
     )
     deleted = change_wins & (F.col("_op") == delete_op)

@@ -1,11 +1,20 @@
 """CDC merge operator semantics: the four MERGE cases, seq-awareness,
-and batch-composition invariance."""
+batch-composition invariance — under BOTH physical strategies."""
 
 from __future__ import annotations
 
+import pytest
+
 from cassandra_join_library_spark.operators.cdc import (
-    compact_changelog, merge_upsert,
+    compact_changelog, merge_upsert as _merge_upsert,
 )
+
+
+@pytest.fixture(params=["broadcast_delta", "copartitioned"])
+def merge_upsert(request):
+    def fn(*args, **kw):
+        return _merge_upsert(*args, strategy=request.param, **kw)
+    return fn
 
 
 def _target(spark):
@@ -19,7 +28,7 @@ def _rows(df):
     return {r["k"]: (r["payload"], r["seq"]) for r in df.collect()}
 
 
-def test_merge_covers_all_four_cases(spark):
+def test_merge_covers_all_four_cases(spark, merge_upsert):
     changes = spark.createDataFrame(
         [
             (1, "a2", 20, "U"),   # update
@@ -33,7 +42,7 @@ def test_merge_covers_all_four_cases(spark):
     assert out == {1: ("a2", 20), 3: ("c", 10), 4: ("d", 20)}
 
 
-def test_merge_is_seq_aware_stale_change_loses(spark):
+def test_merge_is_seq_aware_stale_change_loses(spark, merge_upsert):
     """A change with an OLDER seq than the target row must not win —
     the invariant that makes replays and out-of-order batches safe."""
     changes = spark.createDataFrame(
@@ -45,7 +54,7 @@ def test_merge_is_seq_aware_stale_change_loses(spark):
     assert out == {1: ("a", 10), 2: ("b", 10), 3: ("c", 10)}
 
 
-def test_merge_batchwise_equals_global(spark):
+def test_merge_batchwise_equals_global(spark, merge_upsert):
     """Applying the changelog split into two batches (in either order)
     must equal applying it all at once."""
     all_changes = [
@@ -82,3 +91,16 @@ def test_compact_changelog_ties_break_on_last_seq_col(spark):
     )
     out = compact_changelog(ch, ["k"], ["seq", "tiebreak"]).collect()
     assert len(out) == 1 and out[0]["payload"] == "y"
+
+
+def test_broadcast_delta_plan_never_full_outers_the_snapshot(spark):
+    """The default strategy must resolve as broadcast joins streaming
+    the snapshot — a FullOuter join (which can never broadcast) would
+    shuffle the entire 100 TB target."""
+    from cassandra_join_library_spark.registry import all_queries
+    from .conftest import SF_ORACLE
+
+    df = all_queries()["cdc_merge_upsert"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
