@@ -55,6 +55,10 @@ HEADLINE = [
     "dedup_tf_cosine",      # weighted n-gram cosine posting join (wave 3)
     "embedding_quantize_int8",  # int8 quantization + recon audit (wave 3)
     "events_first_touch",   # RANGE-window attribution (wave 3)
+    # round-6 additions
+    "cdc_merge_upsert",      # broadcast-delta MERGE onto a snapshot
+    "corpus_bpe_merges",     # BPE tokenizer training (vocab merge loop)
+    "corpus_bpe_encode",     # trained-tokenizer token counting (broadcast join)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)

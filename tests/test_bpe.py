@@ -50,3 +50,22 @@ def test_tiny_corpus_matches_unrolled_sql(spark):
         bpe_train_sql(n_merges=6, top_words=100)
     ).fetchall()]
     assert got == want
+
+
+def test_local_and_distributed_training_identical(spark):
+    """The driver-local merge loop (default; vocab is constant-size
+    driver state) must be bit-identical to the distributed loop."""
+    from cassandra_join_library_spark.operators.bpe import bpe_train_state
+
+    texts = ["aaa banana band", "banana aaa bab", "band bab banana"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def snap(distributed):
+        m, w = bpe_train_state(spark, df, "text", n_merges=6,
+                               top_words=100, distributed=distributed)
+        merges = [tuple(r) for r in m.orderBy("step").collect()]
+        vocab = {r["word"]: (r["freq"], list(r["syms"]))
+                 for r in w.collect()}
+        return merges, vocab
+
+    assert snap(False) == snap(True)
