@@ -357,3 +357,22 @@ def corpus_bpe_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_counts(spark, docs, "doc_id", "text",
                              n_merges=8, top_words=2000)
+
+
+def _gram_oracle():
+    from ..operators.linalg import gram_matrix_sql
+
+    return gram_matrix_sql()
+
+
+@register("embedding_gram_matrix", oracle=_gram_oracle())
+def embedding_gram_matrix(spark, sf_dir):
+    """Exact corpus gram matrix G = X^T X over the embedding column
+    (operators/linalg.py): Arrow-batched map-side int64 matmul
+    partials + one d^2-row decimal reduce — the shuffle is
+    #partitions x d^2 regardless of corpus size, the shape PCA/
+    whitening preprocessing needs at 100 TB."""
+    from ..operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", dim=64)

@@ -34,16 +34,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
     from ..sources.catalog import ensure_session_confs
 
+    import os
+
     ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file-stream source requires a directory: stream the table's
-    # parent dir with a glob filter selecting just the events file
-    stream = (
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
     )
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — stream it
+        # directly (a filename glob would match nothing)
+        stream = reader.parquet(path)
+    else:
+        # single-file table (the driver's testdata layout): the file
+        # source requires a directory, so stream the parent dir with a
+        # glob selecting just the events file
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if isinstance(schema["ts"].dataType, LongType):
         # nanosecond timestamps read as long (see sources.catalog.load_events)
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -236,13 +244,17 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
     the batch read, glob-filtered like :func:`read_events_stream`) —
     the streaming-ingest twin of the batch corpus loader, for
     continuous-crawl pipelines."""
+    import os
+
     from ..sources.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
     )
+    if os.path.isdir(path):  # directory-of-parts layout
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)

@@ -287,3 +287,37 @@ def test_tf_cosine_matches_bruteforce_on_random_docs(spark):
            for r in tf_cosine_pairs(df, "doc_id", "text", n=3,
                                     threshold=0.3).collect()}
     assert got == expected
+
+
+def test_gram_matrix_matches_numpy_and_skips_bad_vectors(spark):
+    """Exact parity with a brute-force numpy gram; NULL and
+    wrong-length vectors must be excluded, and partitioning must not
+    change a single bit (decimal reduce)."""
+    import numpy as np
+
+    from cassandra_join_library_spark.operators.linalg import (
+        SCALE, gram_matrix,
+    )
+
+    rows = [
+        ([0.5, -1.25, 2.0],),
+        ([1.0, 0.0, -0.5],),
+        (None,),                 # skipped
+        ([1.0, 2.0],),           # wrong dim -> skipped
+        ([-0.1, 0.2, 0.3],),
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(df, "embedding", dim=3).collect()}
+
+    x = np.array([rows[0][0], rows[1][0], rows[4][0]])
+    xi = (np.sign(x) * np.floor(np.abs(x) * SCALE + 0.5)).astype(np.int64)
+    m = xi.T @ xi
+    want = {(i, j): float(m[i, j]) for i in range(3) for j in range(3)
+            if j >= i}
+    assert got == want
+
+    rep = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(df.repartition(7), "embedding", dim=3)
+           .collect()}
+    assert rep == got
