@@ -104,3 +104,54 @@ def test_broadcast_delta_plan_never_full_outers_the_snapshot(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_merge_matches_reference_model_on_random_changelogs(spark):
+    """Randomized cross-check against a dict-based reference model:
+    any key set, payload, op mix, and seq ordering (unique seq per key
+    — equal-seq compaction order is explicitly unspecified)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=0, max_value=5)
+    seqs = st.integers(min_value=0, max_value=30)
+    payloads = st.text(alphabet="abc", min_size=0, max_size=3)
+
+    target_st = st.dictionaries(keys, st.tuples(payloads, seqs), max_size=5)
+    change_st = st.lists(
+        st.tuples(keys, payloads, seqs, st.sampled_from(["U", "D"])),
+        max_size=10,
+    ).map(lambda cs: list({(k, s): (k, p, s, o)
+                           for k, p, s, o in cs}.values()))
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(target=target_st, changes=change_st)
+    def run(target, changes):
+        tdf = spark.createDataFrame(
+            [(k, p, s) for k, (p, s) in target.items()] or [],
+            "k bigint, payload string, seq bigint",
+        )
+        cdf = spark.createDataFrame(
+            changes or [], "k bigint, payload string, seq bigint, op string",
+        )
+        got = {r["k"]: (r["payload"], r["seq"])
+               for r in _merge_upsert(tdf, cdf, ["k"], ["seq"]).collect()}
+
+        # reference model
+        latest = {}
+        for k, p, s, o in changes:
+            if k not in latest or s > latest[k][1]:
+                latest[k] = (p, s, o)
+        want = {}
+        for k in set(target) | set(latest):
+            t = target.get(k)
+            c = latest.get(k)
+            if c is not None and (t is None or c[1] >= t[1]):
+                if c[2] != "D":
+                    want[k] = (c[0], c[1])
+            elif t is not None:
+                want[k] = t
+        assert got == want, (target, changes)
+
+    run()
