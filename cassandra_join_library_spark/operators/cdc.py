@@ -58,7 +58,12 @@ def merge_upsert(
     """Apply a changelog onto a snapshot (MERGE INTO semantics).
 
     ``target`` columns = keys + payload + ``seq_cols`` (the seq of the
-    row's last applied change; keys unique — the snapshot invariant).
+    row's last applied change; keys unique AND non-null — the snapshot
+    invariant.  SQL join semantics make NULL keys unmatchable, so a
+    NULL-key change can never update a NULL-key target row; it lands
+    as a fresh insert instead — pinned by
+    ``test_null_key_changes_insert_not_update``.  Scrub or surrogate
+    NULL keys upstream if they can occur).
     ``changes`` carries the same columns plus ``op_col`` ('U' upsert /
     ``delete_op``).  Winner per key is decided by lexicographic
     ``seq_cols`` comparison (change wins ties — idempotent

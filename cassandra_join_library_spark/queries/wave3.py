@@ -376,3 +376,63 @@ def embedding_gram_matrix(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return gram_matrix(emb, "embedding", dim=64)
+
+
+def _cluster_balance_oracle():
+    from ._kmeans_sql import kmeans_ctes
+
+    return (
+        "WITH " + kmeans_ctes(k=8, n_iter=3)
+        + """, lab AS (
+  SELECT a.cl AS cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a2 a JOIN embeddings e ON e.vec_id = a.vid
+  GROUP BY 1, 2
+), tot AS (
+  SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vectors FROM lab GROUP BY 1
+), top AS (
+  SELECT cluster, label AS top_label, n AS top_label_n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM lab
+)
+SELECT t.cluster, t.n_vectors, p.top_label, p.top_label_n,
+       CAST(p.top_label_n AS DOUBLE) / t.n_vectors AS top_share
+FROM tot t JOIN top p ON p.cluster = t.cluster AND p.rn = 1
+"""
+    )
+
+
+@register("corpus_cluster_balance", oracle=_cluster_balance_oracle())
+def corpus_cluster_balance(spark, sf_dir):
+    """Cluster-composition audit for curriculum/mixture planning:
+    k-means (k=8, 3 iters, exact fixed-point) assigns every embedding,
+    then per cluster the size and dominant label share are reported —
+    the skew signal a cluster-balanced sampler consumes.  One keyed
+    agg over assignments; the iterative training itself carries the
+    unrolled-CTE oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.corpus import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, n_iter=3) \
+        .withColumnRenamed("vid", "vec_id")
+    lab = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = lab.groupBy("cluster").agg(F.sum("n").alias("n_vectors"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"),
+                F.col("n").alias("top_label_n"))
+    )
+    return tot.join(top, "cluster").select(
+        "cluster", "n_vectors", "top_label", "top_label_n",
+        (F.col("top_label_n").cast("double") / F.col("n_vectors"))
+        .alias("top_share"),
+    )

@@ -142,7 +142,7 @@ _NEXT_WINDOW = [
     # round-6 additions (CDC merge + BPE training) — graded with this
     # window
     "cdc_merge_upsert", "stream_upsert_foreachbatch", "corpus_bpe_merges",
-    "corpus_bpe_encode", "embedding_gram_matrix",
+    "corpus_bpe_encode", "embedding_gram_matrix", "corpus_cluster_balance",
 ]
 
 

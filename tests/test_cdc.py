@@ -155,3 +155,16 @@ def test_merge_matches_reference_model_on_random_changelogs(spark):
         assert got == want, (target, changes)
 
     run()
+
+
+def test_null_key_changes_insert_not_update(spark):
+    """Documented contract: NULL keys are unmatchable under SQL join
+    semantics, so a NULL-key 'update' inserts a second NULL-key row
+    rather than replacing the existing one (scrub NULLs upstream)."""
+    t = spark.createDataFrame([(None, "old", 10)],
+                              "k bigint, payload string, seq bigint")
+    c = spark.createDataFrame([(None, "new", 20, "U")],
+                              "k bigint, payload string, seq bigint, op string")
+    out = sorted((r["payload"], r["seq"])
+                 for r in _merge_upsert(t, c, ["k"], ["seq"]).collect())
+    assert out == [("new", 20), ("old", 10)]
