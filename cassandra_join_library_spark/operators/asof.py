@@ -30,11 +30,22 @@ def asof_join(
     right_ts: str = "ts",
     right_id: str = "event_id",
     right_payload: "list[str] | None" = None,
+    direction: str = "backward",
+    tolerance_seconds: "int | None" = None,
 ) -> DataFrame:
     """Match each left row to the most recent right row at-or-before
-    its timestamp, per ``key``.  Output: all left columns +
-    ``matched_<right_id>`` (+ matched payload columns), NULL when no
-    right row precedes.
+    its timestamp, per ``key`` (``direction="backward"``), or the
+    earliest right row at-or-after it (``direction="forward"``) —
+    the two pandas ``merge_asof`` directions.  Output: all left
+    columns + ``matched_<right_id>`` (+ matched payload columns),
+    NULL when no right row qualifies.
+
+    ``tolerance_seconds`` bounds the match distance: a nearest right
+    row farther than the tolerance is nulled out (same one-window
+    plan; the bound is applied to the carried match, not via an extra
+    join).  In either direction, right rows sharing (key, ts) are
+    deduplicated keeping the max ``right_id`` — one documented
+    deterministic tiebreak for both.
 
     ``right_id`` must be an integral column: it doubles as the
     deterministic tiebreak and is carried through a ``bigint`` cast —
@@ -74,11 +85,15 @@ def asof_join(
     # per-column last(ignorenulls) would skip a NULL payload value but
     # not the id, stitching together a row that exists nowhere on the
     # right.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+
     r_tagged = r.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.struct(
             F.col(right_id).cast("long").alias("_rid"),
+            F.col(right_ts).alias("_rts"),
             *[F.col(c).alias(c) for c in right_payload],
         ).alias("_r"),
     )
@@ -92,20 +107,41 @@ def asof_join(
         "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal ts => "<=" semantics
+    # backward: ts ASC — right rows sort before left rows at equal ts
+    # => "<=" semantics; forward: ts DESC — the same right-first tie
+    # order gives ">=" semantics, and carrying over the reversed order
+    # yields the EARLIEST at-or-after row
+    ts_order = F.col("_ts").asc() if direction == "backward" \
+        else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
         .orderBy(
-            F.col("_ts").asc(),
+            ts_order,
             F.col("_is_left").asc(),
             F.col("_r._rid").asc_nulls_last(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "_is_left", "_l",
-        F.last("_r", ignorenulls=True).over(w).alias("_m"),
+        "_is_left", "_l", F.col("_ts").alias("_lts"),
+        # a NULL-ts left row has no place on the time axis: backward's
+        # NULLS-FIRST ordering leaves it unmatched naturally, but
+        # forward's DESC ordering would sort it LAST and hand it the
+        # earliest right row — null the match explicitly
+        F.when(
+            F.col("_ts").isNotNull(),
+            F.last("_r", ignorenulls=True).over(w),
+        ).alias("_m"),
     )
+    if tolerance_seconds is not None:
+        # null out matches beyond the tolerance (direction-signed)
+        gap = F.unix_micros(F.col("_m._rts")) - F.unix_micros(F.col("_lts"))
+        if direction == "backward":
+            gap = -gap
+        carried = carried.withColumn(
+            "_m",
+            F.when(gap <= tolerance_seconds * 1_000_000, F.col("_m")),
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("_m._rid").alias(f"matched_{right_id}"))
     out_cols.extend(

@@ -469,3 +469,42 @@ def stream_upsert_foreachbatch(spark, sf_dir):
     )
     q.awaitTermination()
     return held["snap"]
+
+
+@register("asof_click_next_purchase_tol", oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r2 AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+       (SELECT r2.event_id FROM r2
+        WHERE r2.user_id = l.user_id AND r2.ts >= l.ts
+          AND r2.ts <= l.ts + INTERVAL 30 MINUTE
+        ORDER BY r2.ts ASC LIMIT 1) AS matched_event_id
+FROM l
+""")
+def asof_click_next_purchase_tol(spark, sf_dir):
+    """FORWARD as-of with a match tolerance: each click's next
+    purchase by the same user within 30 minutes (conversion
+    attribution with a decay bound) — the second pandas-merge_asof
+    direction, same one-window union-sort-carry plan, bound applied
+    to the carried match (no extra join)."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, "user_id",
+                    direction="forward", tolerance_seconds=1800)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        "matched_event_id",
+    )

@@ -63,3 +63,37 @@ def test_scd2_null_transitions_are_changes(spark):
     for prev, nxt in zip(got, got[1:]):
         assert prev["valid_to"] == nxt["valid_from"]
     assert sum(r["is_current"] for r in got) == 1
+
+
+def test_asof_forward_tolerance_and_null_ts_left(spark):
+    """Forward direction picks the EARLIEST at-or-after row; the
+    tolerance nulls matches beyond the bound; a NULL-ts left row must
+    stay unmatched (forward's DESC ordering would otherwise hand it
+    the earliest right row)."""
+    from cassandra_join_library_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"),
+         (2, 7, "2024-01-01 12:00:00"),
+         (3, 7, None)],
+        "lid bigint, user_id bigint, ts string",
+    ).selectExpr("lid", "user_id", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [(100, 7, "2024-01-01 10:10:00"),
+         (101, 7, "2024-01-01 10:20:00"),
+         (102, 7, "2024-01-01 15:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts")
+
+    out = {r["lid"]: r["matched_event_id"]
+           for r in asof_join(left, right, "user_id",
+                              direction="forward",
+                              tolerance_seconds=1800).collect()}
+    assert out == {1: 100,   # earliest at-or-after, not 101
+                   2: None,  # 15:00 is 3 h away > 30 min tolerance
+                   3: None}  # NULL ts never matches
+
+    no_tol = {r["lid"]: r["matched_event_id"]
+              for r in asof_join(left, right, "user_id",
+                                 direction="forward").collect()}
+    assert no_tol == {1: 100, 2: 102, 3: None}
