@@ -245,3 +245,25 @@ def mad_outliers(
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: "list[str]",
+                k: int = 5) -> DataFrame:
+    """K-anonymity audit over quasi-identifier columns: every
+    equivalence class (distinct quasi-id combination) with its size,
+    an ``at_risk`` flag (size < k), and the share of the table's rows
+    it represents — the release-gate report a privacy review consumes
+    before publishing a dataset.
+
+    Scale: one hash aggregation on the quasi-id key (map-side
+    combined) + a 1-row total broadcast; NULL quasi-values form their
+    own class (SQL GROUP BY semantics — NULLs group together, which
+    is exactly how a linker would treat them)."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()  # scalar driver state (a single long)
+    return classes.select(
+        *quasi_cols,
+        F.col("n").cast("bigint").alias("class_size"),
+        (F.col("n") < k).alias("at_risk"),
+        (F.col("n").cast("double") / F.lit(total)).alias("row_share"),
+    )

@@ -95,3 +95,21 @@ def text_repetition(spark, sf_dir):
     """Gopher-style repetition scores (top-word ratio, duplicate-bigram
     ratio) — degenerate-text filters."""
     return P.repetition_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("privacy_k_anonymity", oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2
+), t AS (SELECT COUNT(*) AS total FROM customer)
+SELECT c_nationkey, c_mktsegment, class_size,
+       class_size < 5 AS at_risk,
+       CAST(class_size AS DOUBLE) / t.total AS row_share
+FROM c, t
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """K-anonymity release audit (k=5) over the (nation, segment)
+    quasi-identifier pair: equivalence-class sizes, at-risk flags,
+    and row shares — operators/profiling.py k_anonymity."""
+    return P.k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5)
