@@ -46,6 +46,12 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             if not vecs:
                 continue
             x = np.asarray(vecs, dtype=np.float64)
+            # a NaN/Inf coordinate has no fixed-point image — drop the
+            # row (same treatment as NULL; the SQL twin would abort
+            # loudly on CAST, so sanitize upstream if they can occur)
+            x = x[np.isfinite(x).all(axis=1)]
+            if not len(x):
+                continue
             # round half away from zero, matching DuckDB/Spark round()
             xi = (np.sign(x) * np.floor(np.abs(x) * SCALE + 0.5)).astype(
                 np.int64)

@@ -508,3 +508,48 @@ def asof_click_next_purchase_tol(spark, sf_dir):
         F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
         "matched_event_id",
     )
+
+
+@register("ivm_orders_by_month_refresh", oracle="""
+WITH applied AS (
+  SELECT * FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    AND NOT (o_orderkey % 10 = 0)          -- retracted rows
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM applied
+GROUP BY 1
+""")
+def ivm_orders_by_month_refresh(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): the monthly
+    revenue view is materialized over the pre-1999 base, then a
+    changelog (post-1999 inserts + retraction of every base order
+    with key % 10 = 0) is aggregated ALONE and algebraically merged
+    in — delta-sized work, never a base rescan.  The oracle is the
+    full recompute over the applied table: refresh == recompute,
+    bit-for-bit (decimal totals)."""
+    from ..operators import ivm
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    cut = F.to_timestamp(F.lit("1999-01-01"))
+
+    base = orders.filter(F.col("o_orderdate") < cut)
+    view = ivm.aggregate_view(base.select(month, "o_totalprice"),
+                              ["month"], "o_totalprice")
+
+    inserts = orders.filter(F.col("o_orderdate") >= cut) \
+        .withColumn("op", F.lit("I"))
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0) \
+        .withColumn("op", F.lit("D"))
+    changes = inserts.unionByName(deletes).select(
+        month, "o_totalprice", "op")
+
+    delta = ivm.delta_aggregate(changes, ["month"], "o_totalprice")
+    refreshed = ivm.refresh_view(view, delta, ["month"])
+    return refreshed.select(
+        "month", "n_rows", F.col("total").cast("double").alias("total"))
