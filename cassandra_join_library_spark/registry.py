@@ -97,8 +97,12 @@ _loaded = False
 #   round 6 (this order): _ROUND6_FRONT below — the whole `curation`
 #     and `wave3` modules, the two new stream-final value-oracle twins,
 #     the TPC-H tails, corpus_e2e_pipeline, band/interval joins;
-#   round 7: promote _NEXT_WINDOW (the last 25 never-graded: extras/
-#     relational scalar/setop/window/agg tails) to the front.
+#   round 7: promote _NEXT_WINDOW to the front — the last 25 pre-r06
+#     never-graded (scalar/setop/window/agg tails) plus the 7 round-6
+#     additions (CDC merge ×2, BPE ×2, gram, cluster balance, forward
+#     as-of, k-anonymity, IVM = 9 total; the window is 32+ entries, so
+#     round 7's front-50 takes all of it with room to spare — top up
+#     with any round-7 additions, then banked queries rotate back in).
 _ROUND6_FRONT = [
     # queries/curation.py — round-5 wave with zero driver evidence
     "dedup_survivors", "corpus_source_cap", "corpus_bm25_topk",
