@@ -1,0 +1,129 @@
+"""Graph analytics: exact fixed-point PageRank.
+
+Complements the connected-components pass in ``operators/dedup.py``
+with the other canonical iterative graph operator.  Each iteration is
+one edge⋈rank join + one destination-keyed aggregation — the
+Pregel-style message-passing shape, expressed as DataFrames so
+Catalyst/AQE handle partitioning; rank state is node-sized and
+re-materialized per iteration (``localCheckpoint``), never
+edge-sized.
+
+Exactness: ranks live in integer microunits; per-edge contributions
+use ROUNDED INTEGER DIVISION (half away from zero, the same helper
+contract as the k-means centroid update) and the damping factor is a
+percentage applied in integer arithmetic — no floats anywhere, so a
+fixed iteration count macro-unrolls into a DuckDB CTE chain that
+reproduces every rank bit-for-bit.
+
+Semantics notes (documented variants of the textbook algorithm):
+- teleport mass is (100-damping)% of the INITIAL per-node mass —
+  ranks are scaled by N (init = 1.0 per node), avoiding an N-division;
+- dangling nodes leak their mass (no redistribution term); build the
+  edge set symmetric (as the co-purchase query does) if the graph has
+  sinks and leakage is unwanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INIT_MICRO = 1_000_000
+
+# rounded integer division on non-negative longs: q = a div b, +1 when
+# the remainder is at least half of b (half away from zero)
+_RDIV = "(({a}) div ({b})) + (CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)"
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """``nodes``: (nt string, id long).  ``edges``: (src_t, src,
+    dst_t, dst) — directed; emit both directions for an undirected
+    graph.  Returns (nt, id, rank_micro) after ``n_iter`` exact
+    iterations."""
+    deg = edges.groupBy("src_t", "src").agg(
+        F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, ["src_t", "src"])
+
+    base = (INIT_MICRO * (100 - damping_pct)) // 100
+    r = nodes.select(
+        "nt", "id", F.lit(INIT_MICRO).cast("long").alias("rank_micro"))
+
+    contrib = F.expr(_RDIV.format(a="rank_micro", b="deg"))
+    damped = F.expr(
+        str(base) + " + "
+        + _RDIV.format(a=f"{damping_pct} * inflow", b="100"))
+
+    for _ in range(n_iter):
+        flow = (
+            e.join(
+                r.select(F.col("nt").alias("src_t"),
+                         F.col("id").alias("src"), "rank_micro"),
+                ["src_t", "src"],
+            )
+            .select(F.col("dst_t").alias("nt"), F.col("dst").alias("id"),
+                    contrib.alias("c"))
+            .groupBy("nt", "id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(flow, ["nt", "id"], "left")
+            .select(
+                "nt", "id",
+                F.coalesce(damped,
+                           F.lit(base).cast("long")).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def pagerank_sql(n_iter: int = 4, damping_pct: int = 85) -> str:
+    """Unrolled DuckDB twin over the co-purchase graph (customers ↔
+    suppliers linked through order lineitems, both directions)."""
+    base = (INIT_MICRO * (100 - damping_pct)) // 100
+    rdiv = "(({a}) // ({b})) + (CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)"
+    parts = [
+        """nodes AS MATERIALIZED (
+  SELECT 'c' AS nt, c_custkey AS id FROM customer
+  UNION ALL SELECT 's', s_suppkey FROM supplier
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT 'c' AS src_t, c AS src, 's' AS dst_t, s AS dst FROM pairs
+  UNION ALL SELECT 's', s, 'c', c FROM pairs
+)""",
+        """deg AS MATERIALIZED (
+  SELECT src_t, src, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1, 2
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT nt, id, CAST({INIT_MICRO} AS BIGINT) AS rank_micro FROM nodes
+)""",
+    ]
+    for t in range(n_iter):
+        c = rdiv.format(a="r.rank_micro", b="d.deg")
+        parts.append(f"""flow{t} AS MATERIALIZED (
+  SELECT e.dst_t AS nt, e.dst AS id, SUM({c}) AS inflow
+  FROM edges e
+  JOIN r{t} r ON r.nt = e.src_t AND r.id = e.src
+  JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
+  GROUP BY 1, 2
+)""")
+        damped = rdiv.format(a=f"{damping_pct} * f.inflow", b="100")
+        parts.append(f"""r{t + 1} AS MATERIALIZED (
+  SELECT n.nt, n.id,
+         CAST(coalesce({base} + ({damped}), {base}) AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN flow{t} f ON f.nt = n.nt AND f.id = n.id
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT nt, id, rank_micro FROM r{n_iter}"
+    )

@@ -436,3 +436,47 @@ def corpus_cluster_balance(spark, sf_dir):
         (F.col("top_label_n").cast("double") / F.col("n_vectors"))
         .alias("top_share"),
     )
+
+
+def _pagerank_oracle():
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(n_iter=4, damping_pct=85)
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle())
+def graph_pagerank_copurchase(spark, sf_dir):
+    """Exact fixed-point PageRank over the customer↔supplier
+    co-purchase graph (edges both directions through order lineitems)
+    — 4 Pregel-style iterations of edge⋈rank join + destination agg,
+    all integer microunits (operators/graph.py), so the unrolled CTE
+    oracle reproduces every rank bit-for-bit.  The centrality signal
+    a marketplace risk/recommendation pipeline consumes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import pagerank_fixed_point
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    nodes = cust.select(
+        F.lit("c").alias("nt"), F.col("c_custkey").cast("long").alias("id")
+    ).unionByName(supp.select(
+        F.lit("s").alias("nt"), F.col("s_suppkey").cast("long").alias("id")))
+
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").cast("long").alias("c"),
+                F.col("l_suppkey").cast("long").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.lit("c").alias("src_t"), F.col("c").alias("src"),
+        F.lit("s").alias("dst_t"), F.col("s").alias("dst"),
+    ).unionByName(pairs.select(
+        F.lit("s").alias("src_t"), F.col("s").alias("src"),
+        F.lit("c").alias("dst_t"), F.col("c").alias("dst"),
+    ))
+    return pagerank_fixed_point(nodes, edges, n_iter=4, damping_pct=85)

@@ -148,7 +148,7 @@ _NEXT_WINDOW = [
     "cdc_merge_upsert", "stream_upsert_foreachbatch", "corpus_bpe_merges",
     "corpus_bpe_encode", "embedding_gram_matrix", "corpus_cluster_balance",
     "asof_click_next_purchase_tol", "privacy_k_anonymity",
-    "ivm_orders_by_month_refresh",
+    "ivm_orders_by_month_refresh", "graph_pagerank_copurchase",
 ]
 
 

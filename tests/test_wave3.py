@@ -321,3 +321,33 @@ def test_gram_matrix_matches_numpy_and_skips_bad_vectors(spark):
            for r in gram_matrix(df.repartition(7), "embedding", dim=3)
            .collect()}
     assert rep == got
+
+
+def test_pagerank_fixed_point_star_graph(spark):
+    """Hand-checkable star: hub h <-> leaves a,b,c (symmetric edges),
+    isolated node z.  The hub must outrank leaves, leaves tie exactly
+    (integer determinism), and the isolated node holds exactly the
+    teleport base after every iteration."""
+    from cassandra_join_library_spark.operators.graph import (
+        INIT_MICRO, pagerank_fixed_point,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n", 0), ("n", 1), ("n", 2), ("n", 3), ("n", 9)],
+        "nt string, id long",
+    )  # 0 = hub, 1-3 leaves, 9 isolated
+    sym = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        [("n", a, "n", b) for a, b in sym]
+        + [("n", b, "n", a) for a, b in sym],
+        "src_t string, src long, dst_t string, dst long",
+    )
+    r = {row["id"]: row["rank_micro"]
+         for row in pagerank_fixed_point(nodes, edges, n_iter=4).collect()}
+
+    base = (INIT_MICRO * 15) // 100
+    assert r[9] == base                      # isolated: teleport only
+    assert r[1] == r[2] == r[3]              # exact leaf symmetry
+    assert r[0] > r[1]                       # hub dominates
+    # mass sanity: nothing exceeds total injected mass
+    assert sum(r.values()) <= 5 * INIT_MICRO
