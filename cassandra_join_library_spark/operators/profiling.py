@@ -267,3 +267,60 @@ def k_anonymity(df: DataFrame, quasi_cols: "list[str]",
         (F.col("n") < k).alias("at_risk"),
         (F.col("n").cast("double") / F.lit(total)).alias("row_share"),
     )
+
+
+def key_skew_report(df: DataFrame, key_cols: "list[str]",
+                    top: int = 10) -> DataFrame:
+    """Join-planning skew diagnostic: the ``top`` heaviest key values
+    with their row counts, share of the table, and the ratio to the
+    MEAN key weight (the salting trigger — a ratio of b means the hot
+    key's partition does b× the average work).  Two bounded aggregates
+    (per-key counts, then a 1-row global summary broadcast back);
+    deterministic tie-break on the key columns."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows"))
+    summary = counts.agg(
+        F.sum("rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys"))
+    ranked = (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            *key_cols,
+            F.col("rows").cast("bigint").alias("rows"),
+            (F.col("rows").cast("double") / F.col("_total")).alias("row_share"),
+            (F.col("rows").cast("double") * F.col("_nkeys") / F.col("_total"))
+            .alias("skew_ratio"),
+        )
+        .orderBy(F.desc("rows"), *key_cols)
+        .limit(top)
+    )
+    return ranked
+
+
+def fk_integrity_audit(pairs: "list[tuple]") -> "DataFrame":
+    """See queries/profiling.py fk_integrity — assembled per-relationship
+    from (name, child_df, child_key, parent_df, parent_key) tuples:
+    orphan count (child keys with no parent) via anti join, NULL-key
+    count, and child row total.  Anti joins broadcast the parent KEY
+    projection when small; at 100 TB both sides are key-only
+    projections, so the shuffle carries keys, never rows."""
+    out = None
+    for name, child, ck, parent, pk in pairs:
+        keys = child.select(F.col(ck).alias("_k"))
+        nulls = keys.filter(F.col("_k").isNull())
+        orphans = (
+            keys.filter(F.col("_k").isNotNull())
+            .join(parent.select(F.col(pk).alias("_k")).distinct(),
+                  "_k", "left_anti")
+        )
+        row = (
+            child.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_rows")))
+            .crossJoin(nulls.agg(F.count(F.lit(1)).alias("null_keys")))
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows", "orphan_rows", "null_keys",
+                ((F.col("orphan_rows") == 0) & (F.col("null_keys") == 0))
+                .alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -113,3 +113,74 @@ def privacy_k_anonymity(spark, sf_dir):
     and row shares — operators/profiling.py k_anonymity."""
     return P.k_anonymity(
         _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register("profile_key_skew", oracle="""
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS rows
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT SUM(rows) AS total, COUNT(*) AS nkeys FROM c
+)
+SELECT o_custkey, rows,
+       CAST(rows AS DOUBLE) / s.total AS row_share,
+       CAST(rows AS DOUBLE) * s.nkeys / s.total AS skew_ratio
+FROM c, s
+ORDER BY rows DESC, o_custkey ASC
+LIMIT 10
+""")
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew report over orders.o_custkey: the 10 heaviest
+    customers with row share and ratio-to-mean-key-weight — the
+    diagnostic that decides whether a join needs salting
+    (operators/profiling.py key_skew_report)."""
+    return P.key_skew_report(_t(spark, sf_dir, "orders"), ["o_custkey"],
+                             top=10)
+
+
+@register("profile_fk_integrity", oracle="""
+SELECT u.*, orphan_rows = 0 AND null_keys = 0 AS intact FROM (
+SELECT 'lineitem.orderkey->orders' AS relationship,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IS NULL) AS null_keys
+UNION ALL
+SELECT 'orders.custkey->customer',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE c.c_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_nationkey IS NULL)
+) u
+""")
+def profile_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema's three FK
+    edges: orphaned child keys (anti join on key-only projections) and
+    NULL keys per relationship — the load-validation gate before any
+    join-based pipeline trusts the data."""
+    out = P.fk_integrity_audit([
+        ("lineitem.orderkey->orders",
+         _t(spark, sf_dir, "lineitem"), "l_orderkey",
+         _t(spark, sf_dir, "orders"), "o_orderkey"),
+        ("orders.custkey->customer",
+         _t(spark, sf_dir, "orders"), "o_custkey",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("customer.nationkey->nation",
+         _t(spark, sf_dir, "customer"), "c_nationkey",
+         _t(spark, sf_dir, "nation"), "n_nationkey"),
+    ])
+    return out

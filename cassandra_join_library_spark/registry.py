@@ -149,6 +149,7 @@ _NEXT_WINDOW = [
     "corpus_bpe_encode", "embedding_gram_matrix", "corpus_cluster_balance",
     "asof_click_next_purchase_tol", "privacy_k_anonymity",
     "ivm_orders_by_month_refresh", "graph_pagerank_copurchase",
+    "profile_key_skew", "profile_fk_integrity",
 ]
 
 
