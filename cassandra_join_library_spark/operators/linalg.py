@@ -32,26 +32,37 @@ SCALE = 1_000_000
 def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Upper-triangular exact gram matrix: (i, j, gram) for j >= i,
     where gram = Σ_rows x[i]·x[j] in microunit² fixed point, emitted
-    as DOUBLE (the exact decimal's nearest double).  NULL / wrong-
-    length vectors are skipped (they have no place in Xᵀ X)."""
+    as DOUBLE (the exact decimal's nearest double).  NULL vectors are
+    skipped (mirrored by the SQL twin's ``WHERE vec IS NOT NULL``);
+    a ragged / wrong-``dim`` vector or a NaN/Inf coordinate RAISES —
+    silently dropping it would diverge from the twin, which includes
+    every position of every non-NULL vector (advisor finding, r06):
+    dirty data must fail loudly, not fail parity."""
     import numpy as np
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu, ju = np.triu_indices(dim)
         for pdf in batches:
-            vecs = [
-                v for v in pdf[vec_col]
-                if v is not None and len(v) == dim
-            ]
+            vecs = []
+            for v in pdf[vec_col]:
+                if v is None:
+                    continue
+                if len(v) != dim:
+                    raise ValueError(
+                        f"gram_matrix(dim={dim}): vector of length "
+                        f"{len(v)} in column {vec_col!r} — ragged input "
+                        "would silently diverge from the SQL twin"
+                    )
+                vecs.append(v)
             if not vecs:
                 continue
             x = np.asarray(vecs, dtype=np.float64)
-            # a NaN/Inf coordinate has no fixed-point image — drop the
-            # row (same treatment as NULL; the SQL twin would abort
-            # loudly on CAST, so sanitize upstream if they can occur)
-            x = x[np.isfinite(x).all(axis=1)]
-            if not len(x):
-                continue
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    f"gram_matrix: NaN/Inf coordinate in {vec_col!r} — "
+                    "no fixed-point image (the SQL twin's CAST would "
+                    "abort); sanitize upstream"
+                )
             # round half away from zero, matching DuckDB/Spark round()
             xi = (np.sign(x) * np.floor(np.abs(x) * SCALE + 0.5)).astype(
                 np.int64)

@@ -301,7 +301,18 @@ def fk_integrity_audit(pairs: "list[tuple]") -> "DataFrame":
     orphan count (child keys with no parent) via anti join, NULL-key
     count, and child row total.  Anti joins broadcast the parent KEY
     projection when small; at 100 TB both sides are key-only
-    projections, so the shuffle carries keys, never rows."""
+    projections, so the shuffle carries keys, never rows.
+
+    Raises ``ValueError`` on an empty relationship list — the declared
+    return type is a DataFrame and a silent ``None`` would surface as
+    an ``AttributeError`` at the caller's first method call (advisor
+    finding, r06)."""
+    if not pairs:
+        raise ValueError(
+            "fk_integrity_audit: empty relationship list — pass at "
+            "least one (name, child_df, child_key, parent_df, "
+            "parent_key) tuple"
+        )
     out = None
     for name, child, ck, parent, pk in pairs:
         keys = child.select(F.col(ck).alias("_k"))

@@ -94,16 +94,41 @@ _loaded = False
 #   round 5: dedup, similarity, text, multimodal, streaming, events,
 #     profiling heads + string_similarity, explode_tokens, agg_cube —
 #     see CORRECTNESS_r05 (47 oracled green, 3 no_oracle);
-#   round 6 (this order): _ROUND6_FRONT below — the whole `curation`
-#     and `wave3` modules, the two new stream-final value-oracle twins,
-#     the TPC-H tails, corpus_e2e_pipeline, band/interval joins;
-#   round 7: promote _NEXT_WINDOW to the front — the last 25 pre-r06
-#     never-graded (scalar/setop/window/agg tails) plus the 7 round-6
-#     additions (CDC merge ×2, BPE ×2, gram, cluster balance, forward
-#     as-of, k-anonymity, IVM = 9 total; the window is 32+ entries, so
-#     round 7's front-50 takes all of it with room to spare — top up
-#     with any round-7 additions, then banked queries rotate back in).
-_ROUND6_FRONT = [
+#   round 6: the 50 names in _BANKED_ROUND6 below — the whole
+#     `curation` and `wave3` modules, the two stream-final value-oracle
+#     twins, the TPC-H tails (Q7/8/13/14/15/17/19/22),
+#     corpus_e2e_pipeline, band/interval joins — CORRECTNESS_r06:
+#     50/50 green (rows + schema + hash, zero err);
+#   round 7 (this order): _ROUND7_FRONT below — every remaining
+#     never-value-graded oracled query: the scalar/setop/window/agg
+#     tails, the round-6 operator additions (CDC ×2, BPE ×2, gram,
+#     PageRank, IVM, k-anonymity, cluster balance, as-of tolerance,
+#     skew/FK audits), kmeans_clusters (whose oracle postdates its r01
+#     no_oracle row), then round-7 additions; any slots left in the
+#     front-50 fall through to _BANKED_ROUND6 (already green, pure
+#     regression coverage).  After r07 every oracled query in the
+#     registry has a banked driver-green row.
+_ROUND7_FRONT = [
+    # the 25 pre-r06 never-graded relational tails
+    "null_handling", "distinct_rows", "deterministic_sample",
+    "agg_collect_sorted", "unpivot_metrics", "scalar_conditional",
+    "scalar_date_arith", "scalar_string2", "agg_pricing_summary",
+    "agg_orders_by_month", "agg_count_distinct", "agg_rollup",
+    "topk_customers", "sort_global", "window_rank", "window_running_sum",
+    "window_range_30d", "window_lag_lead", "setop_union",
+    "setop_intersect", "setop_except", "scalar_string", "scalar_datetime",
+    "scalar_math", "scalar_json",
+    # the 12 round-6 operator additions
+    "cdc_merge_upsert", "stream_upsert_foreachbatch", "corpus_bpe_merges",
+    "corpus_bpe_encode", "embedding_gram_matrix", "corpus_cluster_balance",
+    "asof_click_next_purchase_tol", "privacy_k_anonymity",
+    "ivm_orders_by_month_refresh", "graph_pagerank_copurchase",
+    "profile_key_skew", "profile_fk_integrity",
+    # oracled in r03 but only ever graded as a r01 no_oracle row
+    "kmeans_clusters",
+]
+
+_BANKED_ROUND6 = [
     # queries/curation.py — round-5 wave with zero driver evidence
     "dedup_survivors", "corpus_source_cap", "corpus_bm25_topk",
     "embedding_label_centroids", "dedup_near_exact", "text_ngram_novelty",
@@ -133,31 +158,12 @@ _ROUND6_FRONT = [
     "interval_join_facade",
 ]
 
-_NEXT_WINDOW = [
-    # the remaining never-driver-graded queries → round 7's window
-    "null_handling", "distinct_rows", "deterministic_sample",
-    "agg_collect_sorted", "unpivot_metrics", "scalar_conditional",
-    "scalar_date_arith", "scalar_string2", "agg_pricing_summary",
-    "agg_orders_by_month", "agg_count_distinct", "agg_rollup",
-    "topk_customers", "sort_global", "window_rank", "window_running_sum",
-    "window_range_30d", "window_lag_lead", "setop_union",
-    "setop_intersect", "setop_except", "scalar_string", "scalar_datetime",
-    "scalar_math", "scalar_json",
-    # round-6 additions (CDC merge + BPE training) — graded with this
-    # window
-    "cdc_merge_upsert", "stream_upsert_foreachbatch", "corpus_bpe_merges",
-    "corpus_bpe_encode", "embedding_gram_matrix", "corpus_cluster_balance",
-    "asof_click_next_purchase_tol", "privacy_k_anonymity",
-    "ivm_orders_by_month_refresh", "graph_pagerank_copurchase",
-    "profile_key_skew", "profile_fk_integrity",
-]
-
-
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND6_FRONT, then
-    _NEXT_WINDOW, then the banked (already driver-green) oracled
-    queries in registration order, then the no-oracle queries last."""
-    front = _ROUND6_FRONT + _NEXT_WINDOW
+    """Rebuild _QUERIES in graded-window order: _ROUND7_FRONT, then
+    the banked (already driver-green) _BANKED_ROUND6, then the rest of
+    the oracled queries in registration order, then the no-oracle
+    queries last."""
+    front = _ROUND7_FRONT + _BANKED_ROUND6
     missing = [n for n in front if n not in _QUERIES]
     if missing:
         raise ValueError(f"rotation lists name unknown queries: {missing}")

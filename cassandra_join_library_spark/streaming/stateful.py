@@ -37,13 +37,31 @@ _MICRO = 1_000_000
 
 
 def _micro(v) -> int:
-    """Double → DECIMAL(18,6)-equivalent microunits (round-half-away,
-    matching DuckDB's CAST(double AS DECIMAL(18,6)))."""
-    from decimal import ROUND_HALF_UP, Decimal
+    """Double → DECIMAL(18,6)-equivalent microunits, replicating
+    DuckDB's CAST(double AS DECIMAL(18,6)) bit-for-bit — DuckDB is the
+    value oracle the stream-final twins are graded against, so ITS
+    pipeline (not the mathematically exact quantization) is the parity
+    target.
 
-    return int(
-        (Decimal(repr(float(v))) * _MICRO).quantize(0, rounding=ROUND_HALF_UP)
-    )
+    DuckDB (1.0.0) rounds the IEEE-754 PRODUCT double ``v * 1e6`` —
+    one extra rounding step vs the exact binary value, which shifts
+    adversarial inputs within ~half an ulp of a .5-microunit boundary
+    (e.g. -2.0000025, whose exact expansion is -2000002.49999999905
+    microunits but whose product double lands exactly on -2000002.5).
+    Empirically (probed over boundary patterns + the 2^24 float-
+    mantissa transition) its tie rule is half-AWAY for |product| <
+    2^24 and half-EVEN above; non-ties round to nearest.  ``Decimal(p)``
+    is the exact value of the product double, so quantizing it with
+    that tie rule reproduces DuckDB's result.  Pinned in
+    ``tests/test_streaming.py::test_micro_matches_duckdb_decimal_cast_on_boundaries``
+    (boundary patterns, constructed product-ties on both sides of
+    2^24, 5000 random doubles) so a DuckDB rounding change surfaces as
+    a loud test failure, not a silent oracle mismatch."""
+    from decimal import ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
+
+    p = float(v) * _MICRO
+    mode = ROUND_HALF_UP if abs(p) < 2 ** 24 else ROUND_HALF_EVEN
+    return int(Decimal(p).quantize(0, rounding=mode))
 
 
 RUNNING_SCHEMA = StructType([
@@ -170,71 +188,50 @@ def _make_sessionizer(gap_seconds: int, sentinel: bool = False):
         vals = rows["value"].tolist()
         sents = rows["sentinel"].tolist() if sentinel else [False] * len(ts_us)
 
-        has_open = state.exists
-        if has_open:
-            start_us, last_us, n, total = state.get
-            # A watermark-permitted late event more than gap BEFORE the
-            # open session belongs to an EARLIER session — min-merging
-            # it into the open one would fabricate a session spanning a
-            # silence longer than the gap.  Split those off (they sort
-            # first) and sessionize them standalone; each such session
-            # closes by construction (its last event is still > gap
-            # before the open session's start), so emit immediately.
-            early = [
-                (t, v) for t, v, s in zip(ts_us, vals, sents)
-                if not s and t < start_us - gap_us
-            ]
-            if early:
-                e_start = e_last = early[0][0]
-                e_n, e_total = 0, 0
-                for t, v in early:
-                    if t - e_last > gap_us:
-                        yield session_row(e_start, e_last, e_n, e_total)
-                        e_start = e_last = t
-                        e_n, e_total = 0, 0
-                    e_last = t
-                    e_n += 1
-                    if v is not None and v == v:
-                        e_total += _micro(v)
-                yield session_row(e_start, e_last, e_n, e_total)
-                remaining = [
-                    (t, v, s) for t, v, s in zip(ts_us, vals, sents)
-                    if s or t >= start_us - gap_us
-                ]
-            else:
-                remaining = list(zip(ts_us, vals, sents))
-        else:
-            start_us = last_us = 0
-            n, total = 0, 0
-            remaining = list(zip(ts_us, vals, sents))
-
-        for t, v, is_sent in remaining:
+        # One greedy gaps-and-islands pass over the SORTED union of the
+        # open state session (as an interval item carrying its
+        # aggregates) and this batch's events.  Re-evaluating the gap
+        # after every merge is what the batch twin does — a frozen
+        # pre-batch split point diverges when a bridging event exists:
+        # an event more than gap before the OLD session start must
+        # still merge if a later in-batch event chains them together.
+        # Each item: (start, end, n, total_micro, is_sentinel); a
+        # sentinel sorts after same-timestamp events (end-of-stream
+        # flush happens last) and closes the open run without being
+        # counted.
+        items = []
+        if state.exists:
+            s0, l0, n0, tot0 = state.get
+            items.append((s0, l0, n0, tot0, False))
+        for t, v, is_sent in zip(ts_us, vals, sents):
             if is_sent:
-                # end-of-stream marker: flush the open session, do not
-                # count the sentinel itself
-                if has_open and n > 0:
-                    yield session_row(start_us, last_us, n, total)
-                has_open = False
-                continue
-            if not has_open:
-                start_us = last_us = t
-                n, total = 0, 0
-                has_open = True
-            elif t - last_us > gap_us:
-                yield session_row(start_us, last_us, n, total)
-                start_us = last_us = t
-                n, total = 0, 0
-            # max/min, not assignment: a LATE event within gap of the
-            # open session (allowed while the watermark lags) must not
-            # REWIND the session end — that would split the session on
-            # the next on-time event and set the timeout too early
-            last_us = max(last_us, t)
-            start_us = min(start_us, t)
-            n += 1
-            if v is not None and v == v:  # SUM ignores NULL/NaN
-                total += _micro(v)
+                items.append((t, t, 0, 0, True))
+            else:
+                mv = _micro(v) if v is not None and v == v else 0
+                items.append((t, t, 1, mv, False))
+        items.sort(key=lambda it: (it[0], it[4]))
 
-        if has_open:
+        cur = None  # open run: (start_us, last_us, n, total_micro)
+        for start, end, cnt, tot, is_sent in items:
+            if is_sent:
+                if cur is not None and cur[2] > 0:
+                    yield session_row(*cur)
+                cur = None
+                continue
+            if cur is None:
+                cur = (start, end, cnt, tot)
+            elif start - cur[1] > gap_us:
+                yield session_row(*cur)
+                cur = (start, end, cnt, tot)
+            else:
+                # end via max(): a LATE event inside the open run must
+                # not rewind the session end (that would split the
+                # session on the next on-time event and set the
+                # timeout too early)
+                cur = (cur[0], max(cur[1], end), cur[2] + cnt, cur[3] + tot)
+
+        if cur is not None:
+            start_us, last_us, n, total = cur
             state.update((start_us, last_us, n, total))
             # event-time timeout: fires when the WATERMARK (not wall
             # clock) passes last event + gap — the session-close

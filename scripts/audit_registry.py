@@ -2,16 +2,24 @@
 shapes (see ``plans/audit.py``) and print a findings report.
 
 Run on demand (plan-building executes the driver actions inside
-iterative/streaming queries, so this is a script, not a unit test):
+iterative/streaming queries, so the FULL sweep is a script, not a unit
+test):
 
-    python scripts/audit_registry.py [sf_dir]
+    python scripts/audit_registry.py [sf_dir] [--update-manifest]
 
 Exit code 1 if any query triggers a finding that is not in the
-reviewed ALLOW list below.
+reviewed ALLOW list below.  On a clean run with ``--update-manifest``
+the swept names are written to ``tests/audit_manifest.json`` —
+``tests/test_plan_audit.py`` then plan-audits only registry queries
+ABSENT from that manifest, so a commit that adds a query without
+re-running this sweep fails pytest instead of silently shipping an
+unaudited plan (the round-6 process slip).
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
 import sys
 
 from cassandra_join_library_spark import audit_plan, get_spark
@@ -49,6 +57,8 @@ ALLOW = {
         "text_bigram_perplexity": "1-row vocabulary-size broadcast",
         "corpus_pmi_collocations": "1-row token-count broadcast",
         "corpus_hybrid_rrf": "embedded BM25 stats broadcast + broadcast query vector",
+        "profile_key_skew": "1-row global count-summary broadcast",
+        "profile_fk_integrity": "three 1-row counts crossjoined per relationship",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -64,8 +74,13 @@ ALLOW = {
 }
 
 
+MANIFEST = pathlib.Path(__file__).parent.parent / "tests" / "audit_manifest.json"
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = [a for a in sys.argv[1:] if a != "--update-manifest"]
+    update_manifest = "--update-manifest" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     spark = get_spark(app_name="audit-registry")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
@@ -87,6 +102,11 @@ def main() -> int:
     print(f"clean: {clean}/{clean + len(failures)}")
     for name, why in failures:
         print(f"FINDING {name}: {why}")
+    if not failures and update_manifest:
+        MANIFEST.write_text(
+            json.dumps(sorted(all_queries()), indent=0) + "\n"
+        )
+        print(f"wrote {MANIFEST}")
     return 1 if failures else 0
 
 

@@ -332,12 +332,12 @@ def test_registry_integrity():
         f"oracle-less queries occupy gradable driver slots: {unoracled}"
     )
 
-    assert window == registry._ROUND6_FRONT, (
+    declared = registry._ROUND7_FRONT + registry._BANKED_ROUND6
+    assert window == declared[:50], (
         "registry order drifted from the declared rotation front"
     )
-    nw = registry._NEXT_WINDOW
-    assert names[50:50 + len(nw)] == nw, (
-        "round-7 promotion window drifted from the declared list"
+    assert names[:len(declared)] == declared, (
+        "post-window order drifted from the declared rotation lists"
     )
 
     # no-oracle queries must sort strictly after every oracled one

@@ -227,6 +227,74 @@ def test_sessionizer_sentinel_flushes_open_session_uncounted():
     assert state.removed and not state.exists
 
 
+def test_sessionizer_bridging_event_merges_early_into_open_session():
+    """Advisor finding (r06, medium): an event more than gap before
+    the OLD session start must still merge when a bridging in-batch
+    event chains them — the batch gaps-and-islands twin re-evaluates
+    the gap after every merge, so the sessionizer must too.  A frozen
+    pre-batch split point would emit the early event standalone."""
+    from cassandra_join_library_spark.streaming.stateful import _make_sessionizer
+
+    fn = _make_sessionizer(gap_seconds=600)
+    t0 = 1_700_000_000
+    state = _FakeState((t0 * 1_000_000, (t0 + 300) * 1_000_000, 2, 5_000_000))
+    # t0-1100 is > gap before the open start, but t0-550 bridges:
+    # 550s to each neighbour — one merged session, nothing emitted
+    out = list(fn((7,), _batch([t0 - 1100, t0 - 550], [1.0, 2.0]), state))
+    assert out == [], "bridged early events were emitted as standalone sessions"
+    start_us, last_us, n, total = state.get
+    assert start_us == (t0 - 1100) * 1_000_000
+    assert last_us == (t0 + 300) * 1_000_000
+    assert n == 4 and total == 8_000_000
+
+
+def test_micro_matches_duckdb_decimal_cast_on_boundaries():
+    """Advisor finding (r06, low): ``_micro`` must equal DuckDB's
+    CAST(double AS DECIMAL(18,6)) — the conversion the stream-final
+    value oracles rely on.  Pin the equivalence on half-boundary
+    patterns (x.xxxxxx5), negatives, subnormals, and random doubles so
+    a DuckDB rounding change surfaces as THIS failure, not a silent
+    oracle mismatch."""
+    import random
+
+    import duckdb
+
+    from cassandra_join_library_spark.streaming.stateful import _micro
+
+    cases = [
+        0.1, 0.2, 0.3, 1.0000005, 2.0000015, -1.0000005, -2.0000025,
+        0.0000005, -0.0000005, 1e-12, -1e-12, 5e-324, -5e-324, 0.0,
+        123456789.1234565, -123456789.1234565, 1.5e-7, 2.5e-7,
+        0.9999995, -0.9999995, 1234.0000004999999,
+    ]
+    # doubles whose PRODUCT v*1e6 is an exact .5 tie, straddling the
+    # 2^24 tie-rule transition (half-away below, half-even above) —
+    # the adversarial class where DuckDB's product-double pipeline
+    # diverges from the mathematically exact quantization
+    for k in [0, 2, 100, 6_000_000, 16_777_214, 16_777_216, 33_554_432,
+              1_000_000_000, 10**12, 123_456_789_123_456]:
+        for s in (1.0, -1.0):
+            v = s * (k + 0.5) / 1e6
+            if abs(v * 1e6) == k + 0.5:
+                cases.append(v)
+    rng = random.Random(42)
+    cases += [rng.uniform(-1e6, 1e6) for _ in range(3000)]
+    cases += [rng.uniform(-1e9, 1e9) for _ in range(2000)]
+    con = duckdb.connect()
+    for v in cases:
+        got = _micro(v)
+        want = con.execute(
+            "SELECT CAST(CAST(CAST(? AS DOUBLE) AS DECIMAL(18,6)) "
+            "AS DECIMAL(38,6)) * 1000000",
+            [v],
+        ).fetchone()[0]
+        assert got == int(want), (
+            f"_micro({v!r}) = {got} but DuckDB DECIMAL(18,6) cast gives "
+            f"{want} — the stream-final value oracles would diverge"
+        )
+    con.close()
+
+
 def test_running_stats_microunit_exactness():
     """0.1 + 0.2 must come out exactly 0.3 (decimal microunits), not
     0.30000000000000004 (float accumulation)."""
