@@ -16,6 +16,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
+import sys
 import time
 
 from cassandra_join_library_spark import get_spark
@@ -59,6 +61,9 @@ HEADLINE = [
     "cdc_merge_upsert",      # broadcast-delta MERGE onto a snapshot
     "corpus_bpe_merges",     # BPE tokenizer training (vocab merge loop)
     "corpus_bpe_encode",     # trained-tokenizer token counting (broadcast join)
+    # round-7 additions
+    "graph_triangle_count",  # degree-ordered triangle counting
+    "dedup_prefix_key",      # prefix-fingerprint dedup (cascade rung 1)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)
@@ -113,13 +118,38 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += timings[name]
 
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # Drift cohort: queries whose in-suite timings climbed round over
+    # round on untouched code (join_composite 1.39→2.27 s across
+    # r04→r06) while a fresh-JVM isolated run stays ~1.6-1.8 s — the
+    # residual single-JVM aging (heap/code-cache/listener growth) that
+    # the inter-query full-GC doesn't reset.  Publish a fresh-JVM
+    # best-of-2 per cohort query ALONGSIDE the suite number so the
+    # honest per-query cost is on record and the aging component is
+    # visible as (suite - isolated).
+    if not only:
+        isolated = {}
+        for name in ("join_composite", "bloom_prefilter_join"):
+            try:
+                child = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "SPARK_GRAFT_ONLY": name},
+                    capture_output=True, text=True, timeout=600,
+                )
+                line = child.stdout.strip().splitlines()[-1]
+                isolated[name] = json.loads(line)["queries"][name]
+            except Exception:
+                isolated[name] = None  # bench must still print its line
+        out["isolated_fresh_jvm"] = isolated
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

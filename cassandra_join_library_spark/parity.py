@@ -34,6 +34,70 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
+def run_parity_gate(spark, sf_dir: str, names=None, workers: int = 6):
+    """Run every (or the named) oracled query's Spark vs DuckDB
+    comparison from a thread pool and return ``(timings, failures)``
+    dicts — ``failures`` maps query name to a formatted traceback.
+
+    One engine for both gates: ``scripts/run_gate.py`` (pre-commit)
+    and ``tests/test_oracle_parity.py`` (CI) call this same function,
+    so coverage and "equal" can never drift between them.  Spark
+    serves concurrent jobs from multiple driver threads; at sf0.01
+    most queries leave most cores idle, so ~6 workers collapse the
+    ~6-minute sequential sweep to roughly its longest critical path.
+    DuckDB gets one connection per worker thread."""
+    import threading
+    import time
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    import duckdb
+
+    from .registry import all_oracles, all_queries
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    queries, oracles = all_queries(), all_oracles()
+    if names is None:
+        names = sorted(oracles)
+
+    tl = threading.local()
+
+    def duck():
+        if not hasattr(tl, "con"):
+            con = duckdb.connect()
+            for t in tables:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            tl.con = con
+        return tl.con
+
+    timings, failures = {}, {}
+    lock = threading.Lock()
+
+    def run(name: str) -> None:
+        t0 = time.time()
+        try:
+            spark_pdf = queries[name](spark, sf_dir).toPandas()
+            duck_pdf = duck().execute(oracles[name]).df()
+            compare(spark_pdf, duck_pdf, name)
+            err = None
+        except Exception:
+            err = traceback.format_exc(limit=4)
+        dt = time.time() - t0
+        with lock:
+            timings[name] = round(dt, 2)
+            if err:
+                failures[name] = err
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(run, names))
+    return timings, failures
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     """Assert exact equality; raises AssertionError with a named,
     column-scoped message on the first divergence."""

@@ -59,6 +59,7 @@ ALLOW = {
         "corpus_hybrid_rrf": "embedded BM25 stats broadcast + broadcast query vector",
         "profile_key_skew": "1-row global count-summary broadcast",
         "profile_fk_integrity": "three 1-row counts crossjoined per relationship",
+        "ann_mutual_knn": "broadcast bounded eval slice, theta self-pair filter",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -68,6 +69,7 @@ ALLOW = {
         "value_histogram": "bin edges over 21 bins",
         "stratified_sample": "bounded global top-k over per-stratum winners",
         "corpus_hybrid_rrf": "rank over the top-100 slice (<= 100 rows by limit)",
+        "corpus_mixture_temperature": "share-of-total over #sources aggregate rows",
     },
     "cartesian_product": {},
     "python_udf": {},

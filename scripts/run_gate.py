@@ -9,8 +9,9 @@ critical path.  DuckDB gets one connection per worker thread.
 
 Prints a JSON summary (total wall, per-query seconds, slowest 10) and
 exits non-zero on any mismatch.  This is the pre-commit gate; the
-pytest twin (tests/test_oracle_parity.py) stays the canonical
-single-threaded form the judge re-runs.
+pytest twin (tests/test_oracle_parity.py) calls the SAME
+``parity.run_parity_gate`` engine, so the two can never drift in
+coverage or comparison semantics.
 
 Usage:
     python scripts/run_gate.py [--workers 6] [--sf /root/testdata/sf0.01]
@@ -22,17 +23,9 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import threading
 import time
-import traceback
-from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, ".")
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
 def main() -> int:
@@ -43,52 +36,19 @@ def main() -> int:
                     help="comma-separated query names (default: all oracled)")
     args = ap.parse_args()
 
-    import duckdb
-
     from cassandra_join_library_spark import get_spark
-    from cassandra_join_library_spark.parity import compare
-    from cassandra_join_library_spark.registry import all_oracles, all_queries
+    from cassandra_join_library_spark.parity import run_parity_gate
+    from cassandra_join_library_spark.registry import all_oracles
 
     spark = get_spark(app_name="gate", shuffle_partitions=8)
-    queries, oracles = all_queries(), all_oracles()
+    oracles = all_oracles()
     names = sorted(oracles)
     if args.only:
         names = [n for n in args.only.split(",") if n in oracles]
 
-    tl = threading.local()
-
-    def duck() -> "duckdb.DuckDBPyConnection":
-        if not hasattr(tl, "con"):
-            con = duckdb.connect()
-            for t in TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-                )
-            tl.con = con
-        return tl.con
-
-    timings: "dict[str, float]" = {}
-    failures: "dict[str, str]" = {}
-    lock = threading.Lock()
-
-    def run(name: str) -> None:
-        t0 = time.time()
-        try:
-            spark_pdf = queries[name](spark, args.sf).toPandas()
-            duck_pdf = duck().execute(oracles[name]).df()
-            compare(spark_pdf, duck_pdf, name)
-            err = None
-        except Exception:
-            err = traceback.format_exc(limit=4)
-        dt = time.time() - t0
-        with lock:
-            timings[name] = round(dt, 2)
-            if err:
-                failures[name] = err
-
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=args.workers) as pool:
-        list(pool.map(run, names))
+    timings, failures = run_parity_gate(
+        spark, args.sf, names=names, workers=args.workers)
     wall = round(time.time() - t0, 1)
 
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]

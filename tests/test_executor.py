@@ -348,3 +348,28 @@ def test_registry_integrity():
     assert last_oracled < first_unoracled, (
         "a rows-only query is registered ahead of an oracled one"
     )
+
+    # every rows-only query must be adjudicated: either it names the
+    # oracled query that supersedes it, or it documents why no oracle
+    # can exist (r06 verdict ask #5)
+    rows_only = {n for n in qs if n not in ors}
+    unadjudicated = sorted(rows_only - set(registry.ROWS_ONLY))
+    assert not unadjudicated, (
+        f"rows-only queries without a ROWS_ONLY adjudication entry: "
+        f"{unadjudicated}"
+    )
+    stale = sorted(set(registry.ROWS_ONLY) - rows_only)
+    assert not stale, (
+        f"ROWS_ONLY entries for queries that are no longer rows-only: {stale}"
+    )
+    for n, meta in registry.ROWS_ONLY.items():
+        twin = meta.get("superseded_by")
+        if twin is not None:
+            assert twin in ors, (
+                f"ROWS_ONLY[{n!r}] names superseding query {twin!r} "
+                "which has no oracle"
+            )
+        else:
+            assert meta.get("reason"), (
+                f"ROWS_ONLY[{n!r}] has neither superseded_by nor reason"
+            )

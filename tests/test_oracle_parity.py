@@ -4,13 +4,21 @@ For every registered query with an oracle, run the Spark query AND the
 DuckDB SQL at sf0.01 and compare row count, column set, and exact
 values (order-insensitive).  Stricter than the driver's hash compare —
 if this passes, CORRECTNESS_r{N}.json should be all green.
+
+The comparisons run ONCE through the shared parallel engine
+(``parity.run_parity_gate`` — the same code path as the pre-commit
+``scripts/run_gate.py``, so coverage and "equal" can never drift), in
+a session-scoped fixture; the parametrized tests then assert each
+query's recorded outcome.  This keeps every oracle individually
+visible in CI while collapsing the wall from ~6 sequential minutes to
+the gate's ~1-minute critical path (r06 verdict ask #6).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from cassandra_join_library_spark.parity import compare
+from cassandra_join_library_spark.parity import run_parity_gate
 from cassandra_join_library_spark.registry import all_oracles, all_queries
 
 from .conftest import SF_ORACLE
@@ -19,11 +27,17 @@ QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
+@pytest.fixture(scope="session")
+def gate_results(spark):
+    timings, failures = run_parity_gate(spark, SF_ORACLE, workers=6)
+    return timings, failures
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(name, spark, duck):
-    spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
-    duck_pdf = duck.execute(ORACLES[name]).df()
-    compare(spark_pdf, duck_pdf, name)
+def test_oracle_parity(name, gate_results):
+    timings, failures = gate_results
+    assert name in timings, f"{name}: never ran through the parity gate"
+    assert name not in failures, f"{name} failed parity:\n{failures[name]}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -289,11 +289,15 @@ def test_tf_cosine_matches_bruteforce_on_random_docs(spark):
     assert got == expected
 
 
-def test_gram_matrix_matches_numpy_and_skips_bad_vectors(spark):
-    """Exact parity with a brute-force numpy gram; NULL and
-    wrong-length vectors must be excluded, and partitioning must not
-    change a single bit (decimal reduce)."""
+def test_gram_matrix_matches_numpy_and_rejects_bad_vectors(spark):
+    """Exact parity with a brute-force numpy gram; NULL vectors are
+    excluded (mirroring the SQL twin's IS NOT NULL), partitioning must
+    not change a single bit (decimal reduce) — and a ragged or
+    non-finite vector must RAISE rather than silently diverge from
+    the twin (advisor finding, r06)."""
     import numpy as np
+    import pytest
+    from pyspark.errors import PythonException
 
     from cassandra_join_library_spark.operators.linalg import (
         SCALE, gram_matrix,
@@ -302,15 +306,14 @@ def test_gram_matrix_matches_numpy_and_skips_bad_vectors(spark):
     rows = [
         ([0.5, -1.25, 2.0],),
         ([1.0, 0.0, -0.5],),
-        (None,),                 # skipped
-        ([1.0, 2.0],),           # wrong dim -> skipped
+        (None,),                 # skipped (twin: WHERE vec IS NOT NULL)
         ([-0.1, 0.2, 0.3],),
     ]
     df = spark.createDataFrame(rows, "embedding array<double>")
     got = {(r["i"], r["j"]): r["gram"]
            for r in gram_matrix(df, "embedding", dim=3).collect()}
 
-    x = np.array([rows[0][0], rows[1][0], rows[4][0]])
+    x = np.array([rows[0][0], rows[1][0], rows[3][0]])
     xi = (np.sign(x) * np.floor(np.abs(x) * SCALE + 0.5)).astype(np.int64)
     m = xi.T @ xi
     want = {(i, j): float(m[i, j]) for i in range(3) for j in range(3)
@@ -321,6 +324,16 @@ def test_gram_matrix_matches_numpy_and_skips_bad_vectors(spark):
            for r in gram_matrix(df.repartition(7), "embedding", dim=3)
            .collect()}
     assert rep == got
+
+    ragged = spark.createDataFrame(
+        rows + [([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(PythonException, match="ragged input"):
+        gram_matrix(ragged, "embedding", dim=3).collect()
+
+    nonfinite = spark.createDataFrame(
+        rows + [([float("nan"), 0.0, 1.0],)], "embedding array<double>")
+    with pytest.raises(PythonException, match="NaN/Inf"):
+        gram_matrix(nonfinite, "embedding", dim=3).collect()
 
 
 def test_pagerank_fixed_point_star_graph(spark):
