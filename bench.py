@@ -61,8 +61,10 @@ HEADLINE = [
     "cdc_merge_upsert",      # broadcast-delta MERGE onto a snapshot
     "corpus_bpe_merges",     # BPE tokenizer training (vocab merge loop)
     "corpus_bpe_encode",     # trained-tokenizer token counting (broadcast join)
-    # round-7 additions
-    "graph_triangle_count",  # degree-ordered triangle counting
+    # round-7 additions (graph_triangle_count is measured separately in
+    # SCALE.md — at 11+ s on the dense sf0.1 co-purchase graph it would
+    # dominate the suite and break round-over-round comparability)
+    "asof_nearest_event",    # bidirectional nearest as-of match
     "dedup_prefix_key",      # prefix-fingerprint dedup (cascade rung 1)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join

@@ -237,6 +237,7 @@ def _load_all() -> None:
         curation,
         wave3,
         wave4,
+        wave5,
     )
     _reorder()
     _loaded = True

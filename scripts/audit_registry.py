@@ -70,6 +70,9 @@ ALLOW = {
         "stratified_sample": "bounded global top-k over per-stratum winners",
         "corpus_hybrid_rrf": "rank over the top-100 slice (<= 100 rows by limit)",
         "corpus_mixture_temperature": "share-of-total over #sources aggregate rows",
+        "events_rfm_scores": "ntile over the per-user AGGREGATE (already "
+                             "reduced); two-pass percentile-threshold join "
+                             "is the documented 100 TB swap",
     },
     "cartesian_product": {},
     "python_udf": {},

@@ -78,9 +78,13 @@ def test_merge_batchwise_equals_global(spark, merge_upsert):
             snap = _target(spark)
             for p in parts:
                 if p:
+                    # checkpoint between batches: the merge plan embeds
+                    # the snapshot TWICE (anti + inner), so chaining
+                    # without materialization re-executes a 2^depth
+                    # plan tree per action (this one test cost 41 s)
                     snap = merge_upsert(
                         snap, spark.createDataFrame(p, schema),
-                        ["k"], ["seq"])
+                        ["k"], ["seq"]).localCheckpoint(eager=True)
             assert _rows(snap) == want, (split, order)
 
 
