@@ -376,3 +376,42 @@ def test_first_touch_single_user_partitioned_window(spark):
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_embedding_standardize_broadcasts_stats(spark):
+    """The per-dimension (64-row) stats side must broadcast back onto
+    the exploded coordinates — the corpus never shuffles on a data
+    key for normalization."""
+    plan = _plan(QUERIES["embedding_standardize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mm_patch_and_frame_plans_are_map_only(spark):
+    """Patch/frame planning is header parsing + integer math: no
+    exchange anywhere except the (joined) n_samples lookup for audio,
+    which must stay a broadcast."""
+    patch = _plan(QUERIES["mm_image_patch_plan"](spark, SF_SMOKE))
+    assert "Exchange" not in patch, patch
+    audio = _plan(QUERIES["mm_audio_frame_plan"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in audio
+    assert "SortMergeJoin" not in audio  # doc_id self-join broadcasts
+
+
+def test_triangle_count_all_joins_are_equi(spark):
+    """Degree orientation keeps every triangle join an equi-join —
+    no BNLJ/cartesian anywhere in the wedge/closing plan."""
+    plan = _plan(QUERIES["graph_triangle_count"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_dedup_window_is_keyed(spark):
+    """The keep-longest window must partition by the fingerprint —
+    never a single-task global sort."""
+    plan = _plan(QUERIES["dedup_prefix_key"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    from cassandra_join_library_spark import audit_plan
+
+    findings = audit_plan(QUERIES["dedup_prefix_key"](spark, SF_SMOKE))
+    assert not findings["unpartitioned_window"]
