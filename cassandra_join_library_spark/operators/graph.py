@@ -92,6 +92,18 @@ def pagerank_fixed_point(
     return r
 
 
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected node degrees for an (u, v) edge list with u < v —
+    one definition shared by triangle orientation and the published
+    degree histogram, so 'degree' can never silently mean two things.
+    Returns (n, deg)."""
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph,
     top-``top`` nodes by participation (ties broken on node id).
@@ -108,11 +120,7 @@ def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
     a power-law 100 TB graph.  Three equi-joins, no cartesian; the
     count is orientation-invariant, so the id-ordered SQL twin matches
     exactly.  Reference has no graph surface (SURVEY.md §2.6)."""
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionByName(edges.select(F.col("v").alias("n")))
-        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = degrees(edges)
     e = (
         edges.join(deg.withColumnRenamed("n", "u")
                    .withColumnRenamed("deg", "du"), "u")

@@ -14,6 +14,14 @@ import math
 
 import pandas as pd
 
+#: the driver's pre-registered table universe — single definition,
+#: imported by tests/conftest.py and used by run_parity_gate, so the
+#: two harnesses can never see different schemas
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Canonical form for comparison: columns sorted by name, dtypes
@@ -55,10 +63,7 @@ def run_parity_gate(spark, sf_dir: str, names=None, workers: int = 6):
 
     from .registry import all_oracles, all_queries
 
-    tables = [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]
+    tables = TABLES
     queries, oracles = all_queries(), all_oracles()
     if names is None:
         names = sorted(oracles)

@@ -101,12 +101,9 @@ def graph_degree_distribution(spark, sf_dir):
     map-side-combinable; the power-law shape read off this histogram
     is what decides whether the triangle/PageRank passes need hub
     mitigation."""
-    e = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
-        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    )
+    from ..operators.graph import degrees
+
+    deg = degrees(_copurchase_edges(spark, sf_dir))
     return (
         deg.groupBy(
             F.length(F.col("deg").cast("string")).cast("bigint")

@@ -254,7 +254,8 @@ WITH rfm AS (
 SELECT user_id, last_epoch, frequency, monetary,
        CAST(ntile(5) OVER (ORDER BY last_epoch, user_id) AS BIGINT) AS r_q,
        CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
-       CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_q
+       CAST(ntile(5) OVER (ORDER BY monetary NULLS LAST, user_id)
+            AS BIGINT) AS m_q
 FROM rfm
 """)
 def events_rfm_scores(spark, sf_dir):
@@ -283,6 +284,11 @@ def events_rfm_scores(spark, sf_dir):
         .cast("bigint").alias("r_q"),
         F.ntile(5).over(Window.orderBy("frequency", "user_id"))
         .cast("bigint").alias("f_q"),
-        F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+        # NULLS LAST pinned on BOTH sides: a user whose every event has
+        # a NULL value yields monetary = NULL, which Spark sorts first
+        # ascending but DuckDB sorts last — unpinned, one such user
+        # would shift every quintile boundary (review finding, r07)
+        F.ntile(5).over(
+            Window.orderBy(F.asc_nulls_last("monetary"), "user_id"))
         .cast("bigint").alias("m_q"),
     )

@@ -227,8 +227,27 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str,
     # rename — the loser just discards its build.
     import hashlib
 
+    def _source_sig(path: str) -> str:
+        """mtime+size signature of the events source (file or
+        directory-of-parts) — regenerated data at the SAME path must
+        produce a different staging key, or stale staged events would
+        silently shadow the fresh table (review finding, r07)."""
+        if os.path.isdir(path):
+            entries = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet"))
+            parts = [
+                (f, os.stat(os.path.join(path, f)).st_mtime_ns,
+                 os.stat(os.path.join(path, f)).st_size)
+                for f in entries
+            ]
+            return repr(parts)
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+
+    src = f"{sf_dir}/events.parquet"
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{sentinel_lead_seconds}".encode()
+        f"{os.path.abspath(sf_dir)}|{sentinel_lead_seconds}|{_source_sig(src)}"
+        .encode()
     ).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), f"evflush_{key}")
     if not (os.path.isfile(f"{stream_dir}/00.parquet")

@@ -4,13 +4,10 @@ import duckdb
 import pytest
 
 from cassandra_join_library_spark import get_spark
+from cassandra_join_library_spark.parity import TABLES
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="session")
