@@ -238,6 +238,7 @@ def _load_all() -> None:
         wave3,
         wave4,
         wave5,
+        wave6,
     )
     _reorder()
     _loaded = True
