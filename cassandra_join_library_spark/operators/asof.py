@@ -148,3 +148,56 @@ def asof_join(
         F.col(f"_m.{c}").alias(f"matched_{c}") for c in right_payload
     )
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_id: str = "event_id",
+    tolerance_seconds: "int | None" = None,
+) -> DataFrame:
+    """The third pandas ``merge_asof`` direction: match each left row
+    to the CLOSEST right row in either direction (optionally within
+    ``tolerance_seconds``).  Composed from one backward and one
+    forward :func:`asof_join` pass — still two one-window passes over
+    the union, zero extra joins against the fact table.  Equal
+    distance prefers the backward match (pandas' documented tie rule —
+    cross-checked against ``merge_asof(direction='nearest')`` on
+    random frames in ``tests/test_timeseries.py``).
+
+    Output: all left columns + ``matched_<right_id>`` +
+    ``matched_dt_us`` (signed: negative = right row before left)."""
+    # duplicate the right ts under a private name so the matched
+    # timestamp survives as a payload column (the ts column itself is
+    # the as-of sort key and collides with the dedup groupBy)
+    r = right.withColumn("_nts", F.col(right_ts))
+    kw = dict(left_ts=left_ts, right_ts=right_ts, right_id=right_id,
+              tolerance_seconds=tolerance_seconds, right_payload=["_nts"])
+    # CHAIN the passes instead of joining their outputs: asof_join
+    # carries every left column through its window, so the backward
+    # result (with its match renamed out of the way) IS the forward
+    # pass's left side — no row-identity column, no join, and no
+    # reliance on monotonically_increasing_id being stable across
+    # plan branches (it is not)
+    back = asof_join(left, r, key, direction="backward", **kw) \
+        .withColumnRenamed(f"matched_{right_id}", "_b_id") \
+        .withColumnRenamed("matched__nts", "_b_ts")
+    both = asof_join(back, r, key, direction="forward", **kw) \
+        .withColumnRenamed(f"matched_{right_id}", "_f_id") \
+        .withColumnRenamed("matched__nts", "_f_ts")
+    b_dt = F.unix_micros(F.col(left_ts)) - F.unix_micros("_b_ts")
+    f_dt = F.unix_micros("_f_ts") - F.unix_micros(F.col(left_ts))
+    pick_b = F.col("_b_id").isNotNull() & (
+        F.col("_f_id").isNull() | (b_dt <= f_dt))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.when(pick_b, F.col("_b_id")).otherwise(F.col("_f_id"))
+        .alias(f"matched_{right_id}"))
+    out_cols.append(
+        F.when(pick_b, -b_dt)
+        .otherwise(F.when(F.col("_f_id").isNotNull(), f_dt))
+        .alias("matched_dt_us"))
+    return both.select(*out_cols)

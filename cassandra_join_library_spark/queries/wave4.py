@@ -401,39 +401,19 @@ def asof_nearest_event(spark, sf_dir):
     forward one-window passes — still zero extra joins against the
     fact table).  Equal distance prefers the backward match;
     ``matched_dt_us`` is signed (negative = purchase before click)."""
-    from ..operators.asof import asof_join
+    from ..operators.asof import asof_join_nearest
     from ..sources.catalog import load_events
 
     ev = load_events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts")
-    # pts duplicates the right ts so the matched timestamp survives as
-    # a payload column (the ts name itself is the as-of sort key)
-    purchases = ev.filter(F.col("event_type") == "purchase") \
-        .withColumn("pts", F.col("ts"))
-    back = asof_join(clicks, purchases, "user_id", direction="backward",
-                     tolerance_seconds=1800, right_payload=["pts"]).select(
-        "event_id", "user_id", "ts",
-        F.col("matched_event_id").alias("b_id"),
-        F.col("matched_pts").alias("b_ts"))
-    fwd = asof_join(clicks, purchases, "user_id", direction="forward",
-                    tolerance_seconds=1800, right_payload=["pts"]).select(
-        F.col("event_id").alias("event_id_f"),
-        F.col("matched_event_id").alias("f_id"),
-        F.col("matched_pts").alias("f_ts"))
-    both = back.join(fwd, back.event_id == fwd.event_id_f)
-    b_dt = F.unix_micros("ts") - F.unix_micros("b_ts")
-    f_dt = F.unix_micros("f_ts") - F.unix_micros("ts")
-    pick_b = F.col("b_id").isNotNull() & (
-        F.col("f_id").isNull() | (b_dt <= f_dt))
-    return both.select(
-        "event_id", "user_id",
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join_nearest(clicks, purchases, "user_id",
+                            right_id="event_id", tolerance_seconds=1800)
+    return out.select(
+        F.col("event_id"), "user_id",
         F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
-        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
-        .alias("matched_event_id"),
-        F.when(pick_b, -b_dt)
-        .otherwise(F.when(F.col("f_id").isNotNull(), f_dt))
-        .alias("matched_dt_us"),
+        F.col("matched_event_id"), F.col("matched_dt_us"),
     )
 
 

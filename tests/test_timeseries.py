@@ -148,3 +148,52 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                     for r in want_df.itertuples()
                 }
                 assert got == want, (trial, direction, tol, lpdf, rpdf)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Randomized cross-check of asof_join_nearest against pandas
+    merge_asof(direction='nearest') — independent reference for the
+    either-direction match, the tolerance bound, AND the tie rule
+    (equal distance prefers the backward row)."""
+    import numpy as np
+    import pandas as pd
+
+    from cassandra_join_library_spark.operators.asof import asof_join_nearest
+
+    rng = np.random.RandomState(21)
+    for trial in range(6):
+        nl, nr = rng.randint(1, 12), rng.randint(1, 12)
+        lpdf = pd.DataFrame({
+            "lid": np.arange(nl),
+            "user_id": rng.randint(0, 3, nl).astype("int64"),
+            "ts": pd.to_datetime(rng.randint(0, 2000, nl), unit="s"),
+        })
+        rpdf = pd.DataFrame({
+            "event_id": np.arange(100, 100 + nr),
+            "user_id": rng.randint(0, 3, nr).astype("int64"),
+            "ts": pd.to_datetime(rng.randint(0, 2000, nr), unit="s"),
+        })
+        rded = (rpdf.sort_values("event_id")
+                .groupby(["user_id", "ts"], as_index=False).last())
+
+        ldf = spark.createDataFrame(lpdf)
+        rdf = spark.createDataFrame(rpdf)
+
+        for tol in (None, 300):
+            got = {r["lid"]: r["matched_event_id"]
+                   for r in asof_join_nearest(
+                       ldf, rdf, "user_id",
+                       tolerance_seconds=tol).collect()}
+            want_df = pd.merge_asof(
+                lpdf.sort_values("ts"),
+                rded.sort_values("ts"),
+                on="ts", by="user_id", direction="nearest",
+                tolerance=(pd.Timedelta(seconds=tol)
+                           if tol is not None else None),
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.event_id)
+                             else int(r.event_id))
+                for r in want_df.itertuples()
+            }
+            assert got == want, (trial, tol, lpdf, rpdf)
