@@ -133,12 +133,16 @@ def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
     # sides + the closing-edge probe); without a persist the whole
     # edge-building lineage (fact-table self-join + distinct + two
     # degree joins) executes three times — measured 16.3 -> ~7 s at
-    # sf0.1 on the co-purchase graph
+    # sf0.1 on the co-purchase graph.  Partitioned on src BEFORE the
+    # persist: both wedge sides then join cache-co-partitioned with no
+    # further exchange, and the cached blocks stay shuffle-partition
+    # sized instead of scan-partition sized (large cached partitions
+    # were the humongous-allocation pressure at sf10).
     oriented = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    ).persist()
+    ).repartition(F.col("src")).persist()
     o1 = oriented.select("src", F.col("dst").alias("a"),
                          F.col("ddeg").alias("da"))
     o2 = oriented.select("src", F.col("dst").alias("b"),
