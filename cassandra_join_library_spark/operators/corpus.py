@@ -978,3 +978,46 @@ def vocabulary_oov(
             6,
         ).alias("oov_rate"),
     )
+
+
+def topv_coverage(df: DataFrame, group_col: str, text_col: str,
+                  v: int = 500) -> DataFrame:
+    """Tokenizer-budget coverage audit: build the top-``v`` vocabulary
+    by corpus frequency (ties broken on the term, so the cut is
+    deterministic), then report per ``group_col`` how many token
+    occurrences the budget covers — the number that tells you whether
+    a vocab size starves one source/language (contrast
+    ``vocabulary_oov``, which bands by document frequency instead of
+    truncating by budget).
+
+    Scale: term-keyed count with map-side combine; the top-v is a
+    TakeOrdered (never a full sort); coverage is one broadcast join of
+    the corpus-sized token stream against the constant-size vocab +
+    one group-keyed aggregate.  The rate is a single integer division
+    so doubles agree across engines."""
+    tok = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(v)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
+            .alias("covered_tokens"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+            (F.col("covered_tokens").cast("double")
+             / F.col("total_tokens")).alias("coverage_rate"),
+        )
+    )

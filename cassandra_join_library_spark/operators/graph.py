@@ -171,6 +171,102 @@ def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
     )
 
 
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop histogram: minimum hop distance from any
+    seed, bounded at ``max_hops`` frontier expansions, reported as
+    (hop, n_nodes) with unreached nodes at hop = -1.
+
+    ``nodes``: (nt string, id long); ``edges``: (src_t, src, dst_t,
+    dst) directed — emit both directions for an undirected graph;
+    ``seeds``: (nt, id) subset of nodes.
+
+    Scale shape: the label-propagation sibling of
+    :func:`pagerank_fixed_point` — each round is one edge⋈dist join +
+    one dest-keyed MIN aggregate, so per-round cost is O(|E| touched|);
+    the dist state is node-sized and re-materialized per round
+    (``localCheckpoint``) to keep lineage flat.  All-integer hops, so
+    a fixed round count macro-unrolls into a DuckDB CTE chain that
+    reproduces every distance exactly.  At 100 TB the edge list is the
+    only corpus-sized operand and it is persisted once, reused every
+    round."""
+    e = edges.persist()
+    e.count()  # materialize before the loop
+    dist = seeds.select("nt", "id", F.lit(0).cast("int").alias("hop"))
+    for _ in range(max_hops):
+        reached = (
+            e.join(
+                dist.select(F.col("nt").alias("src_t"),
+                            F.col("id").alias("src"), "hop"),
+                ["src_t", "src"],
+            )
+            .select(F.col("dst_t").alias("nt"), F.col("dst").alias("id"),
+                    (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("nt", "id")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    labeled = nodes.join(dist, ["nt", "id"], "left").select(
+        F.coalesce(F.col("hop"), F.lit(-1)).alias("hop"))
+    return (
+        labeled.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("hop").cast("bigint").alias("hop"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"))
+        .orderBy("hop")
+    )
+
+
+def bfs_sql(seed_pred: str, max_hops: int = 3) -> str:
+    """Unrolled DuckDB twin of :func:`bfs_hops` over the co-purchase
+    graph (same node/edge CTEs as :func:`pagerank_sql`);
+    ``seed_pred`` filters the customer side, e.g. ``c_custkey % 50 =
+    0``."""
+    parts = [
+        """nodes AS MATERIALIZED (
+  SELECT 'c' AS nt, c_custkey AS id FROM customer
+  UNION ALL SELECT 's', s_suppkey FROM supplier
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT 'c' AS src_t, c AS src, 's' AS dst_t, s AS dst FROM pairs
+  UNION ALL SELECT 's', s, 'c', c FROM pairs
+)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT 'c' AS nt, c_custkey AS id, 0 AS hop
+  FROM customer WHERE {seed_pred}
+)""",
+    ]
+    for t in range(max_hops):
+        parts.append(f"""d{t + 1} AS MATERIALIZED (
+  SELECT nt, id, MIN(hop) AS hop FROM (
+    SELECT nt, id, hop FROM d{t}
+    UNION ALL
+    SELECT e.dst_t, e.dst, d.hop + 1
+    FROM edges e JOIN d{t} d ON d.nt = e.src_t AND d.id = e.src
+  ) GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(coalesce(d.hop, -1) AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes n LEFT JOIN d{max_hops} d ON d.nt = n.nt AND d.id = n.id
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def pagerank_sql(n_iter: int = 4, damping_pct: int = 85) -> str:
     """Unrolled DuckDB twin over the co-purchase graph (customers ↔
     suppliers linked through order lineitems, both directions)."""

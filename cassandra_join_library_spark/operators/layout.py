@@ -98,3 +98,35 @@ def zorder_layout(
     else:
         parted = with_z.repartitionByRange(zcol)
     return parted.sortWithinPartitions(zcol).drop(zcol)
+
+
+def zonemap_report(df: DataFrame, key_col: str, val_col: str,
+                   bucket_size: int = 64,
+                   lo: int = 450, hi: int = 700) -> DataFrame:
+    """Zone-map / data-skipping report: per key-range bucket (the
+    stand-in for a parquet row-group or file), the min/max of
+    ``val_col`` plus whether a ``val BETWEEN lo AND hi`` scan could
+    PRUNE the whole bucket without reading it — the footer-statistics
+    arithmetic every columnar reader runs, surfaced as a layout
+    diagnostic (a table sorted on ``val_col`` prunes almost
+    everything; a random layout prunes nothing, which is the signal to
+    re-cluster / z-order).
+
+    Scale: one hash aggregate keyed on the bucket id — bucket-count
+    output, map-side combined, no shuffle beyond it."""
+    b = F.expr(f"{key_col} div {bucket_size}")
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(val_col).alias("mn"),
+            F.max(val_col).alias("mx"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("mn").cast("bigint").alias("min_val"),
+            F.col("mx").cast("bigint").alias("max_val"),
+            ((F.col("mx") < lo) | (F.col("mn") > hi)).alias("prunable"),
+        )
+    )

@@ -314,6 +314,102 @@ def parse_wav_metadata(df: DataFrame, id_col: str,
     )
 
 
+def synthesize_wav_pcm(df: DataFrame, id_col: str,
+                       n_samples: int = 64) -> DataFrame:
+    """Spec-conformant mono 16-bit PCM WAV with an actual data chunk:
+    ``n_samples`` deterministic signed samples
+    ``((id*31 + i*17) % 65536) - 32768`` packed little-endian after
+    the 44-byte header (:func:`synthesize_wav` stops at the header).
+    Returns (id, payload) — the fixture for byte-level audio DSP."""
+    rate, ch = 16000, 1
+    data_size = n_samples * 2
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    # unsigned 16-bit two's-complement image of the signed sample:
+    # (v - 32768) as int16 stores as ((v - 32768) + 65536) % 65536
+    sample_u16 = (
+        f"(({id_col} * 31 + i * 17) % 65536 + 32768) % 65536"
+    )
+    pcm_hex = F.array_join(
+        F.expr(
+            "transform(sequence(0, {n}), i -> concat("
+            "  lpad(hex(({v}) % 256), 2, '0'),"
+            "  lpad(hex(({v}) div 256), 2, '0')))".format(
+                n=n_samples - 1, v=sample_u16)
+        ),
+        "",
+    )
+    header_hex = F.concat(
+        F.lit("52494646"), le(F.lit(36 + data_size), 4),
+        F.lit("57415645"), F.lit("666d7420"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(F.lit(ch), 2), le(F.lit(rate), 4),
+        le(F.lit(rate * ch * 2), 4), le(F.lit(ch * 2), 2),
+        le(F.lit(16), 2), F.lit("64617461"), le(F.lit(data_size), 4),
+    )
+    return df.select(
+        F.col(id_col),
+        F.unhex(F.concat(header_hex, pcm_hex)).alias("payload"),
+    )
+
+
+def pcm_stats(df: DataFrame, id_col: str,
+              payload_col: str = "payload") -> DataFrame:
+    """Integer DSP over the WAV data chunk, straight from the bytes:
+    sample count (from the declared data size), sum of samples (DC
+    component ×n), sum of squares (energy), and peak |amplitude| —
+    all BIGINT, zero codec libraries.  Little-endian int16 decode via
+    offset arithmetic on the hex image; the aggregate is a per-row
+    higher-order ``aggregate`` over the sample positions, so the
+    operator is map-only and embarrassingly parallel at 100 TB.
+    Returns (id, n_samples, sum_samples, sum_squares, peak_abs)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    with_n = df.select(
+        F.col(id_col), hx.alias("h"),
+        (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
+    )
+    # signed sample i: u16 at hex offset 89 + 4i (data begins at byte
+    # 45, 1-based), sign-corrected by subtracting 65536 when >= 32768
+    s_i = (
+        "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
+        " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
+    )
+    signed = f"CAST({s_i} AS BIGINT) - (CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)"
+    agg = (
+        "aggregate(sequence(0, int(n_samples) - 1), "
+        " named_struct('s', 0L, 'sq', 0L, 'pk', 0L), "
+        " (acc, i) -> named_struct("
+        "   's', acc.s + ({v}), "
+        "   'sq', acc.sq + ({v}) * ({v}), "
+        "   'pk', greatest(acc.pk, abs({v}))))".format(v=signed)
+    )
+    return (
+        with_n.select(F.col(id_col), "n_samples", F.expr(agg).alias("st"))
+        .select(
+            F.col(id_col),
+            F.col("n_samples"),
+            F.col("st.s").cast("bigint").alias("sum_samples"),
+            F.col("st.sq").cast("bigint").alias("sum_squares"),
+            F.col("st.pk").cast("bigint").alias("peak_abs"),
+        )
+    )
+
+
 def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
     """Spec-conformant PNG signature + IHDR chunk as binary payloads —
     the BIG-endian counterpart of :func:`synthesize_bmp` (PNG stores

@@ -269,6 +269,73 @@ def k_anonymity(df: DataFrame, quasi_cols: "list[str]",
     )
 
 
+def l_diversity(df: DataFrame, quasi_cols: "list[str]",
+                sensitive_col: str, l: int = 3) -> DataFrame:
+    """L-diversity audit — the refinement of :func:`k_anonymity` that
+    catches homogeneity attacks: an equivalence class can be large
+    (k-anonymous) yet still leak if every member shares the same
+    SENSITIVE value.  Per quasi-identifier class: row count, distinct
+    sensitive values, the dominant value's share, and an ``at_risk``
+    flag (diversity < l).
+
+    Scale: two hash aggregations on the quasi-id(+sensitive) key, both
+    map-side combined; the per-class join is class-cardinality sized,
+    never row-sized.  The dominant share is a single integer division
+    so doubles agree across engines."""
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("vn"))
+    per_class = per_value.groupBy(*quasi_cols).agg(
+        F.sum("vn").alias("class_size"),
+        F.count(F.lit(1)).alias("l_diversity"),
+        F.max("vn").alias("dom"),
+    )
+    return per_class.select(
+        *quasi_cols,
+        F.col("class_size").cast("bigint").alias("class_size"),
+        F.col("l_diversity").cast("bigint").alias("l_diversity"),
+        (F.col("dom").cast("double") / F.col("class_size"))
+        .alias("dominant_share"),
+        (F.col("l_diversity") < l).alias("at_risk"),
+    )
+
+
+def snapshot_drift(a: DataFrame, b: DataFrame,
+                   len_col: str, cat_cols: "list[str]") -> DataFrame:
+    """Column-profile drift between two snapshots of the same table —
+    the schema/profile complement of the content-level
+    ``corpus_snapshot_diff``: row counts, distinct cardinality per
+    categorical column, and length-column sum/min/max, reported long
+    (metric, snap_a, snap_b, delta) so a monitor can alert on any
+    metric without schema changes.
+
+    Scale: each side collapses to ONE 1-row aggregate (map-side
+    combined approximations are deliberately NOT used — counts are
+    exact); the unpivot is metric-count sized.  All metrics are
+    integers, so parity is exact."""
+    def prof(df):
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(len_col).cast("bigint").alias("len_sum"),
+                F.min(len_col).cast("bigint").alias("len_min"),
+                F.max(len_col).cast("bigint").alias("len_max")]
+        aggs += [F.countDistinct(c).cast("bigint").alias(f"n_{c}")
+                 for c in cat_cols]
+        return df.agg(*aggs)
+
+    metrics = (["n_rows", "len_sum", "len_min", "len_max"]
+               + [f"n_{c}" for c in cat_cols])
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    pa = prof(a).select(F.expr(
+        f"stack({len(metrics)}, {stack}) AS (metric, snap_a)"))
+    pb = prof(b).select(F.expr(
+        f"stack({len(metrics)}, {stack}) AS (metric, snap_b)"))
+    return (
+        pa.join(pb, "metric")
+        .select("metric", "snap_a", "snap_b",
+                (F.col("snap_b") - F.col("snap_a")).alias("delta"))
+        .orderBy("metric")
+    )
+
+
 def key_skew_report(df: DataFrame, key_cols: "list[str]",
                     top: int = 10) -> DataFrame:
     """Join-planning skew diagnostic: the ``top`` heaviest key values

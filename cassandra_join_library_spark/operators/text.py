@@ -497,3 +497,115 @@ def c4_line_filter(
         F.array_join(kept, join_sep).alias("filtered_text"),
         (n_kept < min_kept_lines).alias("dropped"),
     )
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               window: int = 4, modulus: int = 16) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rolling-hash family used
+    by dedup storage and training-data pipelines): a chunk boundary
+    falls after position ``i`` whenever the polynomial hash of the
+    last ``window`` characters is 0 mod ``modulus`` — so boundaries
+    move WITH the content, and an insertion early in a document only
+    reshapes the chunks it touches instead of shifting every
+    fixed-stride chunk after it (the property that makes chunk-level
+    dedup robust to edits; contrast ``corpus_chunk_overlap``).
+
+    The hash is windowed, not cumulative, so every position is
+    computable independently: pure higher-order functions over the
+    char positions, map-only, no shuffle — at 100 TB chunk emission is
+    embarrassingly parallel.  All-integer arithmetic (31-powers of
+    ascii codes), so the DuckDB twin (:func:`cdc_chunks_sql`)
+    reproduces every boundary exactly.
+
+    Returns (id, chunk_idx, chunk_start [1-based], chunk_len,
+    chunk_text) for every document with at least one character."""
+    pows = [31 ** j for j in range(window)]
+    h = " + ".join(
+        f"{p} * ascii(substring({text_col}, i - {j}, 1))"
+        for j, p in enumerate(pows)
+    )
+    positions = (
+        f"CASE WHEN length({text_col}) >= {window} THEN "
+        f"  filter(sequence({window}, length({text_col})), "
+        f"         i -> ({h}) % {modulus} = 0) "
+        f"ELSE array() END"
+    )
+    bounds = (
+        f"CASE WHEN array_contains(_pos, length({text_col})) THEN _pos "
+        f"ELSE concat(_pos, array(length({text_col}))) END"
+    )
+    # per-bound chunk struct; Spark's indexed lambda k is 0-based and
+    # element_at is 1-based, so element_at(_bounds, k) IS the previous
+    # bound for k >= 1
+    chunks = (
+        "transform(_bounds, (b, k) -> named_struct("
+        " 'chunk_idx', CAST(k AS BIGINT),"
+        " 'chunk_start', CAST(CASE WHEN k = 0 THEN 1 "
+        "                     ELSE element_at(_bounds, k) + 1 END AS BIGINT),"
+        " 'b', CAST(b AS BIGINT)))"
+    )
+    return (
+        df.filter(F.length(text_col) >= 1)
+        .select(F.col(id_col), F.col(text_col),
+                F.expr(positions).alias("_pos"))
+        .select(F.col(id_col), F.col(text_col),
+                F.expr(bounds).alias("_bounds"))
+        .select(F.col(id_col), F.col(text_col),
+                F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            (F.col("c.b") - F.col("c.chunk_start") + 1)
+            .cast("bigint").alias("chunk_len"),
+            F.expr(
+                f"substring({text_col}, c.chunk_start, "
+                f"c.b - c.chunk_start + 1)").alias("chunk_text"),
+        )
+    )
+
+
+def cdc_chunks_sql(table: str, id_col: str, text_col: str,
+                   window: int = 4, modulus: int = 16) -> str:
+    """DuckDB twin of :func:`cdc_chunks` — identical windowed
+    polynomial hash; DuckDB's indexed list lambdas are 1-based where
+    Spark's are 0-based, so each side spells its own convention."""
+    pows = [31 ** j for j in range(window)]
+    h = " + ".join(
+        f"{p} * ascii(substr({text_col}, i - {j}, 1))"
+        for j, p in enumerate(pows)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {text_col},
+         CAST(length({text_col}) AS BIGINT) AS n
+  FROM {table} WHERE length({text_col}) >= 1
+), pos AS (
+  SELECT {id_col}, {text_col}, n,
+         CASE WHEN n >= {window} THEN
+           list_filter(generate_series({window}, n),
+                       i -> ({h}) % {modulus} = 0)
+         ELSE [] END AS p
+  FROM base
+), bnd AS (
+  SELECT {id_col}, {text_col}, n,
+         CASE WHEN list_contains(p, n) THEN p
+              ELSE list_append(p, n) END AS bounds
+  FROM pos
+), ch AS (
+  SELECT {id_col}, {text_col}, bounds,
+         unnest(list_transform(bounds, (b, k) -> {{
+           'chunk_idx': CAST(k - 1 AS BIGINT),
+           'chunk_start': CAST(CASE WHEN k = 1 THEN 1
+                               ELSE bounds[k - 1] + 1 END AS BIGINT),
+           'b': CAST(b AS BIGINT)}})) AS c
+  FROM bnd
+)
+SELECT {id_col},
+       c.chunk_idx AS chunk_idx,
+       c.chunk_start AS chunk_start,
+       c.b - c.chunk_start + 1 AS chunk_len,
+       substr({text_col}, CAST(c.chunk_start AS INT),
+              CAST(c.b - c.chunk_start + 1 AS INT)) AS chunk_text
+FROM ch
+"""

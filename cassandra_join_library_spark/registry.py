@@ -108,6 +108,11 @@ _loaded = False
 #     front-50 fall through to _BANKED_ROUND6 (already green, pure
 #     regression coverage).  After r07 every oracled query in the
 #     registry has a banked driver-green row.
+#   banked for round 8: the round-7 waves past the front-50 —
+#     queries/wave5.py, wave6.py, wave7.py (BFS, l-diversity, PCM
+#     stats, CDC chunking, vocab coverage, snapshot drift, zone maps)
+#     — all local-gate green at sf0.01; rotate them (plus any r07
+#     regressions) into the r08 front.
 _ROUND7_FRONT = [
     # the 25 pre-r06 never-graded relational tails
     "null_handling", "distinct_rows", "deterministic_sample",
@@ -239,6 +244,7 @@ def _load_all() -> None:
         wave4,
         wave5,
         wave6,
+        wave7,
     )
     _reorder()
     _loaded = True
