@@ -66,6 +66,8 @@ HEADLINE = [
     # dominate the suite and break round-over-round comparability)
     "asof_nearest_event",    # bidirectional nearest as-of match
     "dedup_prefix_key",      # prefix-fingerprint dedup (cascade rung 1)
+    "text_cdc_chunks",       # content-defined chunking (map-only, wave 7)
+    "events_ewma_exact",     # dyadic-weight exact EWMA window (wave 8)
     # scale-path operators
     "bloom_prefilter_join",  # constant-size bloom prune before join
     "layout_zorder",         # Morton interleave (pure codegen)

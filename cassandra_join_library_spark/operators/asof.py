@@ -201,3 +201,66 @@ def asof_join_nearest(
         .otherwise(F.when(F.col("_f_id").isNotNull(), f_dt))
         .alias("matched_dt_us"))
     return both.select(*out_cols)
+
+
+def asof_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_id: str = "event_id",
+    value_micro: str = "v_micro",
+    tolerance_seconds: "int | None" = None,
+) -> DataFrame:
+    """Linear-interpolation as-of (the 'lerp join' of time-series
+    stores): each left row gets the right-side value interpolated
+    between its backward and forward neighbors,
+
+        v(t) = v_b + (v_f - v_b) * (t - t_b) / (t_f - t_b),
+
+    falling back to the single available neighbor at the edges (and
+    to the exact value when a neighbor shares the timestamp).  Same
+    union-sort-carry plan as :func:`asof_join_nearest` — two
+    one-window passes, zero extra joins against the fact table.
+
+    ``value_micro`` must be an integer (micro-unit) column.  The
+    interpolation itself is three IEEE double ops over exactly-known
+    integers — deterministic and engine-portable, which is the repo's
+    parity bar for unavoidable doubles.
+
+    Output: all left columns + ``v_before`` / ``v_after`` (BIGINT,
+    NULL at edges) + ``v_interp`` (DOUBLE)."""
+    r = right.withColumn("_nts", F.col(right_ts))
+    kw = dict(left_ts=left_ts, right_ts=right_ts, right_id=right_id,
+              tolerance_seconds=tolerance_seconds,
+              right_payload=["_nts", value_micro])
+    back = asof_join(left, r, key, direction="backward", **kw) \
+        .withColumnRenamed(f"matched_{right_id}", "_b_id") \
+        .withColumnRenamed("matched__nts", "_b_ts") \
+        .withColumnRenamed(f"matched_{value_micro}", "_b_v")
+    both = asof_join(back, r, key, direction="forward", **kw) \
+        .withColumnRenamed(f"matched_{right_id}", "_f_id") \
+        .withColumnRenamed("matched__nts", "_f_ts") \
+        .withColumnRenamed(f"matched_{value_micro}", "_f_v")
+    t = F.unix_micros(F.col(left_ts))
+    tb, tf = F.unix_micros("_b_ts"), F.unix_micros("_f_ts")
+    vb, vf = F.col("_b_v").cast("bigint"), F.col("_f_v").cast("bigint")
+    # the slope multiply runs in DOUBLE: (vf-vb)*(t-tb) can exceed
+    # int64 (micro-units x micro-seconds), and IEEE mult/div/add over
+    # exactly-known integers is deterministic in both engines
+    lerp = (
+        vb.cast("double")
+        + (vf - vb).cast("double") * (t - tb).cast("double")
+        / (tf - tb).cast("double")
+    )
+    interp = (
+        F.when(vb.isNotNull() & vf.isNotNull() & (tf > tb), lerp)
+        .when(vb.isNotNull() & vf.isNotNull(), vb.cast("double"))
+        .when(vb.isNotNull(), vb.cast("double"))
+        .when(vf.isNotNull(), vf.cast("double"))
+    )
+    out = [F.col(c) for c in left.columns]
+    out += [vb.alias("v_before"), vf.alias("v_after"),
+            interp.alias("v_interp")]
+    return both.select(*out)

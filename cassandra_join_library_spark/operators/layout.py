@@ -130,3 +130,64 @@ def zonemap_report(df: DataFrame, key_col: str, val_col: str,
             ((F.col("mx") < lo) | (F.col("mn") > hi)).alias("prunable"),
         )
     )
+
+
+def rendezvous_shards(df: DataFrame, id_col: str,
+                      n_shards: int = 16) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard placement report: each
+    row goes to the shard with the highest deterministic per-(row,
+    shard) weight — and when a shard is ADDED, the only rows that move
+    are the ones the new shard now wins, exactly 1/(n+1) in
+    expectation (the property that makes rebalancing cheap where
+    modulo sharding reshuffles almost everything).
+
+    Weights are a public multiplicative hash (Knuth 2654435761) mod a
+    Mersenne prime — all-integer, so placement is bit-portable.  Per
+    shard: row count under ``n_shards``, how many of its rows the
+    (n+1)-th shard would steal, and the move rate (single division).
+
+    Scale: map-only argmax over a constant shard list + one
+    shard-count-sized aggregate — no shuffle beyond it."""
+    # the mix must be NONLINEAR in the shard id: any chain of
+    # multiply/add steps mod p is affine, so per-key weights across
+    # shards would form an arithmetic progression and the argmax (and
+    # every move under resharding) would be structured, not uniform.
+    # Squaring the scrambled value breaks the linearity; both factors
+    # stay below 2^31 so every product fits int64 for any id >= 0
+    def hrw(s):
+        t = f"((({id_col} * 31 + {s}) % 2147483647) * 2654435761) % 2147483647"
+        return f"(({t}) * ({t})) % 2147483647"
+
+    wexpr = (
+        f"transform(sequence(0, {n_shards - 1}), s -> "
+        f"named_struct('w', {hrw('s')}, 's', s))"
+    )
+    # argmax by (weight, -shard): ties prefer the LOWER shard id
+    pick = (
+        "aggregate(_ws, named_struct('w', -1L, 's', -1), (acc, x) -> "
+        "CASE WHEN x.w > acc.w THEN x ELSE acc END).s"
+    )
+    new_w = hrw(n_shards)
+    max_w = "aggregate(_ws, -1L, (acc, x) -> greatest(acc, x.w))"
+    assigned = (
+        df.select(F.col(id_col), F.expr(wexpr).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr(pick).cast("bigint").alias("shard"),
+            (F.expr(new_w) > F.expr(max_w)).alias("_moves"),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_moves"), 1).otherwise(0)).alias("n_moved"),
+        )
+        .select(
+            "shard",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_moved").cast("bigint").alias("n_moved_to_new"),
+            (F.col("n_moved").cast("double") / F.col("n_rows"))
+            .alias("move_rate"),
+        )
+    )

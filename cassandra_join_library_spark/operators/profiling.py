@@ -402,3 +402,37 @@ def fk_integrity_audit(pairs: "list[tuple]") -> "DataFrame":
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def bucket_checksums(df: DataFrame, key_col: str,
+                     cols: "list[str]", bucket_size: int = 1024) -> DataFrame:
+    """Merkle-style anti-entropy digests: per key-range bucket, an
+    ORDER-INDEPENDENT checksum (sum of truncated per-row MD5 digests)
+    plus the row count — the structure two replicas exchange to find
+    diverging ranges without shipping rows (the repair primitive of
+    the reference's native store, re-expressed as a relational
+    aggregate).
+
+    The row digest is the first 10 hex chars (40 bits) of
+    md5(pipe-joined columns) — truncation keeps the bucket SUM inside
+    BIGINT headroom for billions of rows per bucket; summation makes
+    the checksum independent of row order and partitioning, so two
+    independently-computed sides compare equal iff their content does
+    (up to 40-bit collisions — a diff detector, not a proof).
+
+    Scale: map-only digest + one bucket-keyed aggregate, map-side
+    combined."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    digest = F.conv(F.substring(F.md5(canon), 1, 10), 16, 10).cast("bigint")
+    return (
+        df.groupBy(F.expr(f"{key_col} div {bucket_size}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(digest).alias("checksum"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("checksum").cast("bigint").alias("checksum"),
+        )
+    )

@@ -110,7 +110,9 @@ _loaded = False
 #     registry has a banked driver-green row.
 #   banked for round 8: the round-7 waves past the front-50 —
 #     queries/wave5.py, wave6.py, wave7.py (BFS, l-diversity, PCM
-#     stats, CDC chunking, vocab coverage, snapshot drift, zone maps)
+#     stats, CDC chunking, vocab coverage, snapshot drift, zone maps),
+#     wave8.py (exact dyadic EWMA, interpolation as-of, rendezvous
+#     shards, bucket checksums, concurrency curve, seasonal outliers)
 #     — all local-gate green at sf0.01; rotate them (plus any r07
 #     regressions) into the r08 front.
 _ROUND7_FRONT = [
@@ -245,6 +247,7 @@ def _load_all() -> None:
         wave5,
         wave6,
         wave7,
+        wave8,
     )
     _reorder()
     _loaded = True

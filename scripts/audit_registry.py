@@ -73,6 +73,9 @@ ALLOW = {
         "events_rfm_scores": "ntile over the per-user AGGREGATE (already "
                              "reduced); two-pass percentile-threshold join "
                              "is the documented 100 TB swap",
+        "events_open_order_concurrency": "running sum over the per-DAY "
+                                         "aggregate (calendar-cardinality "
+                                         "rows, never the fact table)",
     },
     "cartesian_product": {},
     "python_udf": {},
