@@ -384,19 +384,25 @@ def pcm_stats(df: DataFrame, id_col: str,
         (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
     )
     # signed sample i: u16 at hex offset 89 + 4i (data begins at byte
-    # 45, 1-based), sign-corrected by subtracting 65536 when >= 32768
+    # 45, 1-based), sign-corrected by subtracting 65536 when >= 32768.
+    # Decode the sample ARRAY first, then fold over plain integers —
+    # inlining the decode into the fold re-evaluates the conv/substring
+    # pair ~8x per sample (measured 7.3 s -> ~2 s at sf1)
     s_i = (
         "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
         " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
     )
     signed = f"CAST({s_i} AS BIGINT) - (CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)"
+    samples = (
+        f"transform(sequence(0, int(n_samples) - 1), i -> {signed})"
+    )
     agg = (
-        "aggregate(sequence(0, int(n_samples) - 1), "
+        f"aggregate({samples}, "
         " named_struct('s', 0L, 'sq', 0L, 'pk', 0L), "
-        " (acc, i) -> named_struct("
-        "   's', acc.s + ({v}), "
-        "   'sq', acc.sq + ({v}) * ({v}), "
-        "   'pk', greatest(acc.pk, abs({v}))))".format(v=signed)
+        " (acc, v) -> named_struct("
+        "   's', acc.s + v, "
+        "   'sq', acc.sq + v * v, "
+        "   'pk', greatest(acc.pk, abs(v))))"
     )
     return (
         with_n.select(F.col(id_col), "n_samples", F.expr(agg).alias("st"))

@@ -520,8 +520,12 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
     Returns (id, chunk_idx, chunk_start [1-based], chunk_len,
     chunk_text) for every document with at least one character."""
     pows = [31 ** j for j in range(window)]
+    # hash from a MATERIALIZED char-code array: substring(text, i, 1)
+    # seeks from the string start, so hashing via substring is O(n²)
+    # per document (measured 15.3 s -> 2.5 s at sf1 for the chunker);
+    # element_at on the array is O(1)
     h = " + ".join(
-        f"{p} * ascii(substring({text_col}, i - {j}, 1))"
+        f"{p} * element_at(_codes, i - {j})"
         for j, p in enumerate(pows)
     )
     positions = (
@@ -546,6 +550,9 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
     )
     return (
         df.filter(F.length(text_col) >= 1)
+        .select(F.col(id_col), F.col(text_col),
+                F.expr(f"transform(split({text_col}, ''), c -> ascii(c))")
+                .alias("_codes"))
         .select(F.col(id_col), F.col(text_col),
                 F.expr(positions).alias("_pos"))
         .select(F.col(id_col), F.col(text_col),
