@@ -138,9 +138,16 @@ def main() -> None:
     # best-of-2 per cohort query ALONGSIDE the suite number so the
     # honest per-query cost is on record and the aging component is
     # visible as (suite - isolated).
+    #
+    # The cohort is DYNAMIC (r07 verdict ask #2): every query whose
+    # in-suite time moved >20% vs the previous round's BENCH_r*.json,
+    # plus the two legacy drift names — so an uptick like r07's
+    # corpus_e2e_pipeline +25% always ships with its isolated number
+    # and the aging-vs-regression split is measured, not asserted.
     if not only:
+        cohort = _drift_cohort(timings, sf)
         isolated = {}
-        for name in ("join_composite", "bloom_prefilter_join"):
+        for name in cohort:
             try:
                 child = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -154,6 +161,42 @@ def main() -> None:
         out["isolated_fresh_jvm"] = isolated
 
     print(json.dumps(out))
+
+
+def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
+    """Queries needing a fresh-JVM isolated number this round: the two
+    legacy drift names plus every headline query whose in-suite time
+    moved >20% (either direction) vs the previous round's published
+    BENCH json AT THE SAME SF.  Capped at 8 extra names (largest
+    movers first) to bound bench wall — a cap that triggers would
+    itself be a signal worth reading in the moved list."""
+    import glob
+
+    cohort = ["join_composite", "bloom_prefilter_join"]
+    benches = sorted(glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_r*.json")))
+    if not benches:
+        return cohort
+    try:
+        with open(benches[-1]) as fh:
+            prev_doc = json.load(fh)
+        if prev_doc.get("sf") != sf:
+            return cohort  # cross-sf ratios are meaningless
+        prev = prev_doc.get("queries", {})
+    except Exception:
+        return cohort
+    movers = []
+    for name, now in timings.items():
+        before = prev.get(name)
+        if not before or before <= 0:
+            continue
+        ratio = now / before
+        if ratio > 1.2 or ratio < 1 / 1.2:
+            movers.append((abs(ratio - 1.0), name))
+    movers.sort(reverse=True)
+    cohort += [n for _, n in movers[:8] if n not in cohort]
+    return cohort
 
 
 if __name__ == "__main__":

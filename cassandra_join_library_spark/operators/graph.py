@@ -161,14 +161,20 @@ def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
         .unionByName(tri.select(F.col("a").alias("n")))
         .unionByName(tri.select(F.col("b").alias("n")))
     )
-    return (
+    result = (
         nodes.groupBy("n")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .select(F.col("n").cast("bigint").alias("node_id"),
                 F.col("n_triangles").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("node_id"))
         .limit(top)
+        # materialize the (<= top)-row answer eagerly so the cached
+        # oriented edge list can be released NOW instead of leaking
+        # for the session lifetime across a multi-hundred-query run
+        .localCheckpoint(eager=True)
     )
+    oriented.unpersist()
+    return result
 
 
 def bfs_hops(

@@ -415,7 +415,12 @@ def bucket_checksums(df: DataFrame, key_col: str,
 
     The row digest is the first 10 hex chars (40 bits) of
     md5(pipe-joined columns) — truncation keeps the bucket SUM inside
-    BIGINT headroom for billions of rows per bucket; summation makes
+    BIGINT headroom for ~8.4M rows per bucket (2^63 / 2^40); the
+    default ``bucket_size=1024`` keeps real buckets 4 orders of
+    magnitude below that.  Past the headroom Spark's non-ANSI BIGINT
+    sum would wrap while DuckDB's (int128-backed) CAST raises, so for
+    wider buckets truncate the digest further rather than widening
+    bucket_size past ~1M rows.  Summation makes
     the checksum independent of row order and partitioning, so two
     independently-computed sides compare equal iff their content does
     (up to 40-bit collisions — a diff detector, not a proof).

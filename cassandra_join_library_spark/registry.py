@@ -99,22 +99,50 @@ _loaded = False
 #     twins, the TPC-H tails (Q7/8/13/14/15/17/19/22),
 #     corpus_e2e_pipeline, band/interval joins — CORRECTNESS_r06:
 #     50/50 green (rows + schema + hash, zero err);
-#   round 7 (this order): _ROUND7_FRONT below — every remaining
-#     never-value-graded oracled query: the scalar/setop/window/agg
-#     tails, the round-6 operator additions (CDC ×2, BPE ×2, gram,
-#     PageRank, IVM, k-anonymity, cluster balance, as-of tolerance,
-#     skew/FK audits), kmeans_clusters (whose oracle postdates its r01
-#     no_oracle row), then round-7 additions; any slots left in the
-#     front-50 fall through to _BANKED_ROUND6 (already green, pure
-#     regression coverage).  After r07 every oracled query in the
-#     registry has a banked driver-green row.
-#   banked for round 8: the round-7 waves past the front-50 —
-#     queries/wave5.py, wave6.py, wave7.py (BFS, l-diversity, PCM
-#     stats, CDC chunking, vocab coverage, snapshot drift, zone maps),
-#     wave8.py (exact dyadic EWMA, interpolation as-of, rendezvous
-#     shards, bucket checksums, concurrency curve, seasonal outliers)
-#     — all local-gate green at sf0.01; rotate them (plus any r07
-#     regressions) into the r08 front.
+#   round 7: the 50 names in _ROUND7_FRONT below — the scalar/setop/
+#     window/agg tails, the round-6 operator additions (CDC ×2, BPE ×2,
+#     gram, PageRank, IVM, k-anonymity, cluster balance, as-of
+#     tolerance, skew/FK audits), kmeans_clusters, and 12 round-7
+#     wave-4 queries — CORRECTNESS_r07: 50/50 green.
+#   round 8 (this order): _ROUND8_FRONT below — the 21 round-7
+#     wave-5/6/7/8 queries that landed past the r07 front-50 (the only
+#     oracled queries without driver evidence), then 29 deliberate
+#     regression re-grades chosen oldest-first: the r01/r02 relational
+#     core (join_*, theta_*, filter_algebra, projection, TPC-H heads,
+#     agg_cube/grouping_sets, bloom_prefilter_join), whose only green
+#     rows are 6+ rounds old.  Once CORRECTNESS_r08 is green, EVERY
+#     oracled query registered through round 7 has a driver-green row
+#     and rounds 9+ rotate pure regression coverage (oldest-first)
+#     plus any new-wave additions.
+#   banked (driver-green, regression pool): _ROUND7_FRONT and
+#     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
+#     registration order.  Round-8 wave-9+ additions queue behind the
+#     front for the r09 window.
+_ROUND8_FRONT = [
+    # the 21 round-7 wave-5/6/7/8 queries — never driver-graded
+    "graph_bfs_hops", "privacy_l_diversity", "mm_wav_pcm_stats",
+    "text_cdc_chunks", "corpus_vocab_coverage", "profile_snapshot_drift",
+    "layout_zonemap_skipping", "corpus_leakage_safe_split",
+    "events_markov_transitions", "embedding_standardize",
+    "text_readability_score", "events_rfm_scores", "corpus_chunk_overlap",
+    "text_line_dedup_within_doc", "events_linear_attribution",
+    "events_ewma_exact", "asof_interpolate_value",
+    "corpus_rendezvous_shards", "profile_bucket_checksums",
+    "events_open_order_concurrency", "events_seasonal_outliers",
+    # 29 oldest-graded regression re-grades (first green r01/r02,
+    # nothing has re-checked them under the driver since)
+    "join_inner", "join_left", "join_right", "join_full", "join_cross",
+    "join_semi", "join_anti", "join_self_alias", "join_chain3",
+    "join_composite", "join_skew_salted", "theta_lt", "theta_neq",
+    "theta_left_outer", "theta_right_outer", "theta_full_outer",
+    "filter_algebra", "projection", "sql_q2_min_cost",
+    "sql_q3_shipping_priority", "sql_q4_order_priority",
+    "sql_q5_local_volume", "sql_q6_forecast_revenue",
+    "sql_q10_returned_items", "sql_q16_supplier_variety",
+    "sql_q18_large_orders", "agg_cube", "agg_grouping_sets",
+    "bloom_prefilter_join",
+]
+
 _ROUND7_FRONT = [
     # the 25 pre-r06 never-graded relational tails
     "null_handling", "distinct_rows", "deterministic_sample",
@@ -195,11 +223,14 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND7_FRONT, then
-    the banked (already driver-green) _BANKED_ROUND6, then the rest of
-    the oracled queries in registration order, then the no-oracle
-    queries last."""
-    front = _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND8_FRONT, then
+    the banked (already driver-green) _ROUND7_FRONT/_BANKED_ROUND6,
+    then the rest of the oracled queries in registration order, then
+    the no-oracle queries last."""
+    seen = set(_ROUND8_FRONT)
+    front = _ROUND8_FRONT + [
+        n for n in _ROUND7_FRONT + _BANKED_ROUND6 if n not in seen
+    ]
     missing = [n for n in front if n not in _QUERIES]
     if missing:
         raise ValueError(f"rotation lists name unknown queries: {missing}")

@@ -56,7 +56,13 @@ def _micro(v) -> int:
     ``tests/test_streaming.py::test_micro_matches_duckdb_decimal_cast_on_boundaries``
     (boundary patterns, constructed product-ties on both sides of
     2^24, 5000 random doubles) so a DuckDB rounding change surfaces as
-    a loud test failure, not a silent oracle mismatch."""
+    a loud test failure, not a silent oracle mismatch.
+
+    CAVEAT: this replicates an empirically probed, version-specific
+    behavior of DuckDB 1.0.0 (the version installed here), not a
+    documented contract — a DuckDB upgrade may flip the tie rule.  The
+    pinned test prints the installed ``duckdb.__version__`` on failure
+    so an upgrade-induced break is immediately attributable."""
     from decimal import ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
 
     p = float(v) * _MICRO

@@ -290,7 +290,11 @@ def test_micro_matches_duckdb_decimal_cast_on_boundaries():
         ).fetchone()[0]
         assert got == int(want), (
             f"_micro({v!r}) = {got} but DuckDB DECIMAL(18,6) cast gives "
-            f"{want} — the stream-final value oracles would diverge"
+            f"{want} — the stream-final value oracles would diverge. "
+            f"_micro's tie rule was probed against DuckDB 1.0.0; "
+            f"installed duckdb.__version__ = {duckdb.__version__} — if "
+            f"that differs, a DuckDB upgrade likely flipped the "
+            f"rounding pipeline and _micro must be re-probed"
         )
     con.close()
 
