@@ -318,3 +318,126 @@ def pagerank_sql(n_iter: int = 4, damping_pct: int = 85) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT nt, id, rank_micro FROM r{n_iter}"
     )
+
+
+def kcore_profile(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling profile: iteratively drop nodes with
+    degree < k (and their edges) for ``rounds`` rounds, reporting the
+    surviving node/edge counts AFTER each round (round 0 = the input
+    graph).  The peel cascade is the degeneracy read — how fast the
+    graph's weakly-attached periphery collapses.
+
+    ``edges``: (u, v) with u < v, deduplicated.  Fixed rounds (not
+    run-to-fixpoint) so the unrolled SQL twin matches bit-for-bit
+    whether or not the peel has converged.
+
+    Scale shape: each round is one degree aggregate plus two
+    key-joins against the (node-sized, shrinking) keep list — Pregel
+    shape, like PageRank; the edge list is localCheckpoint'ed per
+    round so the plan tree stays flat instead of 2^rounds deep.
+    Reference has no graph surface (SURVEY.md §2.6)."""
+    def stats_row(e: DataFrame, r: int) -> DataFrame:
+        stacked = e.select(F.col("u").alias("n")).unionByName(
+            e.select(F.col("v").alias("n")))
+        return stacked.agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.countDistinct("n").cast("bigint").alias("n_nodes"),
+        ).select(F.lit(r).cast("bigint").alias("round"),
+                 "n_nodes", "n_edges")
+
+    e = edges
+    out = stats_row(e, 0)
+    for r in range(1, rounds + 1):
+        deg = degrees(e)
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(stats_row(e, r))
+    return out
+
+
+def edge_jaccard(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Edge-local neighborhood Jaccard (link similarity): for every
+    edge (u,v), the Jaccard of N(u)\\{v} and N(v)\\{u} — intersection
+    = triangles through the edge, union = du+dv-2-cn.  The structural
+    backbone score used for Jaccard graph sparsification and
+    community seeding.
+
+    Same degree-ordered wedge plan as
+    :func:`triangle_participation` (the arboricity bound keeps the
+    wedge join linear in |E| on power-law graphs); each closed wedge
+    credits its THREE id-ordered edges, then one edge-keyed count and
+    a degree join.  Top-``top`` edges by (jaccard, u, v); the score is
+    a rounded integer division in micro-units — exact on both
+    engines.  Reference has no graph surface (SURVEY.md §2.6)."""
+    deg = degrees(edges)
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u")
+                   .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+              .withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).repartition(F.col("src")).persist()
+    o1 = oriented.select("src", F.col("dst").alias("a"),
+                         F.col("ddeg").alias("da"))
+    o2 = oriented.select("src", F.col("dst").alias("b"),
+                         F.col("ddeg").alias("db"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(F.col("src").alias("a"),
+                              F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"]).select("src", "a", "b")
+    # explode each triangle into its three edges, normalized to the
+    # input's u < v id order
+    tri_edges = (
+        tri.select(F.least("src", "a").alias("u"),
+                   F.greatest("src", "a").alias("v"))
+        .unionByName(tri.select(F.least("src", "b").alias("u"),
+                                F.greatest("src", "b").alias("v")))
+        .unionByName(tri.select(F.least("a", "b").alias("u"),
+                                F.greatest("a", "b").alias("v")))
+    )
+    cn = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"))
+    scored = (
+        edges.join(cn, ["u", "v"], "left")
+        .na.fill({"cn": 0})
+        .join(deg.withColumnRenamed("n", "u")
+              .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+              .withColumnRenamed("deg", "dv"), "v")
+        .withColumn("den", F.col("du") + F.col("dv") - 2 - F.col("cn"))
+        .withColumn(
+            "jaccard_micro",
+            F.when(F.col("den") <= 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr(_RDIV.format(
+                a="1000000 * cn", b="den")).cast("bigint")))
+    )
+    result = (
+        scored.select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+            "cn",
+            F.col("du").cast("bigint").alias("du"),
+            F.col("dv").cast("bigint").alias("dv"),
+            "jaccard_micro")
+        .orderBy(F.desc("jaccard_micro"), F.asc("u"), F.asc("v"))
+        .limit(top)
+        # eager top-k materialization so the cached oriented list is
+        # released immediately (same pattern as triangle_participation)
+        .localCheckpoint(eager=True)
+    )
+    oriented.unpersist()
+    return result

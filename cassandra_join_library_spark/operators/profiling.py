@@ -441,3 +441,122 @@ def bucket_checksums(df: DataFrame, key_col: str,
             F.col("checksum").cast("bigint").alias("checksum"),
         )
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — shared
+#: double literals; the query twins inline the SAME decimal text so
+#: both engines parse the identical IEEE value
+BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def benford_audit(df: DataFrame, value_micro_col: str) -> DataFrame:
+    """Benford's-law first-digit audit over a POSITIVE integer column
+    (micro/cent units): observed count per leading digit vs the
+    Benford expectation — the classic fabricated-data screen.
+
+    The leading digit is taken from the integer's decimal string
+    (identical formatting in both engines — no log10 on doubles, no
+    transcendental divergence); expected counts are ``N * p_d`` with
+    the shared literal probabilities.  One 9-group map-side-combined
+    aggregate plus a 1-row total join — bounded work at any scale."""
+    digits = (
+        df.filter(F.col(value_micro_col) > 0)
+        .select(F.substring(F.col(value_micro_col).cast("string"), 1, 1)
+                .cast("bigint").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]),
+                     F.col("digit").cast("int"))
+    return (
+        digits.crossJoin(F.broadcast(total))  # 1-row total
+        .select(
+            "digit", "n_obs", "n_total",
+            (F.col("n_total").cast("double") * p).alias("expected"),
+            (F.col("n_obs").cast("double")
+             - F.col("n_total").cast("double") * p).alias("excess"),
+        )
+    )
+
+
+def fd_audit(df: DataFrame, det_col: str, dep_col: str,
+             fd_name: str) -> DataFrame:
+    """Functional-dependency audit (Metanome-style profiling): does
+    ``det_col -> dep_col`` hold?  Returns one row: total determinant
+    groups, groups with >1 distinct dependent value (violations), the
+    worst group's distinct count, and the violation rate.
+
+    One two-level aggregate (group by determinant with an exact
+    distinct count, then a 1-row rollup) — both map-side combinable;
+    the audit costs one pass regardless of corpus size."""
+    g = df.groupBy(F.col(det_col).alias("det")).agg(
+        F.countDistinct(F.col(dep_col)).alias("n_dep"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_violating"),
+        F.max("n_dep").cast("bigint").alias("max_distinct"),
+    ).select(
+        F.lit(fd_name).alias("fd"),
+        "n_groups", "n_violating", "max_distinct",
+        (F.col("n_violating").cast("double")
+         / F.col("n_groups").cast("double")).alias("violation_rate"),
+    )
+
+
+def t_closeness(df: DataFrame, qi_cols: "list[str]",
+                sensitive_col: str) -> DataFrame:
+    """t-closeness audit (privacy): per quasi-identifier group, the
+    total variation distance between the group's sensitive-value
+    distribution and the global one —
+    ``tvd = 1/2 * sum_v |c_gv/n_g - C_v/N|``.
+
+    Integer-exact core: multiply through by ``n_g * N`` so the
+    numerator is ``sum_v |c_gv*N - C_v*n_g|`` over BIGINTs, and absent
+    values (c_gv = 0) are folded in algebraically —
+    ``numer = sum_present(|c_gv*N - C_v*n_g| - C_v*n_g) + N*n_g`` —
+    so no group x domain cross join is ever materialized.  The only
+    float op is the final ``numer / (2*n_g*N)`` division.  Magnitude
+    guard: n_g*N must stay under 2^63 (and 2^53 for the exact double
+    cast) — at planetary scale run per-partition or on a sampled
+    frame.  Complements k-anonymity / l-diversity (same module):
+    those count; this one compares distributions."""
+    gv = df.groupBy(
+        *[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("_v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_gv"))
+    glob = df.groupBy(F.col(sensitive_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_v"))
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # the absolute terms need n_g, so two passes over the (already
+    # group-x-value-bounded) gv table: sizes first, then the scaled sum
+    sizes = gv.groupBy(*qi_cols).agg(
+        F.sum("c_gv").cast("bigint").alias("n_g"))
+    scaled = (
+        gv.join(F.broadcast(glob), "_v")
+        .join(sizes, qi_cols)
+        .crossJoin(F.broadcast(total))
+        .groupBy(*qi_cols)
+        .agg(
+            F.max("n_g").alias("n_g"),
+            F.max("n_total").alias("n_total"),
+            F.sum(
+                F.abs(F.col("c_gv") * F.col("n_total")
+                      - F.col("c_v") * F.col("n_g"))
+                - F.col("c_v") * F.col("n_g")
+            ).cast("bigint").alias("present_sum"),
+        )
+    )
+    return scaled.select(
+        *qi_cols, "n_g",
+        (F.col("present_sum")
+         + F.col("n_total") * F.col("n_g")).alias("numer"),
+        ((F.col("present_sum")
+          + F.col("n_total") * F.col("n_g")).cast("double")
+         / (F.lit(2.0) * F.col("n_g").cast("double")
+            * F.col("n_total").cast("double"))).alias("tvd"),
+    )

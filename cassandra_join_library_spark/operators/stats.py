@@ -1,0 +1,232 @@
+"""Exact relational statistics: contingency chi-square, integer-exact
+autocorrelation, closed-form per-group OLS, two-proportion z-tests,
+and a 2-D Pareto skyline.
+
+The reference (widyaput/Cassandra-Join-Library) has no statistics
+surface at all (SURVEY.md §2.6) — these are the extension operators a
+training-data pipeline runs for drift detection, feature screening,
+and experiment readouts, expressed as bounded DataFrame aggregates.
+
+Parity discipline (repo conventions): every statistic is either a
+pure integer (BIGINT sums over micro/cent units — exact under any
+partitioning and identical to DuckDB's by construction) or a FIXED
+IEEE-754 expression tree over such integers (one multiplication/
+division chain both engines evaluate bit-identically; sqrt is
+correctly rounded in both).  No transcendental functions anywhere —
+logs/exps would differ in the last ulp between libm builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# rounded non-negative integer division (half away from zero) — the
+# same macro contract as operators/graph.py
+_RDIV = ("(({a}) div ({b})) + "
+         "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)")
+
+
+def contingency_chi_square(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Per-cell chi-square decomposition of a two-way contingency
+    table: observed count, marginals, expected count, and the cell's
+    chi-square contribution ``(obs-exp)^2 / exp``.
+
+    Shape: one corpus-sized aggregate (the cell counts, map-side
+    combined), then broadcast joins against the two marginal vectors
+    and the 1-row grand total — all bounded by the categorical
+    domains, never by row count.  The per-cell contributions are the
+    drill-down a drift monitor reads; summing their DECIMAL-rounded
+    values gives the statistic itself without an order-dependent
+    double sum."""
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    rows = df.groupBy(F.col(row_col).alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_row"))
+    cols = df.groupBy(F.col(col_col).alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_col"))
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    out = (
+        obs.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(total))  # 1-row grand total
+    )
+    # fixed IEEE tree: (row*col)/total, then ((obs-exp)^2)/exp — the
+    # identical expression text runs on the DuckDB side
+    exp_ = (F.col("n_row").cast("double") * F.col("n_col").cast("double")
+            / F.col("n_total").cast("double"))
+    dev = F.col("n_obs").cast("double") - exp_
+    return out.select(
+        "r", "c", "n_obs", "n_row", "n_col", "n_total",
+        exp_.alias("expected"),
+        ((dev * dev) / exp_).alias("contrib"),
+    )
+
+
+def autocorr_integer(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation of an INTEGER-valued series at lags 1..max_lag,
+    exactly: deviations are taken against the rounded integer mean
+    (one rounded division — the 'integer-centered' autocorrelation,
+    identical on both engines by construction), numerator and
+    denominator are BIGINT sums of deviation products, and the only
+    floating-point operation is the final num/den division.
+
+    ``series`` must already be aggregated to one row per ``order_col``
+    (e.g. a daily rollup) — calendar-bounded, so the single ordering
+    window is over thousands of rows regardless of corpus size; the
+    corpus-sized work is the upstream rollup.
+
+    Returns (lag, n_pairs, num, den, autocorr)."""
+    stats = series.agg(
+        F.sum(value_col).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    withm = series.crossJoin(F.broadcast(stats)).select(
+        F.col(order_col).alias("_ord"),
+        (F.col(value_col)
+         - F.expr(_RDIV.format(a="s", b="n"))).alias("dev"),
+    )
+    w = Window.orderBy("_ord")
+    lead_cols = [F.lead("dev", k).over(w).alias(f"dev_{k}")
+                 for k in range(1, max_lag + 1)]
+    led = withm.select("dev", *lead_cols)
+    stack = ", ".join(
+        f"{k}, dev_{k}" for k in range(1, max_lag + 1))
+    pairs = led.select(
+        "dev",
+        F.expr(f"stack({max_lag}, {stack}) AS (lag, dev_k)"))
+    den = withm.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"))
+    out = (
+        pairs.filter(F.col("dev_k").isNotNull())
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+             F.sum(F.col("dev") * F.col("dev_k")).cast("bigint")
+             .alias("num"))
+        .crossJoin(F.broadcast(den))  # 1-row denominator
+    )
+    # zero-variance series: den = 0 -> NULL autocorr (DuckDB's double
+    # division-by-zero semantics), never an ANSI raise
+    return out.select(
+        F.col("lag").cast("bigint").alias("lag_k"), "n_pairs", "num", "den",
+        F.when(F.col("den") != 0,
+               F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("autocorr"),
+    )
+
+
+def ols_per_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Closed-form simple linear regression per group:
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``, intercept from the
+    means.  x and y must be INTEGER columns (cents/micro-units) so
+    the five sufficient statistics are exact BIGINT sums under any
+    partitioning; slope/intercept are then a fixed two-division IEEE
+    tree over exact integers.  One map-side-combinable aggregate —
+    the 100 TB cost is a single pass, state is 5 numbers per group.
+
+    Magnitude guard: n*Sxy must stay under 2^63 (and under 2^53 for
+    the exact double cast) — for corpus-scale runs feed values in
+    coarser units (cents, not micro) or pre-aggregate per key."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(x_col)).cast("bigint").alias("sx"),
+        F.sum(F.col(y_col)).cast("bigint").alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("bigint").alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0, num.cast("double") / den.cast("double"))
+    intercept = F.when(
+        den != 0,
+        (F.col("sy").cast("double")
+         - slope * F.col("sx").cast("double")) / F.col("n").cast("double"))
+    return g.select("grp", "n", "sx", "sy", "sxy", "sxx",
+                    slope.alias("slope"), intercept.alias("intercept"))
+
+
+def two_proportion_z(
+    df: DataFrame, variant_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test readout: one row with per-variant trials
+    and successes, the two rates, and the pooled z statistic
+    ``(p1-p0) / sqrt(pp*(1-pp)*(1/n0+1/n1))``.
+
+    ``variant_col`` must be 0/1; ``success_col`` 0/1 per trial row.
+    Counts are exact integers; the z expression is a fixed IEEE tree
+    (divisions + one sqrt, both correctly rounded in Spark and
+    DuckDB).  Single map-side-combinable aggregate — the experiment
+    readout costs one pass at any scale."""
+    agg = df.agg(
+        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when((F.col(variant_col) == 0)
+                     & (F.col(success_col) == 1), 1).otherwise(0))
+        .cast("bigint").alias("x0"),
+        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when((F.col(variant_col) == 1)
+                     & (F.col(success_col) == 1), 1).otherwise(0))
+        .cast("bigint").alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    pp = ((F.col("x0") + F.col("x1")).cast("double")
+          / (F.col("n0") + F.col("n1")).cast("double"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n0").cast("double")
+                   + F.lit(1.0) / F.col("n1").cast("double")))
+    # degenerate pooled rate (0 or 1) has se = 0: NULL z, matching
+    # DuckDB's double-division-by-zero semantics (NULL, not a raise —
+    # Spark's ANSI mode would error instead)
+    return agg.select(
+        "n0", "x0", "n1", "x1",
+        p0.alias("p0"), p1.alias("p1"),
+        F.when(se > 0, (p1 - p0) / se).alias("z"),
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame, id_col: str, min_col: str, max_col: str
+) -> DataFrame:
+    """2-D Pareto skyline: rows not dominated by any other row, where
+    domination means (min_col <=, max_col >=) with at least one
+    strict.  Ties on both dimensions survive together (neither
+    strictly dominates).
+
+    Scale shape — NOT the O(n^2) NOT-EXISTS self-join the SQL
+    definition suggests: first a ``min_col``-keyed aggregate collapses
+    the corpus to one row per distinct min-value (domain-bounded for
+    fixed-precision prices), then one ordered window over that
+    aggregate computes the running best ``max_col`` among strictly
+    better min-values, and a semi-join brings back the surviving
+    rows.  The corpus-sized steps are the aggregate and the final
+    join; the global window runs over the distinct-value table only.
+
+    Returns the input's (id, min_col, max_col) frontier rows."""
+    pm = df.groupBy(F.col(min_col).alias("_m")).agg(
+        F.max(F.col(max_col)).alias("_best"))
+    w = (Window.orderBy("_m")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # a min-value survives iff its best max strictly exceeds every
+    # cheaper min-value's best max
+    front = pm.select(
+        "_m", "_best", F.max("_best").over(w).alias("_prior")
+    ).filter(F.col("_prior").isNull() | (F.col("_best") > F.col("_prior")))
+    return (
+        df.join(
+            F.broadcast(front.select("_m", "_best")),
+            (F.col(min_col) == F.col("_m"))
+            & (F.col(max_col) == F.col("_best")))
+        .select(id_col, min_col, max_col)
+    )

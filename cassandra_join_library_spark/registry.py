@@ -279,6 +279,7 @@ def _load_all() -> None:
         wave6,
         wave7,
         wave8,
+        wave9,
     )
     _reorder()
     _loaded = True

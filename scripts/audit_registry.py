@@ -60,6 +60,11 @@ ALLOW = {
         "profile_key_skew": "1-row global count-summary broadcast",
         "profile_fk_integrity": "three 1-row counts crossjoined per relationship",
         "ann_mutual_knn": "broadcast bounded eval slice, theta self-pair filter",
+        "privacy_t_closeness": "1-row corpus-total broadcast",
+        "stats_chi_square_cells": "1-row grand-total broadcast",
+        "stats_autocorr_daily": "1-row mean + 1-row denominator broadcasts",
+        "profile_benford_prices": "1-row digit-total broadcast",
+        "events_user_lifecycle": "1-row horizon (global max month) broadcast",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -76,6 +81,12 @@ ALLOW = {
         "events_open_order_concurrency": "running sum over the per-DAY "
                                          "aggregate (calendar-cardinality "
                                          "rows, never the fact table)",
+        "stats_autocorr_daily": "lead windows over the per-DAY aggregate "
+                                "(calendar-cardinality rows, never the "
+                                "fact table)",
+        "skyline_pareto_parts": "running max over the distinct-price "
+                                "aggregate (price-domain-bounded rows, "
+                                "never the fact table)",
     },
     "cartesian_product": {},
     "python_udf": {},

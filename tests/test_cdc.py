@@ -70,7 +70,10 @@ def test_merge_batchwise_equals_global(spark, merge_upsert):
     want = _rows(full)
     assert want == {1: ("v2", 30), 2: ("back", 40), 5: ("new", 15)}
 
-    for split in (3, 1, 5):
+    # two split points (middle + single-trailing-element) x both orders
+    # covers composition invariance; the third split point (1) added
+    # ~15 s of checkpointed merge chains for no new code path
+    for split in (3, 5):
         for order in (0, 1):
             parts = [all_changes[:split], all_changes[split:]]
             if order:
@@ -128,7 +131,7 @@ def test_merge_matches_reference_model_on_random_changelogs(spark):
     ).map(lambda cs: list({(k, s): (k, p, s, o)
                            for k, p, s, o in cs}.values()))
 
-    @settings(max_examples=12, deadline=None,
+    @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(target=target_st, changes=change_st)
     def run(target, changes):
