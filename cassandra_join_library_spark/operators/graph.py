@@ -441,3 +441,47 @@ def edge_jaccard(edges: DataFrame, top: int = 20) -> DataFrame:
     )
     oriented.unpersist()
     return result
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient: Pearson correlation of the
+    endpoint degrees over all DIRECTED edge ends (each undirected
+    edge counted in both directions — the standard symmetric
+    treatment).  Positive r = hubs attach to hubs; the single number
+    that decides whether the wedge joins need hub mitigation.
+
+    Integer-exact sufficient statistics (one aggregate over the
+    degree-annotated edge list); r is a fixed IEEE tree.  The two
+    variance terms are sqrt'ed SEPARATELY — their product would
+    overflow BIGINT long before the individual terms do (each stays
+    under 2^53 up to ~1e8 edges at degree ~200; beyond that feed
+    DECIMAL sums).  Returns one row:
+    (m, sxy, sx, sxx, sy, syy, assortativity)."""
+    deg = degrees(edges)
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = (
+        both.join(deg.withColumnRenamed("n", "u")
+                  .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+              .withColumnRenamed("deg", "dv"), "v")
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sxx"),
+        F.sum("dv").cast("bigint").alias("sy"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    d1 = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    d2 = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return agg.select(
+        "m", "sxy", "sx", "sxx", "sy", "syy",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))))
+        .alias("assortativity"),
+    )

@@ -230,3 +230,136 @@ def pareto_frontier_2d(
             & (F.col(max_col) == F.col("_best")))
         .select(id_col, min_col, max_col)
     )
+
+
+def phi_binary(
+    df: DataFrame, a_col: str, b_col: str, pair_name: str
+) -> DataFrame:
+    """Phi coefficient (Pearson correlation of two 0/1 features):
+    the 2x2 cell counts and
+    ``phi = (n11*n00 - n10*n01) / sqrt(r1*r0*c1*c0)`` — the feature
+    co-occurrence screen a pipeline runs before treating signals as
+    independent.  One map-side-combinable aggregate; the marginal
+    product stays under 2^63 up to ~55k rows per marginal^4 — at
+    corpus scale sqrt the marginals separately (same pattern as
+    degree_assortativity).  NULL phi on a degenerate marginal.
+    Returns one row per call."""
+    agg = df.agg(
+        F.sum(F.when((F.col(a_col) == 1) & (F.col(b_col) == 1), 1)
+              .otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when((F.col(a_col) == 1) & (F.col(b_col) == 0), 1)
+              .otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when((F.col(a_col) == 0) & (F.col(b_col) == 1), 1)
+              .otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when((F.col(a_col) == 0) & (F.col(b_col) == 0), 1)
+              .otherwise(0)).cast("bigint").alias("n00"),
+    )
+    r1 = F.col("n11") + F.col("n10")
+    r0 = F.col("n01") + F.col("n00")
+    c1 = F.col("n11") + F.col("n01")
+    c0 = F.col("n10") + F.col("n00")
+    num = F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")
+    den = r1 * r0 * c1 * c0
+    return agg.select(
+        F.lit(pair_name).alias("pair"),
+        "n11", "n10", "n01", "n00",
+        F.when(den > 0,
+               num.cast("double") / F.sqrt(den.cast("double")))
+        .alias("phi"),
+    )
+
+
+def ks_two_sample_integer(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic, integer-exact:
+    ``D = max_x |F1(x) - F2(x)|`` maximized as
+    ``max |cum1*n2 - cum2*n1|`` over the distinct values of the
+    combined sample (the CDFs only change there), divided once at the
+    end.  ``group_col`` must be 0/1; ``value_col`` integer units.
+
+    Scale shape: one value-keyed aggregate collapses the corpus to
+    its distinct-value table (domain-bounded for fixed-precision
+    units), one ordered window over THAT computes both running CDFs,
+    then a 1-row argmax (min value on ties — deterministic).
+    ``cum*n`` stays under 2^63 while n1*n2 < 2^63 — beyond ~3e9 rows
+    per side move the products to DECIMAL.  Returns one row:
+    (n1, n2, d_num, at_value, d)."""
+    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(group_col) == 0, 1).otherwise(0))
+        .cast("bigint").alias("c1"),
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0))
+        .cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cums = per_v.select(
+        "v",
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    )
+    totals = per_v.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"))
+    gaps = cums.crossJoin(F.broadcast(totals)).select(
+        "v", "n1", "n2",
+        F.abs(F.col("cum1") * F.col("n2")
+              - F.col("cum2") * F.col("n1")).alias("gap"),
+    )
+    best = gaps.groupBy("n1", "n2").agg(
+        F.max("gap").cast("bigint").alias("d_num"))
+    return (
+        gaps.join(F.broadcast(best), ["n1", "n2"])
+        .filter(F.col("gap") == F.col("d_num"))
+        .groupBy("n1", "n2", "d_num")
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+        .select(
+            "n1", "n2", "d_num", "at_value",
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")))
+            .alias("d"),
+        )
+    )
+
+
+def gini_grouped(
+    df: DataFrame, value_col: str, bucket_width: int
+) -> DataFrame:
+    """Gini coefficient from grouped data: values are bucketed to
+    ``value div bucket_width`` (within-bucket equality — the standard
+    grouped-Gini estimator), per-bucket (count, sum) aggregated, and
+    the Lorenz trapezoid sum computed over the BUCKET table:
+    ``G = 1 - sum_b c_b*(2*cumS_b - s_b) / (N*S)``.
+
+    The corpus-sized work is one bucket-keyed aggregate; the ordered
+    window runs over the value-domain-bounded bucket table.  All
+    sums BIGINT (c_b * cumS_b must stay under 2^63 — at planetary
+    scale widen buckets or use DECIMAL); G is one final division.
+    Returns one row: (n, total, n_buckets, gini_num, gini)."""
+    per_b = df.groupBy(
+        F.expr(f"{value_col} div {bucket_width}").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(value_col).cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    terms = per_b.select(
+        "b", "c", "s",
+        (F.col("c") * (F.lit(2) * F.sum("s").over(w) - F.col("s")))
+        .alias("term"),
+    )
+    return terms.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("term").cast("bigint").alias("gini_num"),
+    ).select(
+        "n", "total", "n_buckets", "gini_num",
+        (F.lit(1.0)
+         - F.col("gini_num").cast("double")
+         / (F.col("n").cast("double") * F.col("total").cast("double")))
+        .alias("gini"),
+    )

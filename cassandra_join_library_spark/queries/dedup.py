@@ -151,7 +151,7 @@ def dedup_simhash_md5(spark, sf_dir):
                            max_hamming=3, portable=True)
 
 
-@register("dedup_clusters", oracle="""
+_CLUSTERS_ORACLE = """
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh0 AS (
@@ -184,7 +184,10 @@ WITH RECURSIVE words AS (
 )
 SELECT a AS doc_id, MIN(b) AS cluster_id
 FROM reach GROUP BY a
-""")
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Duplicate clustering: exact-Jaccard pairs -> connected
     components (iterative min-label propagation); the oracle computes

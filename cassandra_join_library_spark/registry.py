@@ -280,6 +280,7 @@ def _load_all() -> None:
         wave7,
         wave8,
         wave9,
+        wave10,
     )
     _reorder()
     _loaded = True

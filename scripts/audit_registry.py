@@ -65,6 +65,9 @@ ALLOW = {
         "stats_autocorr_daily": "1-row mean + 1-row denominator broadcasts",
         "profile_benford_prices": "1-row digit-total broadcast",
         "events_user_lifecycle": "1-row horizon (global max month) broadcast",
+        "events_cusum_drift": "1-row (sum, count) mean broadcast",
+        "stats_ks_priority_price": "1-row sample-totals broadcast + "
+                                   "1-row argmax join",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -87,6 +90,15 @@ ALLOW = {
         "skyline_pareto_parts": "running max over the distinct-price "
                                 "aggregate (price-domain-bounded rows, "
                                 "never the fact table)",
+        "events_cusum_drift": "prefix-sum/run-min windows over the "
+                              "per-DAY aggregate (calendar-cardinality "
+                              "rows, never the fact table)",
+        "stats_ks_priority_price": "CDF window over the distinct-value "
+                                   "aggregate (price-domain-bounded "
+                                   "rows, never the fact table)",
+        "corpus_gini_doclen": "Lorenz window over the length-bucket "
+                              "aggregate (domain-bounded rows, never "
+                              "the documents table)",
     },
     "cartesian_product": {},
     "python_udf": {},

@@ -29,11 +29,20 @@ ORACLES = all_oracles()
 
 @pytest.fixture(scope="session")
 def gate_results(spark):
-    # 8 workers (was 6): the gate wall is sum-of-work / workers until
-    # the ~16 s ANN oracles become the critical path; at 240+ oracles
-    # the extra packing keeps full pytest under the 6-minute bar
-    timings, failures = run_parity_gate(spark, SF_ORACLE, workers=8)
-    return timings, failures
+    # the gate normally runs in a BACKGROUND thread started at
+    # collection (tests/conftest.py pytest_collection_modifyitems), so
+    # its sweep overlaps the rest of the suite's wall; this fixture
+    # just joins it.  Fallback to an inline run if the hook didn't
+    # fire (e.g. fixture requested from an odd invocation).
+    from .conftest import GATE_STATE
+
+    t = GATE_STATE.get("thread")
+    if t is None:
+        return run_parity_gate(spark, SF_ORACLE, workers=8)
+    t.join()
+    if "error" in GATE_STATE:
+        raise GATE_STATE["error"]
+    return GATE_STATE["result"]
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

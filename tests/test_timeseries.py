@@ -110,7 +110,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     from cassandra_join_library_spark.operators.asof import asof_join
 
     rng = np.random.RandomState(7)
-    for trial in range(6):
+    for trial in range(4):
         nl, nr = rng.randint(1, 12), rng.randint(1, 12)
         lpdf = pd.DataFrame({
             "lid": np.arange(nl),
@@ -161,7 +161,7 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
     from cassandra_join_library_spark.operators.asof import asof_join_nearest
 
     rng = np.random.RandomState(21)
-    for trial in range(6):
+    for trial in range(4):
         nl, nr = rng.randint(1, 12), rng.randint(1, 12)
         lpdf = pd.DataFrame({
             "lid": np.arange(nl),
