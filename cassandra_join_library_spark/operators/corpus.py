@@ -1021,3 +1021,53 @@ def topv_coverage(df: DataFrame, group_col: str, text_col: str,
              / F.col("total_tokens")).alias("coverage_rate"),
         )
     )
+
+
+def apportion_largest_remainder(
+    weights: DataFrame, key_col: str, weight_col: str, total_slots: int
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment: allocate exactly
+    ``total_slots`` integer sampling slots across keys proportional to
+    integer weights.  Each key gets the floor quota
+    ``slots * w div W``; the leftover slots (always < #keys) go one
+    each to the largest remainders, ties broken on key — so the
+    quotas always sum EXACTLY to ``total_slots``, the property a
+    mixture sampler needs before drawing (probabilistic rounding
+    leaves the total off by O(sqrt(#keys))).
+
+    Scale shape: the corpus-sized work is the upstream per-key weight
+    aggregate; everything here runs over the #keys-sized table — one
+    1-row total broadcast, one remainder-rank window, pure integer
+    arithmetic (``slots * w`` must fit BIGINT: feed coarser weight
+    units when slots * W approaches 2^63).  Returns
+    (key, weight, base_quota, extra, quota)."""
+    tot = weights.agg(
+        F.sum(weight_col).cast("bigint").alias("big_w"))
+    base = (
+        weights.select(F.col(key_col).alias("key"),
+                       F.col(weight_col).cast("bigint").alias("weight"))
+        .crossJoin(F.broadcast(tot))  # 1-row grand total
+        .select(
+            "key", "weight",
+            F.expr(f"({total_slots} * weight) div big_w")
+            .cast("bigint").alias("base_quota"),
+            F.expr(f"({total_slots} * weight) % big_w")
+            .cast("bigint").alias("rem"),
+        )
+    )
+    leftover = (F.lit(total_slots)
+                - F.sum("base_quota").over(Window.partitionBy()))
+    ranked = base.select(
+        "key", "weight", "base_quota",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("key"))).alias("rk"),
+        leftover.cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "key", "weight", "base_quota",
+        F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        .cast("bigint").alias("extra"),
+        (F.col("base_quota")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint").alias("quota"),
+    )

@@ -104,9 +104,10 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph,
-    top-``top`` nodes by participation (ties broken on node id).
+def per_node_triangles(edges: DataFrame) -> DataFrame:
+    """Full per-node triangle participation counts (node_id,
+    n_triangles) — node-sized, eagerly materialized; only nodes in at
+    least one triangle appear.
 
     ``edges``: (u long, v long) with u < v, deduplicated — one row per
     undirected edge.
@@ -166,15 +167,60 @@ def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .select(F.col("n").cast("bigint").alias("node_id"),
                 F.col("n_triangles").cast("bigint").alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), F.asc("node_id"))
-        .limit(top)
-        # materialize the (<= top)-row answer eagerly so the cached
+        # materialize the node-sized answer eagerly so the cached
         # oriented edge list can be released NOW instead of leaking
         # for the session lifetime across a multi-hundred-query run
         .localCheckpoint(eager=True)
     )
     oriented.unpersist()
     return result
+
+
+def triangle_participation(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Top-``top`` nodes by triangle participation (ties broken on
+    node id) — the reporting head over :func:`per_node_triangles`."""
+    return (
+        per_node_triangles(edges)
+        .orderBy(F.desc("n_triangles"), F.asc("node_id"))
+        .limit(top)
+    )
+
+
+def local_clustering(
+    edges: DataFrame, min_deg: int = 5, top: int = 20
+) -> DataFrame:
+    """Local clustering coefficient per node —
+    ``2 * triangles / (deg * (deg - 1))`` — for nodes with degree >=
+    ``min_deg``, top-``top`` by coefficient (ties on node id).
+
+    Composition of two node-sized tables: degrees and
+    :func:`per_node_triangles` (whose wedge join is the only
+    corpus-sized work, arboricity-bounded).  Nodes in no triangle get
+    coefficient 0 via the left join; the coefficient is one exact
+    integer ratio evaluated as a fixed IEEE division, identical to the
+    SQL twin.  ``2 * tri`` is bounded by deg² per node, far from
+    BIGINT limits at any real degree."""
+    deg = degrees(edges)
+    tri = per_node_triangles(edges)
+    j = (
+        deg.filter(F.col("deg") >= min_deg)
+        .select(F.col("n").cast("bigint").alias("node_id"),
+                F.col("deg").cast("bigint").alias("deg"))
+        .join(tri, "node_id", "left")
+        .select(
+            "node_id", "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint").alias("n_triangles"),
+        )
+    )
+    coef = ((F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"))
+    return (
+        j.select("node_id", "deg", "n_triangles",
+                 coef.alias("clustering"))
+        .orderBy(F.desc("clustering"), F.asc("node_id"))
+        .limit(top)
+    )
 
 
 def bfs_hops(

@@ -363,3 +363,89 @@ def gini_grouped(
          / (F.col("n").cast("double") * F.col("total").cast("double")))
         .alias("gini"),
     )
+
+
+def weighted_median_grouped(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value v such that
+    the cumulative weight through v reaches half the group's total
+    weight (``2 * cumw >= totw`` — the deterministic integer rule, no
+    midpoint averaging, so the result is always an observed value and
+    identical across engines).
+
+    Scale shape: the corpus-sized work is ONE (group, value)-keyed
+    aggregate collapsing rows to per-value weight sums (domain-bounded
+    for fixed-precision units); the cumulative window then runs
+    per-group over that collapsed table, partitioned on the group key.
+    Values and weights must be integers; everything stays BIGINT.
+    Returns (grp, totw, n_values, median)."""
+    per_v = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.sum(weight_col).cast("bigint").alias("w"))
+    win = (Window.partitionBy("grp").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select(
+        "grp", "v", "w",
+        F.sum("w").over(win).cast("bigint").alias("cumw"),
+        F.sum("w").over(Window.partitionBy("grp"))
+        .cast("bigint").alias("totw"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp"))
+        .cast("bigint").alias("n_values"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("grp", "totw", "n_values")
+        .agg(F.min("v").cast("bigint").alias("median"))
+    )
+
+
+def corr_pairs_integer(
+    df: DataFrame, cols: dict[str, "F.Column"]
+) -> DataFrame:
+    """Pairwise Pearson correlations over named INTEGER measures via
+    one aggregate of sufficient statistics (n, sums, sums of squares,
+    cross sums — all exact BIGINTs under any partitioning), unpivoted
+    to one row per unordered pair.
+
+    The correlation uses the CENTERED form
+    ``(sab - sa*sb/n) / (sqrt(saa - sa^2/n) * sqrt(sbb - sb^2/n))``
+    — a fixed IEEE tree whose integer inputs never need the ``n *``
+    products of the textbook form, so BIGINT headroom is governed by
+    the raw sums alone (sum of x² must fit 2^63: with values <= 10^5
+    that is ~1e9 rows; feed coarser units or DECIMAL sums beyond).
+    Corpus cost is ONE map-side-combinable pass regardless of the
+    number of measures.  Returns
+    (pair, n, sa, sb, saa, sbb, sab, corr)."""
+    names = list(cols)
+    proj = df.select(*[expr.alias(k) for k, expr in cols.items()])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in names:
+        aggs.append(F.sum(F.col(k)).cast("bigint").alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).cast("bigint")
+                    .alias(f"ss_{k}"))
+    pairs = [(a, b) for i, a in enumerate(names)
+             for b in names[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("bigint")
+                    .alias(f"sx_{a}_{b}"))
+    g = proj.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}~{b}', s_{a}, s_{b}, ss_{a}, ss_{b}, sx_{a}_{b}"
+        for a, b in pairs)
+    wide = g.select(
+        "n",
+        F.expr(f"stack({len(pairs)}, {stack}) "
+               "AS (pair, sa, sb, saa, sbb, sab)"))
+    nd = F.col("n").cast("double")
+    ca = F.col("saa").cast("double") - (F.col("sa").cast("double")
+                                        * F.col("sa").cast("double")) / nd
+    cb = F.col("sbb").cast("double") - (F.col("sb").cast("double")
+                                        * F.col("sb").cast("double")) / nd
+    cab = F.col("sab").cast("double") - (F.col("sa").cast("double")
+                                         * F.col("sb").cast("double")) / nd
+    return wide.select(
+        "pair", "n", "sa", "sb", "saa", "sbb", "sab",
+        F.when((ca > 0) & (cb > 0),
+               cab / (F.sqrt(ca) * F.sqrt(cb))).alias("corr"),
+    )

@@ -281,6 +281,7 @@ def _load_all() -> None:
         wave8,
         wave9,
         wave10,
+        wave11,
     )
     _reorder()
     _loaded = True

@@ -68,6 +68,9 @@ ALLOW = {
         "events_cusum_drift": "1-row (sum, count) mean broadcast",
         "stats_ks_priority_price": "1-row sample-totals broadcast + "
                                    "1-row argmax join",
+        "basket_association_pairs": "1-row basket-total broadcast "
+                                    "(minsup prune + ppm metrics)",
+        "corpus_quota_apportion": "1-row weight-total broadcast",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -99,6 +102,8 @@ ALLOW = {
         "corpus_gini_doclen": "Lorenz window over the length-bucket "
                               "aggregate (domain-bounded rows, never "
                               "the documents table)",
+        "corpus_quota_apportion": "remainder-rank window over the "
+                                  "#sources-sized table",
     },
     "cartesian_product": {},
     "python_udf": {},
