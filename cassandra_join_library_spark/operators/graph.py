@@ -26,7 +26,7 @@ Semantics notes (documented variants of the textbook algorithm):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 INIT_MICRO = 1_000_000
@@ -530,4 +530,48 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             num.cast("double")
             / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))))
         .alias("assortativity"),
+    )
+
+
+def rich_club(edges: DataFrame, pct: int = 90) -> DataFrame:
+    """Rich-club coefficient: among nodes whose degree exceeds the
+    ``pct``-th percentile degree, the fraction of possible edges that
+    exist — the single number that says whether hubs form a clique
+    (and therefore whether hub-mitigation strategies like salting are
+    load-bearing for the join plans over this graph).
+
+    The percentile threshold is the exact lower integer percentile
+    from the degree CDF (smallest degree with ``100 * cum >= pct * n``
+    — deterministic, identical in SQL).  The degree table is
+    node-sized, its distinct-degree CDF domain-bounded; the rich set
+    is then broadcast-joined against the edge list (one corpus-sized
+    pass), and the coefficient is one fixed IEEE division.  Returns
+    one row: (deg_threshold, n_rich, m_rich, phi)."""
+    deg = degrees(edges)
+    per_d = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("deg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = per_d.select(
+        "deg", F.sum("c").over(w).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"))
+    thr = (cum.filter(100 * F.col("cum") >= pct * F.col("n"))
+           .agg(F.min("deg").cast("bigint").alias("deg_threshold")))
+    rich = (deg.crossJoin(F.broadcast(thr))  # 1-row threshold
+            .filter(F.col("deg") > F.col("deg_threshold"))
+            .select(F.col("n").alias("node")))
+    m_rich = (
+        edges.join(rich.withColumnRenamed("node", "u"), "u")
+        .join(rich.withColumnRenamed("node", "v"), "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_rich"))
+    )
+    n_rich = rich.agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    out = (thr.crossJoin(F.broadcast(n_rich))
+           .crossJoin(F.broadcast(m_rich)))
+    return out.select(
+        "deg_threshold", "n_rich", "m_rich",
+        F.when(F.col("n_rich") >= 2,
+               (F.lit(2) * F.col("m_rich")).cast("double")
+               / (F.col("n_rich") * (F.col("n_rich") - 1)).cast("double"))
+        .alias("phi"),
     )

@@ -469,3 +469,70 @@ def parse_png_metadata(df: DataFrame, id_col: str,
         guard(be_at(25, 1)).alias("bit_depth"),
         guard(be_at(26, 1)).alias("color_type"),
     )
+
+
+def pcm_silence_runs(df: DataFrame, id_col: str,
+                     payload_col: str = "payload",
+                     threshold: int = 4096) -> DataFrame:
+    """Silence segmentation over the WAV data chunk: run-length
+    statistics of samples with ``|v| < threshold`` — count of silent
+    samples, number of silence runs, and the longest run, straight
+    from the bytes (the voice-activity-detection front end of an audio
+    curation pipeline, minus the codec).
+
+    Same array-first decode as :func:`pcm_stats`; the run-length scan
+    is ONE ``aggregate`` fold per row carrying (prev, cur, best,
+    runs, tot) integer state — map-only, embarrassingly parallel, no
+    per-sample shuffle.  The SQL twin unnests the sample list and
+    replays the runs with document-partitioned windows — different
+    plan, identical integers.  Returns
+    (id, n_samples, n_silent, n_runs, longest_run)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    with_n = df.select(
+        F.col(id_col), hx.alias("h"),
+        (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
+    )
+    s_i = (
+        "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
+        " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
+    )
+    signed = (f"CAST({s_i} AS BIGINT) - "
+              f"(CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)")
+    samples = (
+        f"transform(sequence(0, int(n_samples) - 1), i -> {signed})"
+    )
+    # cur' = sil ? cur + 1 : 0 appears twice (cur and best); the fold
+    # state is 4 small integers regardless of sample count
+    cur_new = (f"(CASE WHEN abs(v) < {threshold} "
+               "THEN acc.cur + 1 ELSE 0 END)")
+    agg = (
+        f"aggregate({samples}, "
+        " named_struct('cur', 0L, 'best', 0L, 'runs', 0L, 'tot', 0L), "
+        " (acc, v) -> named_struct("
+        f"  'cur', {cur_new}, "
+        f"  'best', greatest(acc.best, {cur_new}), "
+        f"  'runs', acc.runs + (CASE WHEN abs(v) < {threshold} "
+        "            AND acc.cur = 0 THEN 1 ELSE 0 END), "
+        f"  'tot', acc.tot + (CASE WHEN abs(v) < {threshold} "
+        "            THEN 1 ELSE 0 END)))"
+    )
+    return (
+        with_n.select(F.col(id_col), "n_samples",
+                      F.expr(agg).alias("st"))
+        .select(
+            F.col(id_col), "n_samples",
+            F.col("st.tot").cast("bigint").alias("n_silent"),
+            F.col("st.runs").cast("bigint").alias("n_runs"),
+            F.col("st.best").cast("bigint").alias("longest_run"),
+        )
+    )

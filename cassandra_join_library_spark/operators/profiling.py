@@ -560,3 +560,55 @@ def t_closeness(df: DataFrame, qi_cols: "list[str]",
          / (F.lit(2.0) * F.col("n_g").cast("double")
             * F.col("n_total").cast("double"))).alias("tvd"),
     )
+
+
+def generalize_to_k(
+    df: DataFrame,
+    cat_col: str,
+    num_col: str,
+    widths: "list[int]",
+    k: int = 5,
+) -> DataFrame:
+    """Minimal-generalization search for k-anonymity: for each
+    candidate bucket width over the numeric quasi-identifier (the
+    categorical one kept as-is), the equivalence-class profile
+    (group count, minimum class size, whether k is met) and a flag on
+    the SMALLEST width that achieves k — the generalization a privacy
+    pipeline would publish at.
+
+    Scale shape: ONE corpus-sized aggregate at the finest width; every
+    coarser width re-aggregates the finest bucket table (coarser
+    buckets are unions of finer ones when widths are nested
+    multiples), so corpus cost is a single pass no matter how many
+    widths are probed.  ``widths`` must be ascending and each a
+    multiple of the first.  All integers.  Returns one row per width:
+    (width, n_classes, min_class, achieves_k, chosen)."""
+    from pyspark.sql import Window
+
+    base_w = widths[0]
+    fine = df.groupBy(
+        F.col(cat_col).alias("cat"),
+        F.expr(f"{num_col} div {base_w}").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_width = None
+    for w in widths:
+        assert w % base_w == 0, "widths must nest"
+        prof = (
+            fine.groupBy("cat",
+                         F.expr(f"b div {w // base_w}").alias("bw"))
+            .agg(F.sum("c").cast("bigint").alias("cc"))
+            .agg(F.lit(w).cast("bigint").alias("width"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                 F.min("cc").cast("bigint").alias("min_class"))
+        )
+        per_width = prof if per_width is None \
+            else per_width.unionByName(prof)
+    flagged = per_width.select(
+        "*", (F.col("min_class") >= k).alias("achieves_k"))
+    best = F.min(F.when(F.col("achieves_k"), F.col("width"))).over(
+        Window.partitionBy())
+    return flagged.select(
+        "width", "n_classes", "min_class", "achieves_k",
+        F.coalesce(F.col("width") == best, F.lit(False))
+        .alias("chosen"),
+    )

@@ -449,3 +449,44 @@ def corr_pairs_integer(
         F.when((ca > 0) & (cb > 0),
                cab / (F.sqrt(ca) * F.sqrt(cb))).alias("corr"),
     )
+
+
+def did_2x2(
+    df: DataFrame, variant_col: str, period_col: str, value_col: str
+) -> DataFrame:
+    """Difference-in-differences readout over a 2x2 (variant,
+    period) design: per-cell trial counts and integer-value sums, the
+    four rounded per-cell means in micro-units, and the DiD estimate
+    ``(m11 - m10) - (m01 - m00)`` — treatment lift net of the secular
+    trend.
+
+    ``variant_col``/``period_col`` must be 0/1; ``value_col`` an
+    integer unit (cents).  One map-side-combinable aggregate; the
+    means use the repo's rounded integer division so the estimate is
+    a pure BIGINT, identical in SQL.  ``1e6 * sum`` must fit BIGINT
+    (sum < 9.2e12 — switch to milli-unit means beyond).  Returns one
+    row: (n00..n11, s00..s11, m00..m11 micro, did_micro)."""
+    cells = []
+    for v in (0, 1):
+        for p in (0, 1):
+            tag = f"{v}{p}"
+            cond = (F.col(variant_col) == v) & (F.col(period_col) == p)
+            cells.append(F.sum(F.when(cond, 1).otherwise(0))
+                         .cast("bigint").alias(f"n{tag}"))
+            cells.append(F.sum(F.when(cond, F.col(value_col))
+                               .otherwise(0))
+                         .cast("bigint").alias(f"s{tag}"))
+    agg = df.agg(*cells)
+    means = [
+        F.when(F.col(f"n{t}") > 0,
+               F.expr(_RDIV.format(a=f"1000000 * s{t}", b=f"n{t}")))
+        .cast("bigint").alias(f"m{t}")
+        for t in ("00", "01", "10", "11")
+    ]
+    out = agg.select("*", *means)
+    return out.select(
+        "*",
+        ((F.col("m11") - F.col("m10"))
+         - (F.col("m01") - F.col("m00"))).cast("bigint")
+        .alias("did_micro"),
+    )

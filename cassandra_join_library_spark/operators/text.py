@@ -616,3 +616,65 @@ SELECT {id_col},
               CAST(c.b - c.chunk_start + 1 AS INT)) AS chunk_text
 FROM ch
 """
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_stopwords: int = 10,
+    top: int = 20,
+) -> DataFrame:
+    """RAKE-style keyword scoring with a DATA-DRIVEN stopword list:
+    the ``n_stopwords`` most frequent corpus words (ties on the word)
+    play the stopword role, candidate phrases are the maximal runs of
+    non-stop words between them, and each word scores
+    ``degree = Σ len(phrase)`` over the phrases containing it, with
+    ``ratio = degree / freq`` (the RAKE ranking signal) as one fixed
+    IEEE division over exact integer counts.
+
+    Scale shape: the stopword list is one bounded corpus aggregate
+    broadcast everywhere; phrase segmentation is a per-document
+    running count of stopword boundaries (document-partitioned
+    window, never global); both score terms are map-side-combinable
+    aggregates.  Returns top-``top`` (word, freq, degree, ratio) by
+    (degree, word)."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " "))
+        .alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    stop = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(n_stopwords)
+        .select("word", F.lit(1).alias("is_stop"))
+    )
+    marked = words.join(F.broadcast(stop), "word", "left")
+    w = Window.partitionBy("doc").orderBy("pos")
+    seg = marked.select(
+        "doc", "word", "is_stop",
+        F.sum(F.coalesce("is_stop", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("phrase_id"),
+    ).filter(F.col("is_stop").isNull())
+    phrase_len = seg.groupBy("doc", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen"))
+    scored = (
+        seg.join(phrase_len, ["doc", "phrase_id"])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"),
+             F.sum("plen").cast("bigint").alias("degree"))
+    )
+    return (
+        scored.select(
+            "word", "freq", "degree",
+            (F.col("degree").cast("double")
+             / F.col("freq").cast("double")).alias("ratio"),
+        )
+        .orderBy(F.desc("degree"), F.asc("word"))
+        .limit(top)
+    )

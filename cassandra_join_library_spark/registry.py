@@ -282,6 +282,7 @@ def _load_all() -> None:
         wave9,
         wave10,
         wave11,
+        wave12,
     )
     _reorder()
     _loaded = True

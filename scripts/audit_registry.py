@@ -71,6 +71,7 @@ ALLOW = {
         "basket_association_pairs": "1-row basket-total broadcast "
                                     "(minsup prune + ppm metrics)",
         "corpus_quota_apportion": "1-row weight-total broadcast",
+        "graph_rich_club": "1-row threshold/count broadcasts",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -104,6 +105,12 @@ ALLOW = {
                               "the documents table)",
         "corpus_quota_apportion": "remainder-rank window over the "
                                   "#sources-sized table",
+        "graph_rich_club": "degree-CDF window over the distinct-"
+                           "degree table (domain-bounded)",
+        "corpus_zipf_audit": "rank window over the vocabulary "
+                             "aggregate (vocab-bounded)",
+        "privacy_generalize_to_k": "chosen-width window over the "
+                                   "#widths-sized profile table",
     },
     "cartesian_product": {},
     "python_udf": {},
