@@ -792,3 +792,66 @@ def tf_cosine_pairs(
         .filter(cos >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine_tf"))
     )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs with PORTABLE hashing: 60-bit
+    md5-prefix hashes (``conv(substr(md5(i || ':' || shingle), 1,
+    15), 16, 10)``) that any SQL engine reproduces bit-for-bit — the
+    oracle-able sibling of :func:`minhash_lsh_pairs` (whose xxhash64
+    is JVM-only), and the variant whose ``rows_per_band > 1``
+    candidate recall is genuinely < 1, so LSH quality can be AUDITED
+    against the exact pair set.
+
+    Bands of ``rows_per_band`` consecutive minhashes join directly on
+    their value tuple (no second-level bucket hash needed — the tuple
+    IS the key).  Candidates are returned UNVERIFIED (doc_a < doc_b,
+    distinct); callers verify against exact Jaccard as needed.  Same
+    posting-list shape as the fast path: tall (doc, hash-index,
+    minhash) aggregate, band pivot, self-join on band key — never the
+    n² pair space."""
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    sh = shingles(df, id_col, text_col, n)
+    hash_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.expr(
+                f"conv(substr(md5(concat('{i}', ':', shingle)), 1, 15),"
+                " 16, 10)"
+            ).cast("bigint").alias("h"),
+        )
+        for i in range(num_hashes)
+    ])
+    mh = (
+        sh.select("doc", F.explode(hash_structs).alias("x"))
+        .groupBy("doc", F.col("x.i").alias("i"))
+        .agg(F.min("x.h").alias("h"))
+    )
+    bands = mh.groupBy(
+        "doc", (F.col("i") / rows_per_band).cast("int").alias("band")
+    ).agg(*[
+        F.min(F.when(F.col("i") % rows_per_band == r, F.col("h")))
+        .alias(f"h{r}")
+        for r in range(rows_per_band)
+    ])
+    a, b = bands.alias("a"), bands.alias("b")
+    key = [F.col(f"a.h{r}") == F.col(f"b.h{r}")
+           for r in range(rows_per_band)]
+    cond = (F.col("a.band") == F.col("b.band"))
+    for k in key:
+        cond = cond & k
+    return (
+        a.join(b, cond & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

@@ -68,3 +68,24 @@ def refresh_view(view: DataFrame, delta: DataFrame,
          + F.coalesce(F.col("_dt"), F.lit(0).cast(DEC))).alias("total"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def join_view_delta(a0: DataFrame, da: DataFrame,
+                    b0: DataFrame, db: DataFrame,
+                    keys: "list[str]") -> DataFrame:
+    """Delta maintenance for an inner-join view J = A ⋈ B under
+    insert deltas on BOTH sides: the classic three-term expansion
+
+        ΔJ = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (with A = A₀ ∪ ΔA, B = B₀ ∪ ΔB).  The stored view is never
+    rejoined — each term has at least one delta-sized side, which is
+    broadcast, so refresh cost is O(|ΔA| + |ΔB|) probes of the big
+    sides, not a fact⋈fact shuffle.  Deletes follow the same algebra
+    with signed rows (see the aggregate IVM above).  Returns ΔJ; the
+    refreshed view is ``view.unionByName(ΔJ)``."""
+    return (
+        F.broadcast(da).join(b0, keys)
+        .unionByName(a0.join(F.broadcast(db), keys))
+        .unionByName(F.broadcast(da).join(db, keys))
+    )

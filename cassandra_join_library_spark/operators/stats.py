@@ -490,3 +490,59 @@ def did_2x2(
          - (F.col("m01") - F.col("m00"))).cast("bigint")
         .alias("did_micro"),
     )
+
+
+def nearest_value_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """For each row, its ``k`` nearest OTHER rows by value within the
+    group — EXACT via the sorted-neighborhood identity: in value
+    order, the k nearest values of a row are always among its 2k
+    positional neighbors, so 2k LAG/LEADs per row replace the
+    quadratic theta self-join entirely.
+
+    One group-partitioned window sort is the only corpus-sized work;
+    fanout is a fixed 2k per row, then a per-row rank keeps k.  Ties
+    on distance break by (neighbor value, neighbor id) — fully
+    deterministic, identical in SQL.  Integer values; distance stays
+    BIGINT.  Returns (grp, id, value, neighbor_id, neighbor_value,
+    dist, rk)."""
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    # window expressions are not allowed inside a generator input:
+    # project the 2k neighbor structs first, then explode the array
+    nbrs = [
+        off(F.struct(F.col("v").alias("nv"), F.col("id").alias("nid")),
+            j).over(w).alias(f"nb_{j}_{off.__name__}")
+        for j in range(1, k + 1) for off in (F.lag, F.lead)
+    ]
+    projected = base.select("grp", "id", "v", *nbrs)
+    nb_cols = [f"nb_{j}_{off}" for j in range(1, k + 1)
+               for off in ("lag", "lead")]
+    exploded = (
+        projected.select(
+            "grp", "id", "v",
+            F.explode(F.array(*[F.col(c) for c in nb_cols])).alias("nb"))
+        .filter(F.col("nb").isNotNull() & F.col("nb.nid").isNotNull())
+        .select("grp", "id", "v",
+                F.col("nb.nid").alias("neighbor_id"),
+                F.col("nb.nv").alias("neighbor_value"),
+                F.abs(F.col("v") - F.col("nb.nv")).alias("dist"))
+    )
+    rw = Window.partitionBy("grp", "id").orderBy(
+        "dist", "neighbor_value", "neighbor_id")
+    return (
+        exploded.select(
+            "grp", "id", F.col("v").alias("value"),
+            "neighbor_id", "neighbor_value", "dist",
+            F.row_number().over(rw).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= k)
+    )

@@ -283,6 +283,7 @@ def _load_all() -> None:
         wave10,
         wave11,
         wave12,
+        wave13,
     )
     _reorder()
     _loaded = True

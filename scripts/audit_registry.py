@@ -72,6 +72,9 @@ ALLOW = {
                                     "(minsup prune + ppm metrics)",
         "corpus_quota_apportion": "1-row weight-total broadcast",
         "graph_rich_club": "1-row threshold/count broadcasts",
+        "corpus_class_balance_downsample": "1-row minority-size "
+                                           "broadcast",
+        "dedup_lsh_recall_audit": "three 1-row pair-count broadcasts",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
