@@ -119,3 +119,43 @@ def _bpe_ctes(n_merges: int, top_words: int,
   WHERE k2.pos IS NULL
 )""")
     return parts
+
+
+def bpe_fertility_sql(n_merges: int = 8, top_words: int = 2000,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      class_col: str = "lang") -> str:
+    """Oracle for per-class BPE fertility: tokens-per-word under the
+    trained symbol table, aggregated by ``class_col`` (rounded ppm
+    ratio — the tokenizer-efficiency readout per language)."""
+    parts = _bpe_ctes(n_merges, top_words, table, text_col)
+    parts.append(f"""vocab_tok AS MATERIALIZED (
+  SELECT wd.word, CAST(COUNT(*) AS BIGINT) AS n_sym
+  FROM w{n_merges} w JOIN wids wd ON wd.wid = w.wid
+  GROUP BY wd.word
+)""")
+    parts.append(f"""doc_words AS MATERIALIZED (
+  SELECT {id_col}, {class_col}, word FROM (
+    SELECT {id_col}, {class_col},
+           unnest(string_split(lower({text_col}), ' ')) AS word
+    FROM {table})
+  WHERE regexp_matches(word, '^[a-z]+$')
+)""")
+    rdiv = ("((1000000 * n_bpe_tokens) // (n_words)) + "
+            "(CASE WHEN 2 * ((1000000 * n_bpe_tokens) % (n_words)) "
+            ">= (n_words) THEN 1 ELSE 0 END)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+, per_class AS (
+  SELECT d.{class_col} AS class,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(coalesce(v.n_sym, length(d.word) + 1)) AS BIGINT)
+           AS n_bpe_tokens
+  FROM doc_words d LEFT JOIN vocab_tok v ON v.word = d.word
+  GROUP BY 1
+)
+SELECT class, n_words, n_bpe_tokens,
+       CAST({rdiv} AS BIGINT) AS fertility_ppm
+FROM per_class"""
+    )

@@ -284,6 +284,7 @@ def _load_all() -> None:
         wave11,
         wave12,
         wave13,
+        wave14,
     )
     _reorder()
     _loaded = True

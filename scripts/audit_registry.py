@@ -114,6 +114,9 @@ ALLOW = {
                              "aggregate (vocab-bounded)",
         "privacy_generalize_to_k": "chosen-width window over the "
                                    "#widths-sized profile table",
+        "lineitem_abc_analysis": "cumulative-revenue window over the "
+                                 "part-level aggregate (dimension-"
+                                 "sized, never the fact table)",
     },
     "cartesian_product": {},
     "python_udf": {},
