@@ -497,11 +497,13 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     that decides whether the wedge joins need hub mitigation.
 
     Integer-exact sufficient statistics (one aggregate over the
-    degree-annotated edge list); r is a fixed IEEE tree.  The two
-    variance terms are sqrt'ed SEPARATELY — their product would
-    overflow BIGINT long before the individual terms do (each stays
-    under 2^53 up to ~1e8 edges at degree ~200; beyond that feed
-    DECIMAL sums).  Returns one row:
+    degree-annotated edge list); r is then the CENTERED fixed IEEE
+    tree ``(sxy - sx*sy/m) / (sqrt(sxx - sx²/m) * sqrt(syy -
+    sy²/m))`` — the double divisions happen before any cross-product,
+    so BIGINT headroom is governed by the raw sums alone (the
+    textbook ``m*sxy`` form overflowed int64 on the sf1 co-purchase
+    graph — measured, fixed; the raw sums stay under 2^63 to ~1e12
+    edge-ends at degree ~1000).  Returns one row:
     (m, sxy, sx, sxx, sy, syy, assortativity)."""
     deg = degrees(edges)
     both = edges.unionByName(
@@ -520,15 +522,17 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.sum("dv").cast("bigint").alias("sy"),
         F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("syy"),
     )
-    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    d1 = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    d2 = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    md = F.col("m").cast("double")
+    num = (F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double") / md)
+    d1 = (F.col("sxx").cast("double")
+          - F.col("sx").cast("double") * F.col("sx").cast("double") / md)
+    d2 = (F.col("syy").cast("double")
+          - F.col("sy").cast("double") * F.col("sy").cast("double") / md)
     return agg.select(
         "m", "sxy", "sx", "sxx", "sy", "syy",
-        F.when(
-            (d1 > 0) & (d2 > 0),
-            num.cast("double")
-            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))))
+        F.when((d1 > 0) & (d2 > 0),
+               num / (F.sqrt(d1) * F.sqrt(d2)))
         .alias("assortativity"),
     )
 

@@ -125,17 +125,18 @@ def autocorr_integer(
 def ols_per_group(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
-    """Closed-form simple linear regression per group:
-    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``, intercept from the
-    means.  x and y must be INTEGER columns (cents/micro-units) so
-    the five sufficient statistics are exact BIGINT sums under any
-    partitioning; slope/intercept are then a fixed two-division IEEE
-    tree over exact integers.  One map-side-combinable aggregate —
-    the 100 TB cost is a single pass, state is 5 numbers per group.
-
-    Magnitude guard: n*Sxy must stay under 2^63 (and under 2^53 for
-    the exact double cast) — for corpus-scale runs feed values in
-    coarser units (cents, not micro) or pre-aggregate per key."""
+    """Closed-form simple linear regression per group, in the
+    CENTERED form ``slope = (Sxy - Sx*Sy/n) / (Sxx - Sx^2/n)`` —
+    the double divisions happen BEFORE any cross-product, so BIGINT
+    headroom is governed by the raw sums alone (the textbook
+    ``n*Sxy`` form overflowed int64 at ~6M cent-valued rows per
+    group — measured at sf1, fixed here; same centered trick as
+    :func:`corr_pairs_integer`).  x and y must be INTEGER columns
+    (cents/micro-units) so the five sufficient statistics are exact
+    BIGINT sums under any partitioning; slope/intercept are then one
+    FIXED IEEE tree both engines evaluate identically.  One
+    map-side-combinable aggregate — the 100 TB cost is a single
+    pass, state is 5 numbers per group."""
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col(x_col)).cast("bigint").alias("sx"),
@@ -143,14 +144,16 @@ def ols_per_group(
         F.sum(F.col(x_col) * F.col(y_col)).cast("bigint").alias("sxy"),
         F.sum(F.col(x_col) * F.col(x_col)).cast("bigint").alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = F.when(
-        den != 0, num.cast("double") / den.cast("double"))
+    nd = F.col("n").cast("double")
+    num = (F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double") / nd)
+    den = (F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double") / nd)
+    slope = F.when(den != 0, num / den)
     intercept = F.when(
         den != 0,
-        (F.col("sy").cast("double")
-         - slope * F.col("sx").cast("double")) / F.col("n").cast("double"))
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / nd)
     return g.select("grp", "n", "sx", "sy", "sxy", "sxx",
                     slope.alias("slope"), intercept.alias("intercept"))
 
@@ -237,13 +240,13 @@ def phi_binary(
 ) -> DataFrame:
     """Phi coefficient (Pearson correlation of two 0/1 features):
     the 2x2 cell counts and
-    ``phi = (n11*n00 - n10*n01) / sqrt(r1*r0*c1*c0)`` — the feature
-    co-occurrence screen a pipeline runs before treating signals as
-    independent.  One map-side-combinable aggregate; the marginal
-    product stays under 2^63 up to ~55k rows per marginal^4 — at
-    corpus scale sqrt the marginals separately (same pattern as
-    degree_assortativity).  NULL phi on a degenerate marginal.
-    Returns one row per call."""
+    ``phi = (n11*n00 - n10*n01) / (sqrt(r1*r0) * sqrt(c1*c0))`` —
+    the feature co-occurrence screen a pipeline runs before treating
+    signals as independent.  One map-side-combinable aggregate; the
+    marginals are sqrt'ed in PAIRS (the single 4-way product
+    overflowed int64 at ~55k rows — measured at sf1, fixed here; the
+    pairwise products stay under 2^63 to ~3e9 rows).  NULL phi on a
+    degenerate marginal.  Returns one row per call."""
     agg = df.agg(
         F.sum(F.when((F.col(a_col) == 1) & (F.col(b_col) == 1), 1)
               .otherwise(0)).cast("bigint").alias("n11"),
@@ -259,12 +262,14 @@ def phi_binary(
     c1 = F.col("n11") + F.col("n01")
     c0 = F.col("n10") + F.col("n00")
     num = F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")
-    den = r1 * r0 * c1 * c0
+    dr = r1 * r0
+    dc = c1 * c0
     return agg.select(
         F.lit(pair_name).alias("pair"),
         "n11", "n10", "n01", "n00",
-        F.when(den > 0,
-               num.cast("double") / F.sqrt(den.cast("double")))
+        F.when((dr > 0) & (dc > 0),
+               num.cast("double")
+               / (F.sqrt(dr.cast("double")) * F.sqrt(dc.cast("double"))))
         .alias("phi"),
     )
 

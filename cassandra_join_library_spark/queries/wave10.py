@@ -106,10 +106,21 @@ d AS MATERIALIZED (
   FROM ed
 )
 SELECT m, sxy, sx, sxx, sy, syy,
-       CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
-            THEN CAST(m * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(m AS DOUBLE)) > 0
+             AND (CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(m AS DOUBLE)) > 0
+            THEN (CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(m AS DOUBLE))
+                 / (sqrt(CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(m AS DOUBLE))
+                    * sqrt(CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(m AS DOUBLE)))
        END AS assortativity
 FROM a
 """)
@@ -123,11 +134,12 @@ def graph_assortativity(spark, sf_dir):
     return degree_assortativity(_copurchase_edges(spark, sf_dir))
 
 
-_PHI_CASE = """CASE WHEN (n11 + n10) * (n01 + n00) * (n11 + n01)
-                    * (n10 + n00) > 0
+_PHI_CASE = """CASE WHEN (n11 + n10) * (n01 + n00) > 0
+                AND (n11 + n01) * (n10 + n00) > 0
      THEN CAST(n11 * n00 - n10 * n01 AS DOUBLE)
-          / sqrt(CAST((n11 + n10) * (n01 + n00) * (n11 + n01)
-                      * (n10 + n00) AS DOUBLE)) END AS phi"""
+          / (sqrt(CAST((n11 + n10) * (n01 + n00) AS DOUBLE))
+             * sqrt(CAST((n11 + n01) * (n10 + n00) AS DOUBLE)))
+     END AS phi"""
 
 
 def _phi_agg_sql(a: str, b: str, name: str) -> str:

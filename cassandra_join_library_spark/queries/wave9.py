@@ -277,13 +277,25 @@ WITH xy AS (
   FROM xy GROUP BY 1
 )
 SELECT grp, n, sx, sy, sxy, sxx,
-       CASE WHEN n * sxx - sx * sx <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
-       CASE WHEN n * sxx - sx * sx <> 0
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)) <> 0
+            THEN (CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) END AS slope,
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)) <> 0
             THEN (CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                  - ((CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE)))
                     * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE) END AS intercept
 FROM g
