@@ -104,20 +104,50 @@ _loaded = False
 #     gram, PageRank, IVM, k-anonymity, cluster balance, as-of
 #     tolerance, skew/FK audits), kmeans_clusters, and 12 round-7
 #     wave-4 queries — CORRECTNESS_r07: 50/50 green.
-#   round 8 (this order): _ROUND8_FRONT below — the 21 round-7
-#     wave-5/6/7/8 queries that landed past the r07 front-50 (the only
-#     oracled queries without driver evidence), then 29 deliberate
-#     regression re-grades chosen oldest-first: the r01/r02 relational
-#     core (join_*, theta_*, filter_algebra, projection, TPC-H heads,
-#     agg_cube/grouping_sets, bloom_prefilter_join), whose only green
-#     rows are 6+ rounds old.  Once CORRECTNESS_r08 is green, EVERY
-#     oracled query registered through round 7 has a driver-green row
-#     and rounds 9+ rotate pure regression coverage (oldest-first)
-#     plus any new-wave additions.
+#   round 8: NOT GRADED — no CORRECTNESS_r08.json was delivered, so
+#     the _ROUND8_FRONT below (21 round-7 wave-5/6/7/8 queries + 29
+#     oldest-first regression re-grades) banked nothing.  Round 8
+#     also added 48 wave-9..14 queries, widening the never-graded
+#     pool to 69.
+#   round 9 (this order): _ROUND9_FRONT below — the same 21 wave-5/8
+#     queries (still the oldest never-graded), then 29 of the round-8
+#     wave-9..12 additions.  The regression re-grades planned for r08
+#     yield their slots: with 69 zero-evidence oracled queries, first
+#     evidence outranks re-grades (they return once the never-graded
+#     pool drains — likely r11).
+#   queued for round 10: the remaining 19 wave-12/13/14 names plus
+#     any round-9 additions, then the r01/r02 regression re-grades.
 #   banked (driver-green, regression pool): _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
-#     registration order.  Round-8 wave-9+ additions queue behind the
-#     front for the r09 window.
+#     registration order.
+_ROUND9_FRONT = [
+    # the 21 round-7 wave-5/6/7/8 queries — never driver-graded
+    "graph_bfs_hops", "privacy_l_diversity", "mm_wav_pcm_stats",
+    "text_cdc_chunks", "corpus_vocab_coverage", "profile_snapshot_drift",
+    "layout_zonemap_skipping", "corpus_leakage_safe_split",
+    "events_markov_transitions", "embedding_standardize",
+    "text_readability_score", "events_rfm_scores", "corpus_chunk_overlap",
+    "text_line_dedup_within_doc", "events_linear_attribution",
+    "events_ewma_exact", "asof_interpolate_value",
+    "corpus_rendezvous_shards", "profile_bucket_checksums",
+    "events_open_order_concurrency", "events_seasonal_outliers",
+    # 29 round-8 additions (waves 9-12, registration order) — never
+    # driver-graded
+    "graph_kcore_profile", "graph_edge_jaccard", "privacy_t_closeness",
+    "stats_chi_square_cells", "stats_autocorr_daily", "stats_ols_by_brand",
+    "profile_benford_prices", "skyline_pareto_parts",
+    "events_user_lifecycle", "events_ab_conversion_z",
+    "profile_fd_violations", "dedup_threshold_sweep", "events_cusum_drift",
+    "graph_assortativity", "stats_phi_features", "events_scd2_pit_join",
+    "stats_ks_priority_price", "corpus_gini_doclen",
+    "events_interarrival_hist", "dedup_cluster_size_histogram",
+    "basket_association_pairs", "events_interval_coverage",
+    "corpus_quota_apportion", "graph_local_clustering",
+    "stats_weighted_median_brand", "stats_corr_lineitem",
+    "events_path_trigrams", "er_blocking_components",
+    "profile_order_reconciliation",
+]
+
 _ROUND8_FRONT = [
     # the 21 round-7 wave-5/6/7/8 queries — never driver-graded
     "graph_bfs_hops", "privacy_l_diversity", "mm_wav_pcm_stats",
@@ -223,13 +253,15 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND8_FRONT, then
-    the banked (already driver-green) _ROUND7_FRONT/_BANKED_ROUND6,
-    then the rest of the oracled queries in registration order, then
-    the no-oracle queries last."""
-    seen = set(_ROUND8_FRONT)
-    front = _ROUND8_FRONT + [
-        n for n in _ROUND7_FRONT + _BANKED_ROUND6 if n not in seen
+    """Rebuild _QUERIES in graded-window order: _ROUND9_FRONT, then
+    the never-graded tail of _ROUND8_FRONT, then the banked
+    (already driver-green) _ROUND7_FRONT/_BANKED_ROUND6, then the
+    rest of the oracled queries in registration order, then the
+    no-oracle queries last."""
+    seen = set(_ROUND9_FRONT)
+    front = _ROUND9_FRONT + [
+        n for n in _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
+        if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]
     if missing:
