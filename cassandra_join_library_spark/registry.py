@@ -317,6 +317,7 @@ def _load_all() -> None:
         wave12,
         wave13,
         wave14,
+        tpch3,
     )
     _reorder()
     _loaded = True
