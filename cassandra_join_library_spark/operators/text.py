@@ -678,3 +678,97 @@ def rake_keywords(
         .orderBy(F.desc("degree"), F.asc("word"))
         .limit(top)
     )
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram,
+    slide a ``window`` of consecutive gram hashes over the document,
+    and select the MINIMUM hash of each window (rightmost position on
+    ties).  The selected (position, hash) pairs — deduplicated — are
+    the document's fingerprints: any shared substring of length
+    >= k + window - 1 between two documents is GUARANTEED to share at
+    least one fingerprint, while only ~2/(window+1) of all grams are
+    kept.  That guarantee + sparsity is what makes fingerprint
+    posting-list joins a sound near-dup/plagiarism candidate
+    generator at 100 TB (contrast MinHash, which is probabilistic).
+
+    The gram hash is the CDC chunker's integer convention (31-powers
+    of char codes over a materialized char-code array — element_at is
+    O(1) where substring re-seeks) mixed by a Knuth multiplicative
+    step: ``(raw * 2654435761) % 2^30``.  Raw <= 255·Σ31^j ~ 2.4e8, so
+    the product stays under 2^63 — all-integer, so the DuckDB twin
+    (:func:`winnowing_sql`) reproduces every fingerprint exactly.
+
+    Map-only selection (higher-order functions, no shuffle); the
+    trailing DISTINCT on (id, pos, hash) is the only exchange and is
+    map-side combined.  Returns (id, fp_pos [1-based gram END
+    position], fp_hash)."""
+    pows = [31 ** j for j in range(k)]
+    raw = " + ".join(
+        f"{p} * element_at(_codes, p - {j})" for j, p in enumerate(pows)
+    )
+    hashes = (
+        f"transform(sequence({k}, length({text_col})), "
+        f"p -> ((({raw})) * 2654435761) % 1073741824)"
+    )
+    n_win = f"size(_hh) - {window} + 1"
+    win_min = f"array_min(slice(_hh, t, {window}))"
+    fps = (
+        f"CASE WHEN {n_win} >= 1 THEN "
+        f"transform(sequence(1, {n_win}), t -> named_struct("
+        f" 'fp_pos', CAST(array_max(filter(sequence(t, t + {window - 1}), "
+        f"             u -> element_at(_hh, u) = {win_min})) + {k - 1} "
+        f"           AS BIGINT),"
+        f" 'fp_hash', CAST({win_min} AS BIGINT))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.filter(F.length(text_col) >= k + window - 1)
+        .select(F.col(id_col), F.col(text_col),
+                F.expr(f"transform(split({text_col}, ''), c -> ascii(c))")
+                .alias("_codes"))
+        .select(F.col(id_col), F.expr(hashes).alias("_hh"))
+        .select(F.col(id_col), F.explode(F.expr(fps)).alias("f"))
+        .select(F.col(id_col), F.col("f.fp_pos").alias("fp_pos"),
+                F.col("f.fp_hash").alias("fp_hash"))
+        .distinct()
+    )
+
+
+def winnowing_sql(table: str, id_col: str, text_col: str,
+                  k: int = 5, window: int = 4) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints` — identical
+    integer gram hash and min-of-window selection; DuckDB's
+    generate_series is empty on start > stop (Spark's sequence
+    DESCENDS, hence the CASE guard on the Spark side)."""
+    pows = [31 ** j for j in range(k)]
+    raw = " + ".join(
+        f"{p} * ascii(substr({text_col}, p - {j}, 1))"
+        for j, p in enumerate(pows)
+    )
+    win_min = f"list_min(list_slice(hh, t, t + {window - 1}))"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {text_col}
+  FROM {table} WHERE length({text_col}) >= {k + window - 1}
+), grams AS (
+  SELECT {id_col},
+         list_transform(generate_series({k}, length({text_col})),
+                        p -> ((({raw})) * 2654435761) % 1073741824) AS hh
+  FROM base
+), sel AS (
+  SELECT {id_col},
+         unnest(list_transform(
+           generate_series(1, len(hh) - {window} + 1),
+           t -> {{
+             'fp_pos': CAST(list_max(list_filter(
+                 generate_series(t, t + {window - 1}),
+                 u -> hh[u] = {win_min})) + {k - 1} AS BIGINT),
+             'fp_hash': CAST({win_min} AS BIGINT)}})) AS f
+  FROM grams
+)
+SELECT DISTINCT {id_col}, f.fp_pos AS fp_pos, f.fp_hash AS fp_hash
+FROM sel
+"""

@@ -318,6 +318,7 @@ def _load_all() -> None:
         wave13,
         wave14,
         tpch3,
+        wave15,
     )
     _reorder()
     _loaded = True
