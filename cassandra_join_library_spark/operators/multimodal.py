@@ -536,3 +536,144 @@ def pcm_silence_runs(df: DataFrame, id_col: str,
             F.col("st.best").cast("bigint").alias("longest_run"),
         )
     )
+
+
+def synthesize_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """Spec-conformant 13-byte GIF headers (signature + version +
+    logical screen descriptor) as binary payloads — the third real
+    image container after BMP/PNG, exercising BIT-PACKED fields: the
+    screen descriptor's packed byte carries the global-color-table
+    flag (bit 7), color resolution (bits 4-6), sort flag (bit 3) and
+    GCT size exponent (bits 0-2) in one byte.  Width/height/flags are
+    deterministic functions of the id.  Returns (id, width, height,
+    gct_flag, gct_exp, payload)."""
+    wid = F.col(id_col) % 800 + 1
+    hei = F.col(id_col) % 600 + 1
+    gct_flag = (F.col(id_col) % 2 == 0).cast("int")
+    gct_exp = F.col(id_col) % 8
+    version = F.when(F.col(id_col) % 2 == 0, F.lit("383961")) \
+        .otherwise(F.lit("383761"))  # '89a' / '87a'
+    packed = gct_flag * 128 + 112 + gct_exp  # color resolution fixed 7
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    header_hex = F.concat(
+        F.lit("474946"), version,        # 'GIF' + '89a'/'87a'
+        le(wid, 2), le(hei, 2),          # logical screen w/h (u16 LE)
+        le(packed, 1),                   # packed flags byte
+        F.lit("00"),                     # background color index
+        F.lit("00"),                     # pixel aspect ratio
+    )
+    return df.select(
+        F.col(id_col),
+        wid.cast("bigint").alias("width"),
+        hei.cast("bigint").alias("height"),
+        gct_flag.cast("bigint").alias("gct_flag"),
+        gct_exp.cast("bigint").alias("gct_exp"),
+        F.unhex(header_hex).alias("payload"),
+    )
+
+
+def parse_gif_metadata(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """GIF header decode with zero codec libraries: signature check
+    ('GIF87a'/'GIF89a'), u16-LE logical screen dimensions, and the
+    BIT-PACKED screen-descriptor fields unpacked by div/mod
+    arithmetic (flag = byte div 128, GCT size = 2^((byte mod 8) + 1))
+    — pure codegen over the hex view, map-only, byte-reproducible in
+    the SQL twin.  Non-GIF payloads yield ``is_gif=false`` and NULLs
+    (corrupt inputs are data, not exceptions, at 100 TB).  Returns
+    (id, is_gif, gif_version, gif_width, gif_height, has_gct,
+    gct_colors)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):  # 1-based byte offset
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    is_gif = (F.octet_length(payload_col) >= 13) & \
+        (F.substring(hx, 1, 6) == F.lit("474946")) & \
+        (F.substring(hx, 7, 6).isin("383761", "383961"))
+    packed = le_at(11, 1)
+    guard = lambda c: F.when(is_gif, c)
+    return df.select(
+        F.col(id_col),
+        is_gif.alias("is_gif"),
+        guard(F.decode(F.unhex(F.substring(hx, 7, 6)), "UTF-8"))
+        .alias("gif_version"),
+        guard(le_at(7, 2)).alias("gif_width"),
+        guard(le_at(9, 2)).alias("gif_height"),
+        guard((packed / 128).cast("bigint")).alias("has_gct"),
+        guard(F.pow(F.lit(2), (packed % 8) + 1).cast("bigint"))
+        .alias("gct_colors"),
+    )
+
+
+def pcm_zero_crossings(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """Zero-crossing rate over the WAV data chunk — the classic
+    O(1)-state voiced/unvoiced discriminator of audio curation: count
+    of adjacent sample pairs whose product is strictly negative, plus
+    exact zero samples, straight from the bytes.
+
+    Same array-first int16 decode as :func:`pcm_stats` (inlining the
+    decode into the pair scan re-evaluates it per neighbor); the pair
+    scan is a ``filter`` over positions — map-only, embarrassingly
+    parallel.  Rate reported in rounded ppm of the n-1 pairs so the
+    output stays integer-exact.  Returns
+    (id, n_samples, zero_crossings, n_zero_samples, zcr_ppm)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    with_n = df.select(
+        F.col(id_col), hx.alias("h"),
+        (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
+    )
+    s_i = (
+        "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
+        " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
+    )
+    signed = (f"CAST({s_i} AS BIGINT) - "
+              f"(CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)")
+    samples = (
+        f"transform(sequence(0, int(n_samples) - 1), i -> {signed})"
+    )
+    zc = ("size(filter(sequence(1, int(n_samples) - 1), "
+          "i -> element_at(_sm, i) * element_at(_sm, i + 1) < 0))")
+    zeros = "size(filter(_sm, v -> v = 0))"
+    from .stats import _RDIV
+
+    return (
+        with_n.select(F.col(id_col), "n_samples",
+                      F.expr(samples).alias("_sm"))
+        .select(
+            F.col(id_col), "n_samples",
+            F.expr(zc).cast("bigint").alias("zero_crossings"),
+            F.expr(zeros).cast("bigint").alias("n_zero_samples"),
+        )
+        .select(
+            F.col(id_col), "n_samples", "zero_crossings",
+            "n_zero_samples",
+            F.expr(_RDIV.format(a="1000000 * zero_crossings",
+                                b="n_samples - 1"))
+            .cast("bigint").alias("zcr_ppm"),
+        )
+    )

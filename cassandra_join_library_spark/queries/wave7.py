@@ -102,7 +102,8 @@ def privacy_l_diversity(spark, sf_dir):
 
 _PCM_N = 64
 
-_WAV_PCM_ORACLE = f"""
+# fixture + int16 decode CTEs, shared with the wave-16 ZCR twin
+_WAV_PCM_BASE = f"""
 WITH src AS (
   SELECT doc_id FROM documents
 ), hx AS (
@@ -141,6 +142,9 @@ WITH src AS (
                        >= 32768 THEN 65536 ELSE 0 END) AS sm
   FROM parsed
 )
+"""
+
+_WAV_PCM_ORACLE = _WAV_PCM_BASE + """
 SELECT doc_id,
        CAST(n_samples AS BIGINT) AS n_samples,
        CAST(list_sum(sm) AS BIGINT) AS sum_samples,

@@ -319,6 +319,7 @@ def _load_all() -> None:
         wave14,
         tpch3,
         wave15,
+        wave16,
     )
     _reorder()
     _loaded = True

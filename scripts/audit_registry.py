@@ -75,6 +75,9 @@ ALLOW = {
         "corpus_class_balance_downsample": "1-row minority-size "
                                            "broadcast",
         "dedup_lsh_recall_audit": "three 1-row pair-count broadcasts",
+        "stats_rank_corr": "contingency-cell self-join bounded by "
+                           "|X|*|Y| cells per side (never corpus^2) "
+                           "+ 1-row total/stat broadcasts",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -117,6 +120,13 @@ ALLOW = {
         "lineitem_abc_analysis": "cumulative-revenue window over the "
                                  "part-level aggregate (dimension-"
                                  "sized, never the fact table)",
+        "stats_rank_corr": "cumulative-frequency rank windows over "
+                           "the distinct-value marginals (|X| and "
+                           "|Y| rows, bounded domains)",
+        "events_rolling_median_daily": "median + row-number windows "
+                                       "over the per-DAY aggregate "
+                                       "(calendar-bounded), never "
+                                       "the raw event stream",
     },
     "cartesian_product": {},
     "python_udf": {},
