@@ -181,6 +181,11 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
     try:
         with open(benches[-1]) as fh:
             prev_doc = json.load(fh)
+        # the driver wraps bench output as {n, rc, sf, tail, parsed:
+        # {...}} — the timings live under "parsed" there, at top level
+        # when reading our own output
+        if "parsed" in prev_doc and "queries" not in prev_doc:
+            prev_doc = prev_doc["parsed"] or {}
         if prev_doc.get("sf") != sf:
             return cohort  # cross-sf ratios are meaningless
         prev = prev_doc.get("queries", {})

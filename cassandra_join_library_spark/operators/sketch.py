@@ -130,3 +130,135 @@ def sampled_percentiles(
     for p, name in zip(percentiles, names):
         aggs.append(F.round(F.percentile(v6, F.lit(p)), round_to).alias(name))
     return sample.groupBy(group_col).agg(*aggs)
+
+
+# HyperLogLog geometry: p=6 -> m=64 registers; 54 payload bits above
+# the bucket index, so register values live in 0..55 and the exact
+# harmonic sum S2 = sum(2^(55 - M_j)) fits comfortably in BIGINT
+# (<= 64 * 2^55 < 2^62).
+HLL_M = 64
+_HLL_PAYLOAD_BITS = 54
+# alpha_64 * m^2 * 2^55 as one decimal literal: decimal-string ->
+# double conversion is correctly rounded in every engine, so both
+# sides start the estimate tree from the identical double
+_HLL_NUM = repr(0.709 * HLL_M * HLL_M * (1 << (_HLL_PAYLOAD_BITS + 1)))
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group PORTABLE HyperLogLog: the register table and the raw
+    estimate with EXACT-integer register math, so the full estimate is
+    value-oracle-able (Spark's native `approx_count_distinct` is
+    engine-internal and can only ever get a rows-only check).
+
+    Geometry: 60-bit md5 hash; bucket = h mod 64; payload w = h div 64
+    (54 bits); rank = leading zeros of w within 54 bits, plus one
+    (= 55 - bitlength(w), and 55 when w = 0 — both engines agree that
+    bin(0) = '0').  Register M_j = MAX rank in bucket j — which is why
+    HLL merges across shards/partitions by plain MAX, the property
+    that makes it THE distinct-count sketch at 100 TB.  The harmonic
+    mean is kept exact: S2 = sum over the 64 registers of
+    2^(55 - M_j) (missing buckets contribute 2^55), an integer, so
+    est_raw = alpha * m^2 * 2^55 / S2 is one division of exact
+    operands — bit-identical in any engine.
+
+    The small-range linear-counting correction (m * ln(m / V) when
+    est <= 2.5m and V zero registers exist) is deliberately NOT
+    folded in: ln is not IEEE-exactly specified and may differ in the
+    last ulp across libms, which would break the value oracle.  The
+    exact inputs (n_zero_registers, est_raw) are returned so a
+    consumer can apply it; relative error of the raw estimator is
+    ~1.04/sqrt(64) = 13%.
+
+    Plan: one (group, bucket) MAX aggregate (map-side combined — the
+    mergeability in action), then a group-sized rollup.  Returns
+    (group, n_buckets_hit, n_zero_registers, s2, est_raw)."""
+    return hll_rollup(hll_register_table(df, group_col, value_col))
+
+
+def hll_register_table(df: DataFrame, group_col: str,
+                       value_col: str) -> DataFrame:
+    """The (grp, j, m_j) register table of :func:`hll_registers` —
+    the mergeable state: tables from disjoint shards combine by
+    full-outer join + GREATEST and roll up to the identical
+    estimate."""
+    # h div 64 via shiftright: BIGINT `/` in Spark is DOUBLE division,
+    # which silently drops bits of a 60-bit hash above 2^53
+    bucketed = df.select(
+        F.col(group_col).alias("grp"),
+        _h60(F.col(value_col)).alias("h"),
+    ).select(
+        "grp",
+        (F.col("h") % HLL_M).cast("bigint").alias("j"),
+        F.shiftright("h", HLL_M.bit_length() - 1).cast("bigint")
+        .alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, _HLL_PAYLOAD_BITS + 1).otherwise(
+        F.lit(_HLL_PAYLOAD_BITS + 1)
+        - F.length(F.expr("bin(w)"))).cast("bigint")
+    return (bucketed.select("grp", "j", rank.alias("r"))
+            .groupBy("grp", "j")
+            .agg(F.max("r").cast("bigint").alias("m_j")))
+
+
+def hll_rollup(regs: DataFrame) -> DataFrame:
+    """Roll a (grp, j, m_j) register table up to the exact harmonic
+    sum and raw estimate (see :func:`hll_registers`)."""
+    two = F.lit(2).cast("bigint")
+    s2_hit = F.sum(F.pow(two, _HLL_PAYLOAD_BITS + 1 - F.col("m_j"))
+                   .cast("bigint")).cast("bigint")
+    out = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+        s2_hit.alias("s2_hit"),
+    )
+    # absent buckets carry M_j = 0 -> each contributes 2^55 to S2
+    zero_term = F.lit(1 << (_HLL_PAYLOAD_BITS + 1)).cast("bigint")
+    return out.select(
+        F.col("grp"),
+        "n_buckets_hit",
+        (F.lit(HLL_M) - F.col("n_buckets_hit")).cast("bigint")
+        .alias("n_zero_registers"),
+        (F.col("s2_hit")
+         + (F.lit(HLL_M) - F.col("n_buckets_hit")) * zero_term)
+        .cast("bigint").alias("s2"),
+        (F.expr(_HLL_NUM)
+         / (F.col("s2_hit")
+            + (F.lit(HLL_M) - F.col("n_buckets_hit")) * zero_term)
+         .cast("double")).cast("double").alias("est_raw"),
+    )
+
+
+def hll_registers_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`hll_registers` — identical hash, rank,
+    and exact harmonic arithmetic."""
+    b = _HLL_PAYLOAD_BITS
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM {table}
+), bucketed AS (
+  SELECT grp, h % {HLL_M} AS j, h // {HLL_M} AS w FROM hashed
+), ranked AS (
+  SELECT grp, j,
+         CASE WHEN w = 0 THEN {b + 1}
+              ELSE {b + 1} - length(bin(w)) END AS r
+  FROM bucketed
+), regs AS (
+  SELECT grp, j, MAX(r) AS m_j FROM ranked GROUP BY 1, 2
+), rolled AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+         CAST(SUM(CAST(2 ** ({b + 1} - m_j) AS BIGINT)) AS BIGINT)
+           AS s2_hit
+  FROM regs GROUP BY 1
+)
+SELECT grp, n_buckets_hit,
+       CAST({HLL_M} - n_buckets_hit AS BIGINT) AS n_zero_registers,
+       CAST(s2_hit + ({HLL_M} - n_buckets_hit)
+            * {1 << (b + 1)} AS BIGINT) AS s2,
+       CAST({_HLL_NUM} / CAST(s2_hit + ({HLL_M} - n_buckets_hit)
+                              * {1 << (b + 1)} AS DOUBLE) AS DOUBLE)
+         AS est_raw
+FROM rolled
+"""

@@ -321,6 +321,7 @@ def _load_all() -> None:
         tpch3,
         wave15,
         wave16,
+        wave17,
     )
     _reorder()
     _loaded = True
