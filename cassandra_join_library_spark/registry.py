@@ -322,6 +322,7 @@ def _load_all() -> None:
         wave15,
         wave16,
         wave17,
+        wave18,
     )
     _reorder()
     _loaded = True

@@ -73,22 +73,32 @@ def test_merge_batchwise_equals_global(spark, merge_upsert):
     # two split points (middle + single-trailing-element) x both orders
     # covers composition invariance; the third split point (1) added
     # ~15 s of checkpointed merge chains for no new code path
-    for split in (3, 5):
-        for order in (0, 1):
-            parts = [all_changes[:split], all_changes[split:]]
-            if order:
-                parts.reverse()
-            snap = _target(spark)
-            for p in parts:
-                if p:
-                    # checkpoint between batches: the merge plan embeds
-                    # the snapshot TWICE (anti + inner), so chaining
-                    # without materialization re-executes a 2^depth
-                    # plan tree per action (this one test cost 41 s)
-                    snap = merge_upsert(
-                        snap, spark.createDataFrame(p, schema),
-                        ["k"], ["seq"]).localCheckpoint(eager=True)
-            assert _rows(snap) == want, (split, order)
+    def run_chain(split, order):
+        parts = [all_changes[:split], all_changes[split:]]
+        if order:
+            parts.reverse()
+        snap = _target(spark)
+        for p in parts:
+            if p:
+                # checkpoint between batches: the merge plan embeds
+                # the snapshot TWICE (anti + inner), so chaining
+                # without materialization re-executes a 2^depth
+                # plan tree per action (this one test cost 41 s)
+                snap = merge_upsert(
+                    snap, spark.createDataFrame(p, schema),
+                    ["k"], ["seq"]).localCheckpoint(eager=True)
+        return _rows(snap)
+
+    # the four chains are independent — run them from driver threads
+    # (Spark serves concurrent actions fine; this is wall-latency-
+    # bound tiny-job scheduling, 41 s -> ~14 s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    combos = [(s, o) for s in (3, 5) for o in (0, 1)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(lambda c: run_chain(*c), combos))
+    for combo, got in zip(combos, results):
+        assert got == want, combo
 
 
 def test_compact_changelog_ties_break_on_last_seq_col(spark):
@@ -131,7 +141,7 @@ def test_merge_matches_reference_model_on_random_changelogs(spark):
     ).map(lambda cs: list({(k, s): (k, p, s, o)
                            for k, p, s, o in cs}.values()))
 
-    @settings(max_examples=8, deadline=None,
+    @settings(max_examples=6, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(target=target_st, changes=change_st)
     def run(target, changes):

@@ -73,7 +73,7 @@ def test_clustering_matches_union_find_on_random_graphs(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         return {n: find(n) for n in parent}
 
-    for seed in (7, 99, 2026):
+    def run_seed(seed):
         rng = random.Random(seed)
         nodes = list(range(rng.randint(20, 60)))
         edges = {
@@ -90,6 +90,12 @@ def test_clustering_matches_union_find_on_random_graphs(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in duplicate_clusters(pairs).collect()}
         assert got == want, f"seed={seed}"
+
+    # independent seeds — concurrent driver threads (latency-bound)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(run_seed, (7, 99, 2026)))
 
 
 def test_unconverged_clustering_raises(spark):
