@@ -73,6 +73,11 @@ HEADLINE = [
     "layout_zorder",         # Morton interleave (pure codegen)
     "join_skew_salted",      # content-derived salt scatter, plain-join parity
     "string_similarity",     # PassJoin-blocked edit-distance pairs
+    # round-9 additions
+    "sql_q21_waiting_suppliers",  # costliest TPC-H tail (semi+anti decorrelation)
+    "text_winnowing_fingerprints",  # MOSS winnowing (map-only, unrolled window scan)
+    "dedup_winnowing_pairs",  # fingerprint posting-list join (df-capped)
+    "stats_rank_corr",       # contingency-table Spearman/Kendall (one corpus pass)
 ]
 
 
