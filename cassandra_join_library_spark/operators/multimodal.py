@@ -677,3 +677,115 @@ def pcm_zero_crossings(df: DataFrame, id_col: str,
             .cast("bigint").alias("zcr_ppm"),
         )
     )
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Minimal spec-conformant JPEG streams: SOI, a JFIF APP0, one or
+    two COM segments of DATA-DEPENDENT length, SOF0 (the frame header
+    carrying precision/height/width/components), EOI.  Unlike
+    BMP/GIF/PNG/WAV, JPEG fields live at VARIABLE offsets — every
+    segment is (0xFF, marker, u16-BE length, payload) and a reader
+    must walk the segment chain — which is exactly what
+    :func:`parse_jpeg_metadata` exercises.  Returns (id, height,
+    width, n_com_segments, payload)."""
+    hei = F.col(id_col) % 1200 + 1
+    wid = F.col(id_col) % 1600 + 1
+    com_len = F.col(id_col) % 9 + 4      # declared length (incl. itself)
+    two_coms = F.col(id_col) % 3 == 0
+
+    def be(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes - 1, -1, -1)
+        ]
+        return F.concat(*parts)
+
+    app0 = F.concat(
+        F.lit("ffe0"), F.lit("0010"),            # APP0, length 16
+        F.lit("4a46494600"),                      # 'JFIF\0'
+        F.lit("0101"), F.lit("00"),               # version 1.1, units 0
+        F.lit("00480048"), F.lit("0000"),         # 72x72 dpi, no thumb
+    )
+    com = F.concat(
+        F.lit("fffe"), be(com_len, 2),
+        F.expr(f"repeat('41', {id_col} % 9 + 2)"),  # 'A' * (len - 2)
+    )
+    sof0 = F.concat(
+        F.lit("ffc0"), F.lit("0011"),             # SOF0, length 17
+        F.lit("08"),                               # precision 8
+        be(hei, 2), be(wid, 2),
+        F.lit("03"),                               # 3 components
+        F.lit("011100"), F.lit("021100"), F.lit("031100"),
+    )
+    payload_hex = F.concat(
+        F.lit("ffd8"), app0, com,
+        F.when(two_coms, com).otherwise(F.lit("")),
+        sof0, F.lit("ffd9"),
+    )
+    return df.select(
+        F.col(id_col),
+        hei.cast("bigint").alias("height"),
+        wid.cast("bigint").alias("width"),
+        F.when(two_coms, 2).otherwise(1).cast("bigint")
+        .alias("n_com_segments"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+_JPEG_WALK_STEPS = 8
+
+
+def parse_jpeg_metadata(df: DataFrame, id_col: str,
+                        payload_col: str = "payload") -> DataFrame:
+    """JPEG frame-header decode by SEGMENT-CHAIN WALKING — the first
+    variable-offset binary parse in the multimodal suite: fields are
+    found, not indexed.  From byte 3 (1-based, after SOI), each step
+    reads (0xFF, marker, u16-BE length) and either stays on SOF0
+    (0xFFC0) or hops ``2 + length`` bytes; the walk is a {steps}-step
+    higher-order ``aggregate`` fold whose accumulator is the offset —
+    the lambda variable can never be inlined, so the plan stays
+    LINEAR (chained withColumn steps collapse back into one
+    projection under Catalyst's CollapseProject, reintroducing an
+    exponential ~6^{steps} expression tree; measured as a hung plan
+    audit).  A fixpoint once SOF is reached — the same
+    unrolled-iteration idea as the k-core/BFS SQL twins.  Map-only,
+    no UDF.  Streams whose SOF0 isn't reached within {steps} segments
+    (or non-JPEG bytes) yield ``is_jpeg=false``/NULLs rather than
+    errors.  Returns (id, is_jpeg, jpeg_precision, jpeg_height,
+    jpeg_width, n_components, sof_offset)."""
+    hx = F.hex(F.col(payload_col))
+
+    def u8(off: str) -> str:  # 1-based byte offset over the hex view
+        return f"conv(substring(_h, ({off}) * 2 - 1, 2), 16, 10)"
+
+    def u16(off: str) -> str:
+        return f"({u8(off)} * 256 + {u8(f'({off}) + 1')})"
+
+    walk = (
+        f"aggregate(sequence(1, {_JPEG_WALK_STEPS}), CAST(3 AS BIGINT), "
+        f"(o, _step) -> CASE WHEN {u16('o')} = 65472 THEN o "
+        f"ELSE o + 2 + {u16('(o) + 2')} END)"
+    )
+    base = df.select(
+        F.col(id_col), hx.alias("_h"),
+        ((F.octet_length(payload_col) >= 4)
+         & (F.substring(hx, 1, 6) == F.lit("FFD8FF"))).alias("_is"),
+    ).select(
+        F.col(id_col), F.col("_h"), F.col("_is"),
+        F.expr(walk).cast("bigint").alias("_o"),
+    )
+    at_sof = F.col("_is") & (F.expr(u16("_o")) == 65472)  # 0xFFC0
+    guard = lambda c: F.when(at_sof, c)
+    return base.select(
+        F.col(id_col),
+        at_sof.alias("is_jpeg"),
+        guard(F.expr(u8("_o + 4")).cast("bigint")).alias("jpeg_precision"),
+        guard(F.expr(u16("_o + 5")).cast("bigint")).alias("jpeg_height"),
+        guard(F.expr(u16("_o + 7")).cast("bigint")).alias("jpeg_width"),
+        guard(F.expr(u8("_o + 9")).cast("bigint")).alias("n_components"),
+        guard(F.col("_o")).alias("sof_offset"),
+    )
+
+
+parse_jpeg_metadata.__doc__ = parse_jpeg_metadata.__doc__.format(
+    steps=_JPEG_WALK_STEPS)

@@ -323,6 +323,7 @@ def _load_all() -> None:
         wave16,
         wave17,
         wave18,
+        wave19,
     )
     _reorder()
     _loaded = True

@@ -78,6 +78,7 @@ ALLOW = {
         "stats_rank_corr": "contingency-cell self-join bounded by "
                            "|X|*|Y| cells per side (never corpus^2) "
                            "+ 1-row total/stat broadcasts",
+        "profile_equidepth_price": "1-row row-total broadcast",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -127,6 +128,9 @@ ALLOW = {
                                        "over the per-DAY aggregate "
                                        "(calendar-bounded), never "
                                        "the raw event stream",
+        "profile_equidepth_price": "cumulative window over the "
+                                   "distinct-value table (price-"
+                                   "dollar domain), never raw rows",
     },
     "cartesian_product": {},
     "python_udf": {},
