@@ -159,12 +159,12 @@ JOIN nation n    ON n.n_nationkey = s.s_nationkey
 WHERE o.o_orderstatus = 'F'
   AND n.n_name = 'NATION_1'
   AND EXISTS (
-    SELECT 1 FROM lineitem l2
+    SELECT /*+ SHUFFLE_MERGE(l2) */ 1 FROM lineitem l2
     WHERE l2.l_orderkey = l1.l_orderkey
       AND l2.l_suppkey <> l1.l_suppkey
   )
   AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
+    SELECT /*+ SHUFFLE_MERGE(l3) */ 1 FROM lineitem l3
     WHERE l3.l_orderkey = l1.l_orderkey
       AND l3.l_suppkey <> l1.l_suppkey
       AND l3.l_shipdate > l1.l_shipdate
@@ -181,5 +181,14 @@ sql_q21_waiting_suppliers = _sql(
     in for receipt-after-commit), preserving the correlated EXISTS
     (another supplier in the order) + NOT EXISTS (none shipped later)
     pair, which Catalyst decorrelates to a semi- and an anti-join on
-    l_orderkey.  Counted per qualifying lineitem, as in the spec.""",
+    l_orderkey.  Counted per qualifying lineitem, as in the spec.
+
+    The subqueries carry SHUFFLE_MERGE hints (comment syntax, ignored
+    by the DuckDB twin): their build side is the FACT table, whose
+    column-pruned compressed scan estimate can sneak under the 64 MB
+    broadcast threshold long after the real hashed relation stopped
+    fitting (at sf10 Spark broadcast 60 M rows: 95 s and GC thrash vs
+    13 s warm with the shuffle plan; at 100 TB a fact-table broadcast
+    is simply fatal).  Dimension broadcasts (supplier/orders/nation)
+    stay untouched.""",
 )

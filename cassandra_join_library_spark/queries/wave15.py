@@ -91,9 +91,16 @@ def dedup_winnowing_pairs(spark, sf_dir):
     sizes = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp"))
     capped = h.join(keep, "fp_hash")
+    # the posting-list self-join must SHUFFLE on fp_hash: both sides
+    # are corpus-sized, but the checkpointed list's estimated stats
+    # can sneak under the broadcast threshold (at sf10 Spark tried to
+    # broadcast it and blew the 8g driver) — the hint declares the
+    # only plan that survives 100 TB
     pairs = (
         capped.select(F.col("doc_id").alias("doc_a"), "fp_hash")
-        .join(h.select(F.col("doc_id").alias("doc_b"), "fp_hash"),
+        .hint("shuffle_hash")
+        .join(h.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+              .hint("shuffle_hash"),
               "fp_hash")
         .filter(F.col("doc_b") > F.col("doc_a"))
         .groupBy("doc_a", "doc_b")
