@@ -78,6 +78,9 @@ HEADLINE = [
     "text_winnowing_fingerprints",  # MOSS winnowing (map-only, unrolled window scan)
     "dedup_winnowing_pairs",  # fingerprint posting-list join (df-capped)
     "stats_rank_corr",       # contingency-table Spearman/Kendall (one corpus pass)
+    "approx_topk_cms",       # Count-Min heavy hitters (d*w cells, corpus pass)
+    "layout_compaction_bins",  # per-source small-file bin packing
+    "mm_mp4_box_parse",      # two-level ISO-BMFF box walk (map-only)
 ]
 
 

@@ -789,3 +789,150 @@ def parse_jpeg_metadata(df: DataFrame, id_col: str,
 
 parse_jpeg_metadata.__doc__ = parse_jpeg_metadata.__doc__.format(
     steps=_JPEG_WALK_STEPS)
+
+
+def synthesize_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Minimal ISO-BMFF (MP4) streams: an `ftyp` box with a
+    DATA-DEPENDENT compatible-brands tail, an optional `free` box of
+    variable size, then `moov` containing an optional variable-size
+    `udta` child before the 108-byte v0 `mvhd` (the movie header
+    carrying timescale/duration), and a trailing `mdat`.  Every box is
+    (u32-BE size, 4-char type) — the size INCLUDES the 8-byte header —
+    so a reader must chain sizes at BOTH nesting levels, which is what
+    :func:`parse_mp4_metadata` exercises (the JPEG walk, one level
+    deeper).  Returns (id, timescale, duration, payload)."""
+    did = F.col(id_col)
+    tscale = (did % 4 + 1) * 600
+    dur = did % 100000 + 1000
+    n_compat = did % 3                       # 0..2 extra brands
+    has_free = did % 2 == 0
+    free_len = did % 16                      # payload bytes of `free`
+    has_udta = did % 5 < 2
+    udta_len = did % 11                      # payload bytes of `udta`
+
+    def be(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes - 1, -1, -1)
+        ]
+        return F.concat(*parts)
+
+    brand = (F.when(did % 3 == 0, F.lit("69736f6d"))     # 'isom'
+             .when(did % 3 == 1, F.lit("6d703432"))      # 'mp42'
+             .otherwise(F.lit("61766331")))              # 'avc1'
+    ftyp = F.concat(
+        be(16 + 4 * n_compat, 4), F.lit("66747970"),     # size, 'ftyp'
+        brand, F.lit("00000200"),                        # major, minor
+        F.expr(f"repeat('69736f6d', {id_col} % 3)"),     # compat brands
+    )
+    free = F.when(has_free, F.concat(
+        be(free_len + 8, 4), F.lit("66726565"),          # 'free'
+        F.expr(f"repeat('00', {id_col} % 16)"),
+    )).otherwise(F.lit(""))
+    udta = F.when(has_udta, F.concat(
+        be(udta_len + 8, 4), F.lit("75647461"),          # 'udta'
+        F.expr(f"repeat('00', {id_col} % 11)"),
+    )).otherwise(F.lit(""))
+    mvhd = F.concat(
+        F.lit("0000006c"), F.lit("6d766864"),            # size 108, 'mvhd'
+        F.lit("00000000"),                               # v0 + flags
+        F.lit("00000000"), F.lit("00000000"),            # creation, modif
+        be(tscale, 4), be(dur, 4),
+        F.lit("00010000"), F.lit("0100"),                # rate 1.0, vol 1.0
+        F.expr("repeat('00', 10)"),                      # reserved
+        # identity matrix (9 x s16.16 / s2.30 fixed-point)
+        F.lit("00010000"), F.lit("00000000"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("00010000"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("00000000"), F.lit("40000000"),
+        F.expr("repeat('00', 24)"),                      # pre_defined
+        F.lit("00000002"),                               # next_track_id
+    )
+    moov_payload = F.concat(udta, mvhd)
+    moov_size = (F.lit(8) + F.when(has_udta, udta_len + 8).otherwise(F.lit(0))
+                 + F.lit(108)).cast("bigint")
+    moov = F.concat(be(moov_size, 4), F.lit("6d6f6f76"), moov_payload)
+    mdat = F.concat(
+        be(did % 9 + 8, 4), F.lit("6d646174"),           # 'mdat'
+        F.expr(f"repeat('00', {id_col} % 9)"),
+    )
+    payload_hex = F.concat(ftyp, free, moov, mdat)
+    return df.select(
+        did,
+        tscale.cast("bigint").alias("timescale"),
+        dur.cast("bigint").alias("duration"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+_MP4_TOP_STEPS = 4     # ftyp, free?, moov (+1 slack)
+_MP4_CHILD_STEPS = 3   # udta?, mvhd (+1 slack)
+_MP4_FTYP = 1718909296   # u32('ftyp')
+_MP4_MOOV = 1836019574   # u32('moov')
+_MP4_MVHD = 1836476516   # u32('mvhd')
+
+
+def parse_mp4_metadata(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """ISO-BMFF movie-header decode by TWO-LEVEL box walking: chain
+    u32-BE box sizes at the top level until `moov`, then chain its
+    children until `mvhd`, then read timescale/duration at fixed
+    offsets inside it.  Box types are compared as u32 NUMBERS (via
+    case-insensitive ``conv``), never as hex strings — Spark's
+    ``hex()`` is uppercase and DuckDB's lowercase, so string compares
+    would silently diverge between the twins.  Both walks are
+    higher-order ``aggregate`` folds over the offset accumulator (the
+    JPEG lesson: chained withColumns re-collapse into an exponential
+    expression tree under CollapseProject).  Map-only, no UDF;
+    non-MP4 bytes or a missing mvhd yield ``is_mp4=false``/NULLs.
+    Returns (id, is_mp4, major_brand_u32, timescale, duration,
+    duration_ms)."""
+    from .stats import _RDIV
+
+    hx = F.hex(F.col(payload_col))
+
+    def u8(off: str) -> str:
+        return f"conv(substring(_h, ({off}) * 2 - 1, 2), 16, 10)"
+
+    def u16(off: str) -> str:
+        return f"({u8(off)} * 256 + {u8(f'({off}) + 1')})"
+
+    def u32(off: str) -> str:
+        return f"({u16(off)} * 65536 + {u16(f'({off}) + 2')})"
+
+    top_walk = (
+        f"aggregate(sequence(1, {_MP4_TOP_STEPS}), CAST(1 AS BIGINT), "
+        f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MOOV} THEN o "
+        f"ELSE o + {u32('o')} END)"
+    )
+    child_walk = (
+        f"aggregate(sequence(1, {_MP4_CHILD_STEPS}), _o + 8, "
+        f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MVHD} THEN o "
+        f"ELSE o + {u32('o')} END)"
+    )
+    base = (
+        df.select(
+            F.col(id_col), hx.alias("_h"),
+            ((F.octet_length(payload_col) >= 12)
+             & (F.expr(f"{u32('5')}") == _MP4_FTYP)).alias("_is"),
+        )
+        .select(F.col(id_col), "_h", "_is",
+                F.expr(top_walk).cast("bigint").alias("_o"))
+        .select(F.col(id_col), "_h", "_is", "_o",
+                F.expr(child_walk).cast("bigint").alias("_c"))
+    )
+    found = (F.col("_is")
+             & (F.expr(u32("_o + 4")) == _MP4_MOOV)
+             & (F.expr(u32("_c + 4")) == _MP4_MVHD))
+    guard = lambda c: F.when(found, c)
+    tscale = F.expr(u32("_c + 20")).cast("bigint")
+    dur = F.expr(u32("_c + 24")).cast("bigint")
+    return base.select(
+        F.col(id_col),
+        found.alias("is_mp4"),
+        guard(F.expr(u32("9")).cast("bigint")).alias("major_brand_u32"),
+        guard(tscale).alias("timescale"),
+        guard(dur).alias("duration"),
+        guard(F.expr(_RDIV.format(a=f"1000 * ({u32('_c + 24')})",
+                                  b=u32("_c + 20")))
+              .cast("bigint")).alias("duration_ms"),
+    )

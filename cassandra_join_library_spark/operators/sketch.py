@@ -262,3 +262,84 @@ SELECT grp, n_buckets_hit,
          AS est_raw
 FROM rolled
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — the frequency twin of the HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4     # independent hash rows (error probability ~ e^-d)
+CMS_WIDTH = 256   # counters per row (overestimate ~ N * e / w)
+
+
+def _cms_bucket(i: int, col) -> "F.Column":
+    """Row-``i`` counter index for an item: the 60-bit md5 hash of
+    ``"i|item"`` mod the row width.  The row index is SALTED INTO the
+    hashed string, so the d rows are independent hash functions
+    derived from one md5 — same portability contract as :func:`_h60`
+    (DuckDB: ``('0x' || substr(md5(i || '|' || x), 1, 15))::BIGINT %
+    w``)."""
+    salted = F.concat(F.lit(f"{i}|"), col.cast("string"))
+    return (F.conv(F.substring(F.md5(salted), 1, 15), 16, 10)
+            .cast("bigint") % CMS_WIDTH)
+
+
+def cms_counter_table(df: DataFrame, item_col: str) -> DataFrame:
+    """The Count-Min counter table over a (possibly corpus-sized)
+    item stream: d·w = {d}·{w} BIGINT counters, built by ONE grouped
+    count over the exploded (row, bucket) cells — 4 cells per item,
+    map-side combined down to ≤{d}·{w} rows per partition before the
+    shuffle.  Counters are SUM-mergeable (unlike HLL's MAX), which is
+    what makes the sketch work as a streaming complete-mode aggregate
+    and as a partial-aggregate tree at 100 TB: any sharding of the
+    input sums to the identical table.  Returns (i, col, cnt)."""
+    item = F.col(item_col)
+    cells = df.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(i).cast("bigint").alias("i"),
+                     _cms_bucket(i, item).alias("col"))
+            for i in range(CMS_DEPTH)
+        ])).alias("c")
+    ).select("c.i", "c.col")
+    return cells.groupBy("i", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+cms_counter_table.__doc__ = cms_counter_table.__doc__.format(
+    d=CMS_DEPTH, w=CMS_WIDTH)
+
+
+def cms_counters_sql(rows_sql: str, item_expr: str) -> str:
+    """DuckDB twin of :func:`cms_counter_table`: ``rows_sql`` is a
+    FROM-able relation producing one row per item occurrence,
+    ``item_expr`` the item's string form.  Returns SQL for the
+    (i, col, cnt) counter table."""
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS i, "
+        f"('0x' || substr(md5('{i}|' || ({item_expr})), 1, 15))::BIGINT "
+        f"% {CMS_WIDTH} AS col FROM {rows_sql}"
+        for i in range(CMS_DEPTH)
+    )
+    return (f"SELECT i, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM (\n"
+            f"{branches}\n) GROUP BY 1, 2")
+
+
+def cms_estimate(items: DataFrame, counters: DataFrame,
+                 item_col: str) -> DataFrame:
+    """Point-query the sketch for each row of ``items`` (a SMALL
+    relation — candidates, not the stream): explode each item into
+    its d (row, bucket) cells, equi-join the counter table, take the
+    per-item MIN — the Count-Min estimate, guaranteed ≥ the true
+    count.  d·|items| join rows against a ≤d·w-row broadcast side."""
+    item = F.col(item_col)
+    cells = items.select(
+        item,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).cast("bigint").alias("i"),
+                     _cms_bucket(i, item).alias("col"))
+            for i in range(CMS_DEPTH)
+        ])).alias("c")
+    ).select(item_col, "c.i", "c.col")
+    return (cells.join(F.broadcast(counters), ["i", "col"])
+            .groupBy(item_col)
+            .agg(F.min("cnt").cast("bigint").alias("cms_est")))

@@ -131,6 +131,13 @@ ALLOW = {
         "profile_equidepth_price": "cumulative window over the "
                                    "distinct-value table (price-"
                                    "dollar domain), never raw rows",
+        "approx_topk_cms": "top-k rank window over the exact AUDIT "
+                           "side's vocabulary aggregate (vocab-"
+                           "bounded); the sketch path itself never "
+                           "windows",
+        "stats_mannwhitney_u": "cumulative-frequency window over the "
+                               "distinct-dollar table (price-domain-"
+                               "bounded), never the orders table",
     },
     "cartesian_product": {},
     "python_udf": {},
