@@ -193,13 +193,19 @@ WITH vf AS (
          CAST(SUM(n_a * (2 * c_lt + (n_a + n_b) + 1)) AS BIGINT) AS r_a_x2
   FROM cum
 )
-SELECT n_a_tot AS n_a, n_b_tot AS n_b,
-       CAST(r_a_x2 - n_a_tot * (n_a_tot + 1) AS BIGINT) AS u_a_x2,
-       CAST(2 * n_a_tot * n_b_tot
-            - (r_a_x2 - n_a_tot * (n_a_tot + 1)) AS BIGINT) AS u_b_x2,
-       CAST({_rdiv_sql("1000000 * (r_a_x2 - n_a_tot * (n_a_tot + 1))",
-                       "2 * n_a_tot * n_b_tot")} AS BIGINT) AS auc_ppm
-FROM agg
+, fin AS (
+  SELECT n_a_tot AS n_a, n_b_tot AS n_b,
+         CAST(r_a_x2 - n_a_tot * (n_a_tot + 1) AS BIGINT) AS u_a_x2,
+         CAST(2 * n_a_tot * n_b_tot AS BIGINT) AS d
+  FROM agg
+)
+SELECT n_a, n_b, u_a_x2,
+       CAST(d - u_a_x2 AS BIGINT) AS u_b_x2,
+       CAST(1000 * ((1000 * u_a_x2) // d)
+            + ((1000 * ((1000 * u_a_x2) % d)) // d)
+            + (CASE WHEN 2 * ((1000 * ((1000 * u_a_x2) % d)) % d) >= d
+               THEN 1 ELSE 0 END) AS BIGINT) AS auc_ppm
+FROM fin
 """)
 def stats_mannwhitney_u(spark, sf_dir):
     """Exact Mann-Whitney U (Wilcoxon rank-sum) comparing order value
@@ -211,11 +217,13 @@ def stats_mannwhitney_u(spark, sf_dir):
     ``u_a_x2`` = 2*U_A; ``auc_ppm`` = U_A / (n_A*n_B) in ppm, which is
     exactly the ROC-AUC of price as a classifier for status — the
     quantity an ML pipeline actually wants from this test.  All
-    arithmetic BIGINT-exact here; at >~1e9 rows the rank-sum products
-    outgrow int64 and the sums switch to the DECIMAL(38,0)
-    shard-mergeable form documented in stats_rank_corr.  The only
-    data-sized pass is the first groupBy; the window runs over the
-    dollar domain."""
+    arithmetic BIGINT-exact, with the ppm ratio staged as two x1000
+    long-division steps (a naive 1e6*U multiply overflowed int64 at
+    the 60M-row sf10 run; the staged form holds to ~5e7 rows per
+    group).  Past ~1e9 total rows the rank-sum products outgrow int64
+    too and the sums switch to the DECIMAL(38,0) shard-mergeable form
+    documented in stats_rank_corr.  The only data-sized pass is the
+    first groupBy; the window runs over the dollar domain."""
     orders = _t(spark, sf_dir, "orders")
     vf = (orders.filter(F.col("o_orderstatus").isin("F", "O"))
           .groupBy(F.floor("o_totalprice").cast("bigint").alias("v"))
@@ -234,17 +242,24 @@ def stats_mannwhitney_u(spark, sf_dir):
         F.sum(F.col("n_a") * (2 * F.col("c_lt")
                               + (F.col("n_a") + F.col("n_b")) + 1))
         .cast("bigint").alias("r_a_x2"))
-    return agg.select(
+    fin = agg.select(
         F.col("n_a_tot").alias("n_a"),
         F.col("n_b_tot").alias("n_b"),
         (F.col("r_a_x2") - F.col("n_a_tot") * (F.col("n_a_tot") + 1))
         .cast("bigint").alias("u_a_x2"),
-        (2 * F.col("n_a_tot") * F.col("n_b_tot")
-         - (F.col("r_a_x2") - F.col("n_a_tot") * (F.col("n_a_tot") + 1)))
-        .cast("bigint").alias("u_b_x2"),
-        F.expr(_RDIV.format(
-            a="1000000 * (r_a_x2 - n_a_tot * (n_a_tot + 1))",
-            b="2 * n_a_tot * n_b_tot")).cast("bigint").alias("auc_ppm"),
+        (2 * F.col("n_a_tot") * F.col("n_b_tot"))
+        .cast("bigint").alias("d"))
+    # ppm in TWO x1000 long-division steps: 1e6*U overflows int64 once
+    # n_a*n_b > ~4.6e12 (measured at the 60M-row sf10 run); staging
+    # through the remainder keeps every intermediate <= 1000*d
+    return fin.select(
+        "n_a", "n_b", "u_a_x2",
+        (F.col("d") - F.col("u_a_x2")).cast("bigint").alias("u_b_x2"),
+        (1000 * F.expr("(1000 * u_a_x2) div d")
+         + F.expr("(1000 * ((1000 * u_a_x2) % d)) div d")
+         + F.when(F.expr("2 * ((1000 * ((1000 * u_a_x2) % d)) % d)")
+                  >= F.col("d"), 1).otherwise(0))
+        .cast("bigint").alias("auc_ppm"),
     )
 
 
