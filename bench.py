@@ -81,6 +81,10 @@ HEADLINE = [
     "approx_topk_cms",       # Count-Min heavy hitters (d*w cells, corpus pass)
     "layout_compaction_bins",  # per-source small-file bin packing
     "mm_mp4_box_parse",      # two-level ISO-BMFF box walk (map-only)
+    "dedup_url_canonical",   # canonical-URL dedup (map + one keyed agg)
+    "embedding_jl_projection",  # JL sign-projection isometry audit
+    "mm_subtitle_align",     # SRT round-trip + doc-keyed range join
+    "corpus_span_corruption",  # T5 span-corruption planning (islands)
 ]
 
 

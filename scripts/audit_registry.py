@@ -41,6 +41,11 @@ ALLOW = {
         "ann_hard_negatives": "broadcast query side, label-inequality join",
         "ann_ivf_topk": "broadcast centroid set (constant size)",
         "ann_ivf_kmeans_topk": "broadcast centroid set (constant size)",
+        "ann_ivf_recall_audit": "composes ann_ivf_topk + "
+                                "ann_topk_bruteforce: broadcast "
+                                "centroids / query side only",
+        "profile_histogram_l1_drift": "two 1-row snapshot-total "
+                                      "broadcasts",
         "ann_pq_topk": "broadcast query side with literal codebooks",
         "embedding_cosine_pairs": "block-pair generator is a bounded literal join",
         "dedup_embedding_cosine": "same blocked pair generator",
