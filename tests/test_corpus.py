@@ -25,12 +25,22 @@ def emb(spark):
 
 
 def test_kmeans_deterministic_and_complete(emb):
-    a = C.kmeans_assign(emb, "vec_id", "embedding", k=4, n_iter=3)
-    b = C.kmeans_assign(
-        emb.repartition(7), "vec_id", "embedding", k=4, n_iter=3
-    )
-    pa = {r["vid"]: r["cluster"] for r in a.collect()}
-    pb = {r["vid"]: r["cluster"] for r in b.collect()}
+    # the two independent trainings run as concurrent driver actions —
+    # Spark schedules their jobs side by side (same trick as the CDC
+    # batchwise combos), halving this test's wall
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(df):
+        return {
+            r["vid"]: r["cluster"]
+            for r in C.kmeans_assign(
+                df, "vec_id", "embedding", k=4, n_iter=3).collect()
+        }
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(run, emb)
+        fb = ex.submit(run, emb.repartition(7))
+        pa, pb = fa.result(), fb.result()
     # every vector assigned exactly once, identically under any
     # input partitioning (decimal-exact centroid updates)
     assert pa == pb
@@ -62,7 +72,11 @@ def test_kmeans_improves_inertia(emb):
         )
         return per_dim.agg(F.sum("d")).collect()[0][0]
 
-    assert inertia(4) <= inertia(1) + 1e-9
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f4, f1 = ex.submit(inertia, 4), ex.submit(inertia, 1)
+        assert f4.result() <= f1.result() + 1e-9
 
 
 def test_chunks_reconstruct_text(spark, docs):
