@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_jl_projection",  # JL sign-projection isometry audit
     "mm_subtitle_align",     # SRT round-trip + doc-keyed range join
     "corpus_span_corruption",  # T5 span-corruption planning (islands)
+    "dedup_prefix_filter_jaccard",  # PPJoin prefix filter, same answer as posting join
 ]
 
 

@@ -855,3 +855,74 @@ def minhash_lsh_pairs_portable(
                 F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
+    Xiao et al.): order every document's shingles by a GLOBAL rarity
+    order (document frequency asc, shingle asc), keep only the first
+    ``p = n_doc - ceil(t * n_doc) + 1`` as the candidate-generating
+    prefix — the prefix-filtering theorem guarantees any pair with
+    J >= t shares at least one prefix shingle, so joining prefixes
+    (instead of full posting lists) loses nothing while the rare-first
+    order makes the surviving posting lists the SHORTEST ones.  This
+    is the candidate-pruning rung between the stop-shingle cap and
+    MinHash: exact output, sub-posting-join cost.  Candidates are then
+    exact-verified against the full shingle sets, so correctness never
+    rests on the theorem — only the pruning power does.  Plan: one
+    shingle pass (persisted), a df aggregate, a doc-keyed rank window
+    (per-doc-bounded), the prefix self-join, and the verify join.
+    Returns (doc_a, doc_b, jaccard), identical to
+    :func:`jaccard_pairs_exact`.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n).persist()
+    sh.count()
+    counts = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    dfq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    ranked = (sh.join(dfq, "shingle")
+              .select("doc", "shingle",
+                      F.row_number().over(w).alias("rk")))
+    # p = n - ceil(t*n) + 1; ceil(t*n) for t with 2dp as integer math:
+    # (100t * n + 99) div 100
+    t_num = int(round(threshold * 100))
+    pref = (ranked.join(counts, "doc")
+            .filter(F.col("rk")
+                    <= F.col("n_sh")
+                    - F.expr(f"({t_num} * n_sh + 99) div 100") + 1)
+            .select("doc", "shingle"))
+    a = pref.select(F.col("doc").alias("doc_a"),
+                    F.col("shingle").alias("s"))
+    b = pref.select(F.col("doc").alias("doc_b"),
+                    F.col("shingle").alias("s"))
+    cand = (a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    x = sh.select(F.col("doc").alias("doc_a"),
+                  F.col("shingle").alias("s"))
+    y = sh.select(F.col("doc").alias("doc_b"),
+                  F.col("shingle").alias("s"))
+    common = (cand.join(x, "doc_a").join(y, ["doc_b", "s"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
+    ca = counts.select(F.col("doc").alias("doc_a"),
+                       F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc").alias("doc_b"),
+                       F.col("n_sh").alias("nb"))
+    out = (common.join(ca, "doc_a").join(cb, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.round(F.col("common")
+                           / (F.col("na") + F.col("nb")
+                              - F.col("common")), 6).alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
+    return out

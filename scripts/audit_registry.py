@@ -46,6 +46,8 @@ ALLOW = {
                                 "centroids / query side only",
         "profile_histogram_l1_drift": "two 1-row snapshot-total "
                                       "broadcasts",
+        "dedup_prefix_filter_funnel": "three 1-row funnel-count "
+                                      "broadcasts",
         "ann_pq_topk": "broadcast query side with literal codebooks",
         "embedding_cosine_pairs": "block-pair generator is a bounded literal join",
         "dedup_embedding_cosine": "same blocked pair generator",
