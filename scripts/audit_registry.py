@@ -48,6 +48,8 @@ ALLOW = {
                                       "broadcasts",
         "dedup_prefix_filter_funnel": "three 1-row funnel-count "
                                       "broadcasts",
+        "stats_randomization_test": "1-row observed-difference "
+                                    "broadcast",
         "ann_pq_topk": "broadcast query side with literal codebooks",
         "embedding_cosine_pairs": "block-pair generator is a bounded literal join",
         "dedup_embedding_cosine": "same blocked pair generator",

@@ -68,4 +68,10 @@ def test_local_and_distributed_training_identical(spark):
                  for r in w.collect()}
         return merges, vocab
 
-    assert snap(False) == snap(True)
+    # the two trainings are independent — run them as concurrent
+    # driver actions (the distributed loop's 6 rounds dominate)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fl, fd = ex.submit(snap, False), ex.submit(snap, True)
+        assert fl.result() == fd.result()
