@@ -115,11 +115,11 @@ _loaded = False
 #     yield their slots: with 69 zero-evidence oracled queries, first
 #     evidence outranks re-grades (they return once the never-graded
 #     pool drains — likely r11).
-#   queued for round 10: the remaining 19 wave-12/13/14 names, the 41
+#   queued for round 10: the remaining 19 wave-12/13/14 names, the 42
 #     round-9 additions (tpch3 ×5, wave15 ×4, wave16 ×5, wave17 ×3,
 #     wave18 ×2, wave19 ×2, wave20 ×5, wave21 ×4, wave22 ×4,
-#     wave23 ×3, wave24 ×2, wave25 ×2), then the r01/r02 regression
-#     re-grades.
+#     wave23 ×3, wave24 ×2, wave25 ×2, wave26 ×1), then the r01/r02
+#     regression re-grades.
 #   banked (driver-green, regression pool): _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
 #     registration order.
@@ -332,6 +332,7 @@ def _load_all() -> None:
         wave23,
         wave24,
         wave25,
+        wave26,
     )
     _reorder()
     _loaded = True
