@@ -857,6 +857,39 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def jaccard_prefix_lists(sh: "DataFrame", threshold: float):
+    """The PPJoin prefix posting lists over a (doc, shingle) set:
+    shingles ranked rarest-first (document frequency asc, shingle asc)
+    within each doc, cut to ``p = n - ceil(t*n) + 1``.  The threshold
+    is FLOORED to 2dp — a rounded-up t' > t would shrink the prefix
+    below the theorem's requirement and silently drop true pairs,
+    while flooring only enlarges the candidate set that the exact
+    verify then trims.  Shared by :func:`prefix_filter_jaccard_pairs`
+    and the funnel audit so the candidate definition can never drift
+    between them.  Returns (prefix_lists, per_doc_counts)."""
+    import math
+
+    from pyspark.sql import Window
+
+    counts = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    dfq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    ranked = (sh.join(dfq, "shingle")
+              .select("doc", "shingle",
+                      F.row_number().over(w).alias("rk")))
+    # p = n - ceil(t*n) + 1; ceil(t*n) for t at 2dp as integer math:
+    # (100t * n + 99) div 100
+    t_num = int(math.floor(threshold * 100))
+    pref = (ranked.join(counts, "doc")
+            .filter(F.col("rk")
+                    <= F.col("n_sh")
+                    - F.expr(f"({t_num} * n_sh + 99) div 100") + 1)
+            .select("doc", "shingle"))
+    return pref, counts
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -885,22 +918,7 @@ def prefix_filter_jaccard_pairs(
 
     sh = shingles(df, id_col, text_col, n).persist()
     sh.count()
-    counts = sh.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh"))
-    dfq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "shingle")
-    ranked = (sh.join(dfq, "shingle")
-              .select("doc", "shingle",
-                      F.row_number().over(w).alias("rk")))
-    # p = n - ceil(t*n) + 1; ceil(t*n) for t with 2dp as integer math:
-    # (100t * n + 99) div 100
-    t_num = int(round(threshold * 100))
-    pref = (ranked.join(counts, "doc")
-            .filter(F.col("rk")
-                    <= F.col("n_sh")
-                    - F.expr(f"({t_num} * n_sh + 99) div 100") + 1)
-            .select("doc", "shingle"))
+    pref, counts = jaccard_prefix_lists(sh, threshold)
     a = pref.select(F.col("doc").alias("doc_a"),
                     F.col("shingle").alias("s"))
     b = pref.select(F.col("doc").alias("doc_b"),
@@ -919,10 +937,11 @@ def prefix_filter_jaccard_pairs(
                        F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc").alias("doc_b"),
                        F.col("n_sh").alias("nb"))
-    out = (common.join(ca, "doc_a").join(cb, "doc_b")
-           .select("doc_a", "doc_b",
-                   F.round(F.col("common")
-                           / (F.col("na") + F.col("nb")
-                              - F.col("common")), 6).alias("jaccard"))
-           .filter(F.col("jaccard") >= threshold))
-    return out
+    # filter on the UNROUNDED ratio, round only for output — exactly
+    # like jaccard_pairs_exact, so the two strategies can never
+    # disagree at a rounding boundary of the threshold
+    jac = (F.col("common") * F.lit(1.0)
+           / (F.col("na") + F.col("nb") - F.col("common")))
+    return (common.join(ca, "doc_a").join(cb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

@@ -27,6 +27,25 @@ _RDIV = ("(({a}) div ({b})) + "
          "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)")
 
 
+def staged_ppm(num: str, den: str, intdiv: str = "div") -> str:
+    """Rounded |num|/den in PPM via two ×1000 long-division steps,
+    sign restored — the overflow-safe form of ``_RDIV`` with a 1e6
+    multiplier: a naive ``1e6 * num`` wraps int64 once num > ~9.2e12,
+    while staging through the remainder keeps every intermediate
+    ≤ 1000·den (measured failing at the 60M-row sf10 run; the staged
+    form holds to den ~ 9e15).  ``intdiv`` is ``div`` for Spark SQL
+    and ``//`` for the DuckDB oracle twin — the only dialect
+    difference."""
+    d = intdiv
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * ("
+        f"1000 * ((1000 * abs({num})) {d} ({den}))"
+        f" + ((1000 * ((1000 * abs({num})) % ({den}))) {d} ({den}))"
+        f" + (CASE WHEN 2 * ((1000 * ((1000 * abs({num})) % ({den})))"
+        f" % ({den})) >= ({den}) THEN 1 ELSE 0 END))"
+    )
+
+
 def contingency_chi_square(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:

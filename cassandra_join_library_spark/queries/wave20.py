@@ -21,7 +21,7 @@ from ..operators.sketch import (
 from ..registry import register
 from ..sources.catalog import load_events, load_table
 from .wave9 import _rdiv_sql
-from ..operators.stats import _RDIV
+from ..operators.stats import _RDIV, staged_ppm
 
 
 def _t(spark, sf_dir, name):
@@ -201,10 +201,7 @@ WITH vf AS (
 )
 SELECT n_a, n_b, u_a_x2,
        CAST(d - u_a_x2 AS BIGINT) AS u_b_x2,
-       CAST(1000 * ((1000 * u_a_x2) // d)
-            + ((1000 * ((1000 * u_a_x2) % d)) // d)
-            + (CASE WHEN 2 * ((1000 * ((1000 * u_a_x2) % d)) % d) >= d
-               THEN 1 ELSE 0 END) AS BIGINT) AS auc_ppm
+       CAST({staged_ppm("u_a_x2", "d", intdiv="//")} AS BIGINT) AS auc_ppm
 FROM fin
 """)
 def stats_mannwhitney_u(spark, sf_dir):
@@ -249,17 +246,13 @@ def stats_mannwhitney_u(spark, sf_dir):
         .cast("bigint").alias("u_a_x2"),
         (2 * F.col("n_a_tot") * F.col("n_b_tot"))
         .cast("bigint").alias("d"))
-    # ppm in TWO x1000 long-division steps: 1e6*U overflows int64 once
-    # n_a*n_b > ~4.6e12 (measured at the 60M-row sf10 run); staging
-    # through the remainder keeps every intermediate <= 1000*d
+    # staged_ppm: 1e6*U overflows int64 once n_a*n_b > ~4.6e12
+    # (measured at the 60M-row sf10 run); the shared two-step form
+    # keeps every intermediate <= 1000*d
     return fin.select(
         "n_a", "n_b", "u_a_x2",
         (F.col("d") - F.col("u_a_x2")).cast("bigint").alias("u_b_x2"),
-        (1000 * F.expr("(1000 * u_a_x2) div d")
-         + F.expr("(1000 * ((1000 * u_a_x2) % d)) div d")
-         + F.when(F.expr("2 * ((1000 * ((1000 * u_a_x2) % d)) % d)")
-                  >= F.col("d"), 1).otherwise(0))
-        .cast("bigint").alias("auc_ppm"),
+        F.expr(staged_ppm("u_a_x2", "d")).cast("bigint").alias("auc_ppm"),
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.stats import staged_ppm
 from ..registry import register
 from ..sources.catalog import load_table
 from .wave4 import _EDGE_CTE, _copurchase_edges
@@ -358,12 +359,8 @@ WITH el AS (
   FROM per_vec GROUP BY 1
 )
 SELECT label, n_vecs, sum_proj_sq, sum_orig_sq_xk,
-       CAST(1000 * ((1000 * sum_proj_sq) // sum_orig_sq_xk)
-            + ((1000 * ((1000 * sum_proj_sq) % sum_orig_sq_xk))
-               // sum_orig_sq_xk)
-            + (CASE WHEN 2 * ((1000 * ((1000 * sum_proj_sq)
-                 % sum_orig_sq_xk)) % sum_orig_sq_xk) >= sum_orig_sq_xk
-               THEN 1 ELSE 0 END) AS BIGINT) AS ratio_ppm
+       CAST({staged_ppm("sum_proj_sq", "sum_orig_sq_xk", intdiv="//")}
+            AS BIGINT) AS ratio_ppm
 FROM per_label
 """)
 def embedding_jl_projection(spark, sf_dir):
@@ -415,13 +412,7 @@ def embedding_jl_projection(spark, sf_dir):
         .alias("sum_orig_sq_xk"))
     return per_label.select(
         "label", "n_vecs", "sum_proj_sq", "sum_orig_sq_xk",
-        (1000 * F.expr("(1000 * sum_proj_sq) div sum_orig_sq_xk")
-         + F.expr("(1000 * ((1000 * sum_proj_sq) % sum_orig_sq_xk)) "
-                  "div sum_orig_sq_xk")
-         + F.when(
-             F.expr("2 * ((1000 * ((1000 * sum_proj_sq) "
-                    "% sum_orig_sq_xk)) % sum_orig_sq_xk)")
-             >= F.col("sum_orig_sq_xk"), 1).otherwise(0))
+        F.expr(staged_ppm("sum_proj_sq", "sum_orig_sq_xk"))
         .cast("bigint").alias("ratio_ppm"),
     )
 

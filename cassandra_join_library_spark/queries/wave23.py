@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..registry import _ORACLES, register
 from ..sources.catalog import load_table
 from .wave9 import _rdiv_sql
-from ..operators.stats import _RDIV
+from ..operators.stats import _RDIV, staged_ppm
 
 # curation registers before this module in _load_all, so its oracle
 # strings are available for composition at import time
@@ -25,15 +25,7 @@ def _t(spark, sf_dir, name):
 
 
 def _staged_ppm_sql(num: str, den: str) -> str:
-    """|num|/den in ppm via two ×1000 long-division steps (int64-safe
-    to den ~ 9e15), sign restored — num may be negative."""
-    return (
-        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * ("
-        f"1000 * ((1000 * abs({num})) // ({den}))"
-        f" + ((1000 * ((1000 * abs({num})) % ({den}))) // ({den}))"
-        f" + (CASE WHEN 2 * ((1000 * ((1000 * abs({num})) % ({den})))"
-        f" % ({den})) >= ({den}) THEN 1 ELSE 0 END))"
-    )
+    return staged_ppm(num, den, intdiv="//")
 
 
 @register("stats_cohens_kappa", oracle=f"""
@@ -100,11 +92,11 @@ def stats_cohens_kappa(spark, sf_dir):
         F.col("d").alias("both_fail"),
         F.expr(_RDIV.format(a="1000000 * (a + d)", b="n"))
         .cast("bigint").alias("po_ppm"),
-        F.expr(_staged_ppm_sql(pe_num, "n * n").replace("//", "div"))
+        F.expr(staged_ppm(pe_num, "n * n"))
         .cast("bigint").alias("pe_ppm"),
-        F.expr(_staged_ppm_sql(
+        F.expr(staged_ppm(
             f"n * (a + d) - ({pe_num})",
-            f"n * n - ({pe_num})").replace("//", "div"))
+            f"n * n - ({pe_num})"))
         .cast("bigint").alias("kappa_ppm"),
     )
 

@@ -6,7 +6,6 @@ under the repo parity conventions."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -82,7 +81,7 @@ WITH words AS (
     GROUP BY 1, 2
   ) cm JOIN counts ca ON ca.doc_id = cm.doc_a
        JOIN counts cb ON cb.doc_id = cm.doc_b
-  WHERE round(common * 1.0 / (ca.n + cb.n - common), 6) >= 0.5
+  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
 )
 SELECT n_posting, n_prefix, n_verified,
        CAST({_rdiv_sql("1000000 * (n_posting - n_prefix)", "n_posting")}
@@ -100,24 +99,16 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     affordable at 100 TB or the pipeline must drop to MinHash."""
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", 5).persist()
     sh.count()
-    counts = sh.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     posting = (a.join(b, "shingle")
                .filter(F.col("doc_a") < F.col("doc_b"))
                .select("doc_a", "doc_b").distinct()
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_posting")))
-    dfq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "shingle")
-    ranked = (sh.join(dfq, "shingle")
-              .select("doc", "shingle",
-                      F.row_number().over(w).alias("rk")))
-    pref = (ranked.join(counts, "doc")
-            .filter(F.col("rk")
-                    <= F.col("n") - F.expr("(50 * n + 99) div 100") + 1)
-            .select("doc", "shingle"))
+    # the candidate definition comes from the SAME helper the operator
+    # uses (operators/dedup.py jaccard_prefix_lists) — the funnel can
+    # never drift from the query it grades
+    pref, counts = D.jaccard_prefix_lists(sh, 0.5)
     pa = pref.select(F.col("doc").alias("doc_a"), "shingle")
     pb = pref.select(F.col("doc").alias("doc_b"), "shingle")
     cand = (pa.join(pb, "shingle")
@@ -133,13 +124,13 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
               .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
     ca = counts.select(F.col("doc").alias("doc_a"),
-                       F.col("n").alias("na"))
+                       F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc").alias("doc_b"),
-                       F.col("n").alias("nb"))
+                       F.col("n_sh").alias("nb"))
     verified = (common.join(ca, "doc_a").join(cb, "doc_b")
-                .filter(F.round(F.col("common")
-                                / (F.col("na") + F.col("nb")
-                                   - F.col("common")), 6) >= 0.5)
+                .filter(F.col("common") * F.lit(1.0)
+                        / (F.col("na") + F.col("nb") - F.col("common"))
+                        >= 0.5)
                 .agg(F.count(F.lit(1)).cast("bigint")
                      .alias("n_verified")))
     return (posting.crossJoin(F.broadcast(ncand))

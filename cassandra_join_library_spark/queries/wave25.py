@@ -14,9 +14,7 @@ from ..registry import register
 from ..sources.catalog import load_events
 from .wave9 import _rdiv_sql
 from ..operators.stats import _RDIV
-
-_VAL_CENTS = ("CAST(CAST(round(value, 2) AS DECIMAL(18,2)) "
-              "* 100 AS BIGINT)")
+from .wave12 import _VAL_CENTS  # the repo's one events-cents coercion
 
 _B = 32  # resamples / permutations
 

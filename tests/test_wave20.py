@@ -1,4 +1,4 @@
-"""Wave-21 unit tests: MP4 two-level box walking, Count-Min Sketch
+"""Wave-20 unit tests: MP4 two-level box walking, Count-Min Sketch
 guarantees and mergeability, Mann-Whitney U vs brute force, and
 compaction-bin invariants."""
 

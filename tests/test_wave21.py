@@ -1,4 +1,4 @@
-"""Wave-22 unit tests: URL parse/canonicalization rules, label
+"""Wave-21 unit tests: URL parse/canonicalization rules, label
 propagation invariants, and the JL projection audited against numpy."""
 
 from __future__ import annotations
@@ -97,9 +97,12 @@ def test_jl_projection_matches_numpy(spark):
         np.float64), 6)
     lo, hi = mat.min(axis=0), mat.max(axis=0)
     step = np.where(hi == lo, 1.0, (hi - lo) / 255.0)
-    # numpy rounds half-even like Spark/DuckDB round() on doubles
+    # Spark/DuckDB round() on doubles is HALF-UP (away from zero),
+    # NOT numpy's half-even — replay it as floor(x + 0.5) (codes are
+    # non-negative, so away-from-zero == up)
     codes = np.where(hi == lo, 0.0,
-                     np.round((mat - lo) / step)).astype(np.int64) - 128
+                     np.floor((mat - lo) / step + 0.5)) \
+        .astype(np.int64) - 128
     d = mat.shape[1]
     signs = np.array([[_jl_sign(r, j) for j in range(d)]
                       for r in range(_JL_K)], dtype=np.int64)

@@ -1,4 +1,4 @@
-"""Wave-23 unit tests: subtitle alignment vs interval math, span
+"""Wave-22 unit tests: subtitle alignment vs interval math, span
 corruption vs a Python replay, IVF recall consistency, and histogram
 drift conservation."""
 

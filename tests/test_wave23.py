@@ -1,4 +1,4 @@
-"""Wave-24 unit tests: kappa vs a Python contingency replay, hashing-
+"""Wave-23 unit tests: kappa vs a Python contingency replay, hashing-
 trick collision bounds, and ID3 syncsafe round-trips."""
 
 from __future__ import annotations

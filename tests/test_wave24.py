@@ -1,4 +1,4 @@
-"""Wave-25 unit tests: the prefix filter's same-answer guarantee and
+"""Wave-24 unit tests: the prefix filter's same-answer guarantee and
 funnel monotonicity."""
 
 from __future__ import annotations

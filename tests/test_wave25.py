@@ -1,4 +1,4 @@
-"""Wave-26 unit tests: deterministic resampling — Poisson weight
+"""Wave-25 unit tests: deterministic resampling — Poisson weight
 distribution, CI sanity, and the randomization test replayed in
 Python."""
 

@@ -1,4 +1,4 @@
-"""Wave-27 unit tests: HyperBall register-propagation invariants
+"""Wave-26 unit tests: HyperBall register-propagation invariants
 against an exact BFS reach replay."""
 
 from __future__ import annotations
