@@ -121,15 +121,33 @@ def graph_hyperball_reach(spark, sf_dir):
         )
 
     out = None
+    prev = None
     for t in range(1, _T + 1):
         prop = (ed.join(m.select(F.col("n").alias("v"), "j", "m"), "v")
                 .select(F.col("u").alias("n"), "j", "m"))
+        # the propagate stream is |edges| × ≤64 register rows — the
+        # session's 32 shuffle partitions put whole-graph-sized hash
+        # maps in each reduce task (OOM'd 8g at sf1); an explicit wide
+        # repartition on the MAX-merge key bounds per-task state, and
+        # EnsureRequirements reuses the exchange for the groupBy
         m = (m.unionAll(prop)
+             .repartition(256, "n", "j")
              .groupBy("n", "j").agg(F.max("m").cast("bigint").alias("m"))
              .localCheckpoint(eager=True))
-        r = roll(m, t)
+        # EAGERLY materialize this radius's 1-row rollup, then release
+        # the PREVIOUS round's register table: the checkpointed tables
+        # are nodes×64 DESERIALIZED rows each and accumulating them
+        # across rounds (and bench repeats) OOM'd the shared heap at
+        # sf1.  The rollup must be checkpointed first — it reads the
+        # registers, and an unpersisted localCheckpoint is
+        # unrecoverable (truncated lineage)
+        r = roll(m, t).localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = m
         out = r if out is None else out.unionAll(r)
     ed.unpersist()
+    prev.unpersist()
     return out
 
 
