@@ -89,7 +89,13 @@ def graph_hyperball_reach(spark, sf_dir):
           .unionAll(e.select(F.col("v").alias("u"),
                              F.col("u").alias("v"))))
     ed = ed.persist()
-    ed.count()
+    n_ed = ed.count()
+    # reduce-side width for the propagate stream (|edges| × ≤64
+    # register rows): ~1M rows per task, clamped so tiny test graphs
+    # don't pay hundreds of scheduler tasks and the dense sf1 graph
+    # (~250M propagate rows) still gets the 256 ways that turned its
+    # OOM into clean spill
+    width = int(min(256, max(32, (n_ed * HLL_M) // 1_000_000)))
     nodes = ed.select(F.col("u").alias("n")).distinct()
     h = nodes.select("n", _h60(F.col("n")).alias("hv"))
     rank = F.when(
@@ -125,13 +131,13 @@ def graph_hyperball_reach(spark, sf_dir):
     for t in range(1, _T + 1):
         prop = (ed.join(m.select(F.col("n").alias("v"), "j", "m"), "v")
                 .select(F.col("u").alias("n"), "j", "m"))
-        # the propagate stream is |edges| × ≤64 register rows — the
-        # session's 32 shuffle partitions put whole-graph-sized hash
-        # maps in each reduce task (OOM'd 8g at sf1); an explicit wide
-        # repartition on the MAX-merge key bounds per-task state, and
-        # EnsureRequirements reuses the exchange for the groupBy
+        # the session's 32 shuffle partitions put whole-graph-sized
+        # hash maps in each reduce task (OOM'd 8g at sf1); an explicit
+        # size-scaled repartition on the MAX-merge key bounds per-task
+        # state, and EnsureRequirements reuses the exchange for the
+        # groupBy
         m = (m.unionAll(prop)
-             .repartition(256, "n", "j")
+             .repartition(width, "n", "j")
              .groupBy("n", "j").agg(F.max("m").cast("bigint").alias("m"))
              .localCheckpoint(eager=True))
         # EAGERLY materialize this radius's 1-row rollup, then release
