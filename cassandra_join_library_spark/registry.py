@@ -115,14 +115,58 @@ _loaded = False
 #     yield their slots: with 69 zero-evidence oracled queries, first
 #     evidence outranks re-grades (they return once the never-graded
 #     pool drains — likely r11).
-#   queued for round 10: the remaining 19 wave-12/13/14 names, the 42
-#     round-9 additions (tpch3 ×5, wave15 ×4, wave16 ×5, wave17 ×3,
-#     wave18 ×2, wave19 ×2, wave20 ×5, wave21 ×4, wave22 ×4,
-#     wave23 ×3, wave24 ×2, wave25 ×2, wave26 ×1), then the r01/r02
-#     regression re-grades.
-#   banked (driver-green, regression pool): _ROUND7_FRONT and
-#     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
-#     registration order.
+#   round 9: GRADED — CORRECTNESS_r09: 50/50 green (rows + schema +
+#     hash, zero err).  Driver-green union after r09: 252 of 313
+#     oracled; 61 never-graded remained.
+#   round 10 (this order): _ROUND10_FRONT below — the 19 round-8
+#     wave-12/13/14 names (oldest never-graded) + the first 31 round-9
+#     additions in registration order (tpch3 Q9/Q11/Q12/Q20/Q21 first,
+#     completing the reference-era TPC-H driver evidence, then waves
+#     15-22 through mm_subtitle_align).
+#   r11 POLICY (written now so the rotation outlives context cuts):
+#     _ROUND11_FRONT = the remaining ~11 never-graded oracled queries
+#     (corpus_span_corruption, ann_ivf_recall_audit,
+#     profile_histogram_l1_drift, stats_cohens_kappa,
+#     text_hashing_trick_audit, mm_id3_tag_parse,
+#     dedup_prefix_filter_jaccard, dedup_prefix_filter_funnel,
+#     stats_bootstrap_ci, stats_randomization_test,
+#     graph_hyperball_reach — plus any round-10 additions), then
+#     oldest-graded-first regression re-grades: the r01/r02 relational
+#     core (join_*, theta_*, filter_algebra, projection, TPC-H heads
+#     Q2-Q6/Q10/Q16/Q18, agg_cube/grouping_sets, bloom_prefilter_join —
+#     i.e. the _ROUND8_FRONT re-grade tail that yielded its slots in
+#     r09) until the window holds 50.  First evidence outranks
+#     re-evidence; re-grades fill only leftover slots.
+#   banked (driver-green, regression pool): _ROUND9_FRONT,
+#     _ROUND7_FRONT and _BANKED_ROUND6 below, plus the r01/r05 heads
+#     that follow in registration order.
+_ROUND10_FRONT = [
+    # 19 round-8 wave-12/13/14 names — never driver-graded (r08 outage)
+    "events_cohort_ltv", "text_rake_keywords", "corpus_zipf_audit",
+    "graph_rich_club", "events_did_readout", "privacy_generalize_to_k",
+    "mm_pcm_silence_runs", "ivm_join_refresh", "orders_nearest_price_topk",
+    "corpus_class_balance_downsample", "events_props_json_extract",
+    "dedup_lsh_recall_audit", "graph_two_hop_reach", "stats_mode_per_group",
+    "events_segment_overlap", "corpus_quality_calibration",
+    "corpus_bpe_fertility", "lineitem_abc_analysis",
+    "dedup_survivor_bias_audit",
+    # first 31 round-9 additions, registration order: tpch3 ×5 first
+    "sql_q9_product_profit", "sql_q11_important_stock",
+    "sql_q12_late_shipments", "sql_q20_potential_promotion",
+    "sql_q21_waiting_suppliers",
+    # waves 15-22 (through mm_subtitle_align)
+    "text_winnowing_fingerprints", "dedup_winnowing_pairs",
+    "corpus_stratified_sample", "er_match_scores", "stats_rank_corr",
+    "events_user_streaks", "events_rolling_median_daily", "mm_gif_parse",
+    "mm_pcm_zero_crossings", "approx_distinct_hll_portable",
+    "approx_distinct_hll_merge", "graph_knn_degree_curve",
+    "stream_hll_final", "events_pivot_daily_types", "mm_jpeg_parse",
+    "profile_equidepth_price", "approx_topk_cms", "stream_cms_final",
+    "layout_compaction_bins", "stats_mannwhitney_u", "mm_mp4_box_parse",
+    "text_url_parse", "dedup_url_canonical", "graph_label_propagation",
+    "embedding_jl_projection", "mm_subtitle_align",
+]
+
 _ROUND9_FRONT = [
     # the 21 round-7 wave-5/6/7/8 queries — never driver-graded
     "graph_bfs_hops", "privacy_l_diversity", "mm_wav_pcm_stats",
@@ -256,14 +300,14 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND9_FRONT, then
-    the never-graded tail of _ROUND8_FRONT, then the banked
-    (already driver-green) _ROUND7_FRONT/_BANKED_ROUND6, then the
-    rest of the oracled queries in registration order, then the
-    no-oracle queries last."""
-    seen = set(_ROUND9_FRONT)
-    front = _ROUND9_FRONT + [
-        n for n in _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND10_FRONT, then
+    the banked (already driver-green) _ROUND9_FRONT/_ROUND8_FRONT/
+    _ROUND7_FRONT/_BANKED_ROUND6, then the rest of the oracled queries
+    in registration order, then the no-oracle queries last."""
+    seen = set(_ROUND10_FRONT)
+    front = _ROUND10_FRONT + [
+        n for n in _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT
+        + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]
