@@ -916,8 +916,13 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()
+    # eager localCheckpoint, NOT persist: the shingle set is corpus-
+    # sized and this function returns a lazy plan, so a persist could
+    # never be unpersisted before the caller materializes — and
+    # CacheManager-registered blocks accumulate across a shared bench
+    # session.  Checkpoint blocks are released when the result plan is
+    # dropped (the wave26 HyperBall pattern).
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     pref, counts = jaccard_prefix_lists(sh, threshold)
     a = pref.select(F.col("doc").alias("doc_a"),
                     F.col("shingle").alias("s"))

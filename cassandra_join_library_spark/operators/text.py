@@ -720,9 +720,12 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     # allocates a slice and re-evaluates the min per probe inside an
     # interpreted lambda (measured 29 s -> ~4 s at sf1, 5k docs)
     elems = [f"element_at(_hh, t + {d})" for d in range(window)]
-    win_min = "least(" + ", ".join(elems) + ")"
+    # the window-min expression is inlined directly everywhere it is
+    # needed (r09 ADVICE: a post-hoc substring .replace("_m", ...)
+    # would silently corrupt any future identifier containing "_m")
+    win_min = "(least(" + ", ".join(elems) + "))"
     pos_ladder = " ".join(
-        f"WHEN {elems[d]} = _m THEN t + {d}"
+        f"WHEN {elems[d]} = {win_min} THEN t + {d}"
         for d in range(window - 1, 0, -1)
     )
     fps = (
@@ -730,9 +733,9 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
         f"transform(sequence(1, {n_win}), t -> named_struct("
         f" 'fp_pos', CAST((CASE {pos_ladder} ELSE t END) + {k - 1} "
         f"           AS BIGINT),"
-        f" 'fp_hash', CAST(_m AS BIGINT))) "
+        f" 'fp_hash', CAST({win_min} AS BIGINT))) "
         f"ELSE array() END"
-    ).replace("_m", f"({win_min})")
+    )
     return (
         df.filter(F.length(text_col) >= k + window - 1)
         .select(F.col(id_col), F.col(text_col),

@@ -96,10 +96,16 @@ def dedup_winnowing_pairs(spark, sf_dir):
     # can sneak under the broadcast threshold (at sf10 Spark tried to
     # broadcast it and blew the 8g driver) — the hint declares the
     # only plan that survives 100 TB
+    # BOTH sides probe the capped list: membership of fp_hash in
+    # `keep` restricts the pair set identically whether one side or
+    # both are capped (the join key itself must survive the cap), so
+    # probing `capped` twice scans the smaller relation on both sides
+    # — measurably less shuffle than capped-vs-uncapped (r09 verdict
+    # ask #4; oracle unchanged, same set)
     pairs = (
         capped.select(F.col("doc_id").alias("doc_a"), "fp_hash")
         .hint("shuffle_hash")
-        .join(h.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+        .join(capped.select(F.col("doc_id").alias("doc_b"), "fp_hash")
               .hint("shuffle_hash"),
               "fp_hash")
         .filter(F.col("doc_b") > F.col("doc_a"))

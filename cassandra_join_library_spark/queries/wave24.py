@@ -97,8 +97,11 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     pair verifications the prefix theorem eliminated with zero recall
     loss; this is the number that decides whether the exact path is
     affordable at 100 TB or the pipeline must drop to MinHash."""
-    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", 5).persist()
-    sh.count()
+    # eager localCheckpoint, not persist — blocks release with the
+    # result plan instead of leaking across the shared bench session
+    # (r09 ADVICE; same rationale as prefix_filter_jaccard_pairs)
+    sh = (D.shingles(_docs(spark, sf_dir), "doc_id", "text", 5)
+          .localCheckpoint(eager=True))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     posting = (a.join(b, "shingle")
@@ -114,7 +117,7 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     cand = (pa.join(pb, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    cand = cand.persist()
+    cand = cand.localCheckpoint(eager=True)
     ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_prefix"))
     x = sh.select(F.col("doc").alias("doc_a"),
                   F.col("shingle").alias("s"))

@@ -141,7 +141,7 @@ def test_merge_matches_reference_model_on_random_changelogs(spark):
     ).map(lambda cs: list({(k, s): (k, p, s, o)
                            for k, p, s, o in cs}.values()))
 
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(target=target_st, changes=change_st)
     def run(target, changes):
