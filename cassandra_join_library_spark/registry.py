@@ -123,23 +123,62 @@ _loaded = False
 #     additions in registration order (tpch3 Q9/Q11/Q12/Q20/Q21 first,
 #     completing the reference-era TPC-H driver evidence, then waves
 #     15-22 through mm_subtitle_align).
-#   r11 POLICY (written now so the rotation outlives context cuts):
-#     _ROUND11_FRONT = the remaining ~11 never-graded oracled queries
-#     (corpus_span_corruption, ann_ivf_recall_audit,
-#     profile_histogram_l1_drift, stats_cohens_kappa,
-#     text_hashing_trick_audit, mm_id3_tag_parse,
-#     dedup_prefix_filter_jaccard, dedup_prefix_filter_funnel,
-#     stats_bootstrap_ci, stats_randomization_test,
-#     graph_hyperball_reach — plus any round-10 additions), then
-#     oldest-graded-first regression re-grades: the r01/r02 relational
-#     core (join_*, theta_*, filter_algebra, projection, TPC-H heads
-#     Q2-Q6/Q10/Q16/Q18, agg_cube/grouping_sets, bloom_prefilter_join —
-#     i.e. the _ROUND8_FRONT re-grade tail that yielded its slots in
-#     r09) until the window holds 50.  First evidence outranks
-#     re-evidence; re-grades fill only leftover slots.
-#   banked (driver-green, regression pool): _ROUND9_FRONT,
-#     _ROUND7_FRONT and _BANKED_ROUND6 below, plus the r01/r05 heads
-#     that follow in registration order.
+#   round 10: GRADED — CORRECTNESS_r10: 50/50 green.  Driver-green
+#     union after r10: 302 of 313 oracled; 11 never-graded remained.
+#   round 11 (this order): _ROUND11_FRONT below — the last 11
+#     never-graded oracled queries (draining the r08 outage debt to
+#     zero), then 39 strictly oldest-graded-first re-grades computed
+#     from the CORRECTNESS_r*.json ledger (latest green round per
+#     name, registration order as tie-break): 8 names whose only
+#     driver evidence is r01 (agg_grouping_sets,
+#     regexp_extract_priority, ngram_topk, corpus_chunks,
+#     corpus_mixture, corpus_pack_sequences, events_latest_state,
+#     corpus_shuffle_shards), then the first 31 of the r04-graded
+#     relational core (join_*, theta_*, filter_algebra, projection,
+#     TPC-H heads Q2-Q6/Q10/Q16/Q18, bloom_prefilter_join,
+#     tfidf_top_terms, corpus_split/quality_quantile/contamination).
+#     Note agg_cube from the r08 re-grade tail yields its slot: its
+#     latest driver green is r05, newer than every name taken.
+#   r12 POLICY (written now so the rotation outlives context cuts):
+#     never-graded oracled queries first (any round-11 additions),
+#     then oldest-graded-first re-grades continuing the ledger sweep —
+#     next up are the remaining r04-graded names
+#     (corpus_contamination_capped, corpus_stats, window_ntile_dist,
+#     window_first_last, array_token_ops, layout_zorder,
+#     value_histogram, setop_except_all/intersect_all,
+#     stratified_sample, window_ratio_to_report, argmax_per_group,
+#     winsorized_stats, weighted_sample, pivot_status_by_year,
+#     percentiles_exact) and then the r05 block (agg_cube, dedup_*
+#     cascade heads) until the window holds 50.  First evidence
+#     outranks re-evidence; re-grades fill only leftover slots.
+#   banked (driver-green, regression pool): _ROUND10_FRONT,
+#     _ROUND9_FRONT, _ROUND7_FRONT and _BANKED_ROUND6 below, plus the
+#     r01/r05 heads that follow in registration order.
+_ROUND11_FRONT = [
+    # 11 never-graded oracled queries (r08 outage debt, final tranche)
+    "corpus_span_corruption", "ann_ivf_recall_audit",
+    "profile_histogram_l1_drift", "stats_cohens_kappa",
+    "text_hashing_trick_audit", "mm_id3_tag_parse",
+    "dedup_prefix_filter_jaccard", "dedup_prefix_filter_funnel",
+    "stats_bootstrap_ci", "stats_randomization_test",
+    "graph_hyperball_reach",
+    # 8 names whose only driver evidence is round 1
+    "agg_grouping_sets", "regexp_extract_priority", "ngram_topk",
+    "corpus_chunks", "corpus_mixture", "corpus_pack_sequences",
+    "events_latest_state", "corpus_shuffle_shards",
+    # 31 oldest r04-graded re-grades (relational core + TPC-H heads)
+    "join_inner", "join_left", "join_right", "join_full", "join_cross",
+    "join_semi", "join_anti", "join_self_alias", "join_chain3",
+    "join_composite", "join_skew_salted", "theta_lt", "theta_neq",
+    "theta_left_outer", "theta_right_outer", "theta_full_outer",
+    "filter_algebra", "projection", "sql_q2_min_cost",
+    "sql_q3_shipping_priority", "sql_q4_order_priority",
+    "sql_q5_local_volume", "sql_q6_forecast_revenue",
+    "sql_q10_returned_items", "sql_q16_supplier_variety",
+    "sql_q18_large_orders", "bloom_prefilter_join", "tfidf_top_terms",
+    "corpus_split", "corpus_quality_quantile", "corpus_contamination",
+]
+
 _ROUND10_FRONT = [
     # 19 round-8 wave-12/13/14 names — never driver-graded (r08 outage)
     "events_cohort_ltv", "text_rake_keywords", "corpus_zipf_audit",
@@ -300,14 +339,15 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND10_FRONT, then
-    the banked (already driver-green) _ROUND9_FRONT/_ROUND8_FRONT/
-    _ROUND7_FRONT/_BANKED_ROUND6, then the rest of the oracled queries
-    in registration order, then the no-oracle queries last."""
-    seen = set(_ROUND10_FRONT)
-    front = _ROUND10_FRONT + [
-        n for n in _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT
-        + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND11_FRONT, then
+    the banked (already driver-green) _ROUND10_FRONT/_ROUND9_FRONT/
+    _ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the rest of the
+    oracled queries in registration order, then the no-oracle queries
+    last."""
+    seen = set(_ROUND11_FRONT)
+    front = _ROUND11_FRONT + [
+        n for n in _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT
+        + _ROUND7_FRONT + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]
