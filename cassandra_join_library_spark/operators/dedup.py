@@ -16,6 +16,22 @@ Beyond the reference's surface (it has no dedup); designed for the
 
 All operators are pure DataFrame pipelines (JVM-side, no Python UDFs,
 no driver collects).
+
+Materialization pattern (module-wide): corpus-sized intermediates that
+several downstream branches re-read (shingle sets, TF postings) are
+materialized with ``.localCheckpoint(eager=True)``, never ``persist()``.
+These functions return lazy plans, so a persist could never be
+unpersisted before the caller materializes, and CacheManager-registered
+blocks accumulate for the life of a shared session (releasing them
+measurably sped up the whole r10 bench suite).  Cluster-scale caveat:
+localCheckpoint truncates lineage into non-replicated executor-local
+blocks, so an executor loss or dynamic-allocation decommission fails
+the job instead of recomputing the lost partitions.  On a real
+multi-executor cluster either set
+``spark.sparkContext.setCheckpointDir(...)`` to reliable storage and
+swap these sites to ``.checkpoint()``, or accept job retry from source
+on executor loss — both beat unbounded cache growth for library-level
+operators whose callers never see the intermediate.
 """
 
 from __future__ import annotations
@@ -99,11 +115,9 @@ def jaccard_pairs_exact(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    # NB: the cache backs the returned (lazy) DataFrame, so it stays
-    # registered for the session; Spark evicts LRU under memory pressure.
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()  # eager materialization: three consumers below would
-    # otherwise race the cache and recompute the transform concurrently
+    # eager localCheckpoint (module docstring: materialization
+    # pattern) — three consumers below re-read the shingle set
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         # broadcast the DROP list (stop-shingles over the cap) and
         # anti-join: it is tiny by construction, while the keep-list is
@@ -241,8 +255,7 @@ def containment_pairs_exact(
     Returns (doc_a, doc_b, containment): doc_a's shingle set is
     ``containment``-contained in doc_b's (directional — both
     orientations of a pair can appear)."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()  # eager: three consumers below (same reason as jaccard)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -302,8 +315,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()  # eager materialization (see jaccard_pairs_exact)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if rows_per_band == 1:
         # fast path: each minhash IS a band key, so skip the wide
         # 24-buffer signature aggregate (expensive to codegen-compile)
@@ -656,8 +668,7 @@ def ngram_novelty(
     oracle-checkable.  Returns (doc_id, n_shingles, n_novel, novelty)
     with novelty rounded to 6 dp.
     """
-    sh = shingles(df, id_col, text_col, n=n).persist()
-    sh.count()  # eager: totals, dfreq, and the novel join all read it
+    sh = shingles(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     totals = sh.groupBy(F.col("doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
@@ -706,8 +717,7 @@ def overlap_pair_signals(
     direction qualifying emits the (doc_a < doc_b) pair.  Returns
     (doc_a, doc_b) for the multi-signal union.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()  # eager: three consumers below (see jaccard_pairs_exact)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -767,9 +777,8 @@ def tf_cosine_pairs(
         positional_grams(df, id_col, text_col, k=n)
         .groupBy("doc", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    tf.count()  # eager: norms + both join sides read it below
     if max_doc_freq is not None:
         hot = (
             tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -909,19 +918,14 @@ def prefix_filter_jaccard_pairs(
     MinHash: exact output, sub-posting-join cost.  Candidates are then
     exact-verified against the full shingle sets, so correctness never
     rests on the theorem — only the pruning power does.  Plan: one
-    shingle pass (persisted), a df aggregate, a doc-keyed rank window
+    shingle pass (checkpointed), a df aggregate, a doc-keyed rank window
     (per-doc-bounded), the prefix self-join, and the verify join.
     Returns (doc_a, doc_b, jaccard), identical to
     :func:`jaccard_pairs_exact`.
     """
     from pyspark.sql import Window
 
-    # eager localCheckpoint, NOT persist: the shingle set is corpus-
-    # sized and this function returns a lazy plan, so a persist could
-    # never be unpersisted before the caller materializes — and
-    # CacheManager-registered blocks accumulate across a shared bench
-    # session.  Checkpoint blocks are released when the result plan is
-    # dropped (the wave26 HyperBall pattern).
+    # eager localCheckpoint (module docstring: materialization pattern)
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     pref, counts = jaccard_prefix_lists(sh, threshold)
     a = pref.select(F.col("doc").alias("doc_a"),

@@ -99,7 +99,8 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     affordable at 100 TB or the pipeline must drop to MinHash."""
     # eager localCheckpoint, not persist — blocks release with the
     # result plan instead of leaking across the shared bench session
-    # (r09 ADVICE; same rationale as prefix_filter_jaccard_pairs)
+    # (r09 ADVICE; pattern + cluster-scale caveat documented in the
+    # operators/dedup.py module docstring)
     sh = (D.shingles(_docs(spark, sf_dir), "doc_id", "text", 5)
           .localCheckpoint(eager=True))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")

@@ -11,7 +11,11 @@ never materializes boundaries), and the whole-query isolated number is
 printed alongside as the ground truth.
 
 Usage: python scripts/e2e_stage_breakdown.py [--sf /root/testdata/sf0.1]
-Prints a markdown table ready for SCALE.md.
+                                             [--repeat N]
+Prints a markdown table ready for SCALE.md.  ``--repeat N`` runs the
+whole fused query N times in the same JVM and prints each wall — this
+reproduces the cold -> warm climb evidence SCALE.md cites (r10 ADVICE:
+the committed tool previously ran the fused query exactly once).
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ sys.path.insert(0, ".")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the whole fused query N times in the same "
+                         "JVM (cold run first, then warm runs)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -48,10 +55,14 @@ def main() -> int:
     # exactly like the bench suite's steady state)
     from cassandra_join_library_spark.registry import all_queries
 
-    t0 = time.time()
-    n = all_queries()["corpus_e2e_pipeline"](spark, args.sf).count()
-    whole = time.time() - t0
-    print(f"whole query (fused, fresh JVM): {whole:.2f} s, {n} rows")
+    walls = []
+    for i in range(max(1, args.repeat)):
+        t0 = time.time()
+        n = all_queries()["corpus_e2e_pipeline"](spark, args.sf).count()
+        walls.append(time.time() - t0)
+        tag = "cold, fresh JVM" if i == 0 else f"warm run {i + 1}"
+        print(f"whole query ({tag}): {walls[-1]:.2f} s, {n} rows")
+    whole = walls[0]
 
     rows = []
     docs = ckpt(load_table(spark, args.sf, "documents")
@@ -89,7 +100,9 @@ def main() -> int:
     for label, dt, cnt in rows:
         print(f"| {label} | {dt:.2f} | {cnt:,} |")
     print(f"| sum of stages (materialized boundaries) | {total:.2f} | |")
-    print(f"| whole fused query (fresh JVM) | {whole:.2f} | {n:,} |")
+    print(f"| whole fused query (cold, fresh JVM) | {whole:.2f} | {n:,} |")
+    for i, w in enumerate(walls[1:], start=2):
+        print(f"| whole fused query (warm run {i}, same JVM) | {w:.2f} | |")
     return 0
 
 
