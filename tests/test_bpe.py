@@ -8,6 +8,8 @@ import pandas as pd
 
 from cassandra_join_library_spark.operators.bpe import bpe_train
 
+from .background import heavy_check
+
 
 def _merges(spark, texts, n_merges):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
@@ -16,10 +18,13 @@ def _merges(spark, texts, n_merges):
             for r in out.orderBy("step").collect()]
 
 
-def test_overlapping_same_symbol_pair_merges_at_even_offsets(spark):
+heavy_check("bpe_merges_overlap")(lambda s: _merges(s, ["aaa aaa"], 3))
+
+
+def test_overlapping_same_symbol_pair_merges_at_even_offsets(heavy_results):
     """'aaa' under pair (a,a): greedy left-to-right keeps offset 0
     only -> [aa, a, </w>]; the count still reflects BOTH occurrences."""
-    got = _merges(spark, ["aaa aaa"], 3)
+    got = heavy_results("bpe_merges_overlap")
     # (a,a) seen twice per word instance, two instances -> count 4
     assert got[0] == (1, "a", "a", 4)
     # after merge: [aa, a, </w>] -> (aa,a)=2 vs (a,</w>)=2 tie;
@@ -52,26 +57,25 @@ def test_tiny_corpus_matches_unrolled_sql(spark):
     assert got == want
 
 
-def test_local_and_distributed_training_identical(spark):
-    """The driver-local merge loop (default; vocab is constant-size
-    driver state) must be bit-identical to the distributed loop."""
+def _bpe_snap(spark, distributed):
     from cassandra_join_library_spark.operators.bpe import bpe_train_state
 
     texts = ["aaa banana band", "banana aaa bab", "band bab banana"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m, w = bpe_train_state(spark, df, "text", n_merges=6,
+                           top_words=100, distributed=distributed)
+    merges = [tuple(r) for r in m.orderBy("step").collect()]
+    vocab = {r["word"]: (r["freq"], list(r["syms"]))
+             for r in w.collect()}
+    return merges, vocab
 
-    def snap(distributed):
-        m, w = bpe_train_state(spark, df, "text", n_merges=6,
-                               top_words=100, distributed=distributed)
-        merges = [tuple(r) for r in m.orderBy("step").collect()]
-        vocab = {r["word"]: (r["freq"], list(r["syms"]))
-                 for r in w.collect()}
-        return merges, vocab
 
-    # the two trainings are independent — run them as concurrent
-    # driver actions (the distributed loop's 6 rounds dominate)
-    from concurrent.futures import ThreadPoolExecutor
+heavy_check("bpe_train_local")(lambda s: _bpe_snap(s, False))
+heavy_check("bpe_train_distributed")(lambda s: _bpe_snap(s, True))
 
-    with ThreadPoolExecutor(2) as ex:
-        fl, fd = ex.submit(snap, False), ex.submit(snap, True)
-        assert fl.result() == fd.result()
+
+def test_local_and_distributed_training_identical(heavy_results):
+    """The driver-local merge loop (default; vocab is constant-size
+    driver state) must be bit-identical to the distributed loop."""
+    assert (heavy_results("bpe_train_local")
+            == heavy_results("bpe_train_distributed"))

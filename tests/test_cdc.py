@@ -9,8 +9,12 @@ from cassandra_join_library_spark.operators.cdc import (
     compact_changelog, merge_upsert as _merge_upsert,
 )
 
+from .background import heavy_check
 
-@pytest.fixture(params=["broadcast_delta", "copartitioned"])
+STRATEGIES = ["broadcast_delta", "copartitioned"]
+
+
+@pytest.fixture(params=STRATEGIES)
 def merge_upsert(request):
     def fn(*args, **kw):
         return _merge_upsert(*args, strategy=request.param, **kw)
@@ -28,7 +32,12 @@ def _rows(df):
     return {r["k"]: (r["payload"], r["seq"]) for r in df.collect()}
 
 
-def test_merge_covers_all_four_cases(spark, merge_upsert):
+# ---- background heavy checks: the deterministic merge scenarios are
+# the suite's most expensive fixed-cost calls (the batchwise chains
+# alone were ~35 s across both strategies); precompute every merged
+# snapshot per strategy on the sweep pool, assert in the tests.
+
+def _four_cases_out(spark, strategy):
     changes = spark.createDataFrame(
         [
             (1, "a2", 20, "U"),   # update
@@ -38,25 +47,20 @@ def test_merge_covers_all_four_cases(spark, merge_upsert):
         ],
         "k bigint, payload string, seq bigint, op string",
     )
-    out = _rows(merge_upsert(_target(spark), changes, ["k"], ["seq"]))
-    assert out == {1: ("a2", 20), 3: ("c", 10), 4: ("d", 20)}
+    return _rows(_merge_upsert(_target(spark), changes, ["k"], ["seq"],
+                               strategy=strategy))
 
 
-def test_merge_is_seq_aware_stale_change_loses(spark, merge_upsert):
-    """A change with an OLDER seq than the target row must not win —
-    the invariant that makes replays and out-of-order batches safe."""
+def _stale_out(spark, strategy):
     changes = spark.createDataFrame(
         [(1, "stale", 5, "U"), (2, None, 5, "D")],
         "k bigint, payload string, seq bigint, op string",
     )
-    out = _rows(merge_upsert(_target(spark), changes, ["k"], ["seq"]))
-    # both stale: update ignored, delete ignored
-    assert out == {1: ("a", 10), 2: ("b", 10), 3: ("c", 10)}
+    return _rows(_merge_upsert(_target(spark), changes, ["k"], ["seq"],
+                               strategy=strategy))
 
 
-def test_merge_batchwise_equals_global(spark, merge_upsert):
-    """Applying the changelog split into two batches (in either order)
-    must equal applying it all at once."""
+def _batchwise_payload(spark, strategy):
     all_changes = [
         (1, "v1", 20, "U"), (1, "v2", 30, "U"),   # two updates, 30 wins
         (2, None, 25, "D"), (2, "back", 40, "U"),  # delete then re-insert
@@ -64,11 +68,10 @@ def test_merge_batchwise_equals_global(spark, merge_upsert):
         (5, "new", 15, "U"),                       # insert
     ]
     schema = "k bigint, payload string, seq bigint, op string"
-    full = merge_upsert(_target(spark),
-                        spark.createDataFrame(all_changes, schema),
-                        ["k"], ["seq"])
+    full = _merge_upsert(_target(spark),
+                         spark.createDataFrame(all_changes, schema),
+                         ["k"], ["seq"], strategy=strategy)
     want = _rows(full)
-    assert want == {1: ("v2", 30), 2: ("back", 40), 5: ("new", 15)}
 
     # two split points (middle + single-trailing-element) x both orders
     # covers composition invariance; the third split point (1) added
@@ -84,20 +87,57 @@ def test_merge_batchwise_equals_global(spark, merge_upsert):
                 # the snapshot TWICE (anti + inner), so chaining
                 # without materialization re-executes a 2^depth
                 # plan tree per action (this one test cost 41 s)
-                snap = merge_upsert(
+                snap = _merge_upsert(
                     snap, spark.createDataFrame(p, schema),
-                    ["k"], ["seq"]).localCheckpoint(eager=True)
+                    ["k"], ["seq"], strategy=strategy
+                ).localCheckpoint(eager=True)
         return _rows(snap)
 
-    # the four chains are independent — run them from driver threads
-    # (Spark serves concurrent actions fine; this is wall-latency-
-    # bound tiny-job scheduling, 41 s -> ~14 s)
+    # the four chains are independent — run them as concurrent driver
+    # actions even inside the sweep (wall-latency-bound tiny jobs)
     from concurrent.futures import ThreadPoolExecutor
 
     combos = [(s, o) for s in (3, 5) for o in (0, 1)]
     with ThreadPoolExecutor(max_workers=4) as ex:
         results = list(ex.map(lambda c: run_chain(*c), combos))
-    for combo, got in zip(combos, results):
+    return want, dict(zip(combos, results))
+
+
+def _register_cdc(strategy):
+    heavy_check(f"cdc_four_cases_{strategy}")(
+        lambda s: _four_cases_out(s, strategy))
+    heavy_check(f"cdc_stale_{strategy}")(
+        lambda s: _stale_out(s, strategy))
+    heavy_check(f"cdc_batchwise_{strategy}")(
+        lambda s: _batchwise_payload(s, strategy))
+
+
+for _s in STRATEGIES:
+    _register_cdc(_s)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_merge_covers_all_four_cases(strategy, heavy_results):
+    out = heavy_results(f"cdc_four_cases_{strategy}")
+    assert out == {1: ("a2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_merge_is_seq_aware_stale_change_loses(strategy, heavy_results):
+    """A change with an OLDER seq than the target row must not win —
+    the invariant that makes replays and out-of-order batches safe."""
+    out = heavy_results(f"cdc_stale_{strategy}")
+    # both stale: update ignored, delete ignored
+    assert out == {1: ("a", 10), 2: ("b", 10), 3: ("c", 10)}
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_merge_batchwise_equals_global(strategy, heavy_results):
+    """Applying the changelog split into two batches (in either order)
+    must equal applying it all at once."""
+    want, chains = heavy_results(f"cdc_batchwise_{strategy}")
+    assert want == {1: ("v2", 30), 2: ("back", 40), 5: ("new", 15)}
+    for combo, got in chains.items():
         assert got == want, combo
 
 

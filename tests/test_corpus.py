@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from cassandra_join_library_spark.operators import corpus as C
 from cassandra_join_library_spark.sources.catalog import load_table
 
+from .background import heavy_check
 from .conftest import SF_SMOKE
 
 
@@ -24,23 +25,55 @@ def emb(spark):
     return load_table(spark, SF_SMOKE, "embeddings")
 
 
-def test_kmeans_deterministic_and_complete(emb):
-    # the two independent trainings run as concurrent driver actions —
-    # Spark schedules their jobs side by side (same trick as the CDC
-    # batchwise combos), halving this test's wall
-    from concurrent.futures import ThreadPoolExecutor
+# ---- background heavy checks (tests/background.py): the k-means
+# trainings are the suite's two slowest calls (~36 s combined); they
+# are deterministic and self-contained, so they run on the sweep pool
+# overlapped with the sequential wall and the tests just join+assert.
 
-    def run(df):
-        return {
-            r["vid"]: r["cluster"]
-            for r in C.kmeans_assign(
-                df, "vec_id", "embedding", k=4, n_iter=3).collect()
-        }
+def _assignments(spark, repartition: "int | None" = None):
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    if repartition:
+        df = df.repartition(repartition)
+    return {
+        r["vid"]: r["cluster"]
+        for r in C.kmeans_assign(
+            df, "vec_id", "embedding", k=4, n_iter=3).collect()
+    }
 
-    with ThreadPoolExecutor(2) as ex:
-        fa = ex.submit(run, emb)
-        fb = ex.submit(run, emb.repartition(7))
-        pa, pb = fa.result(), fb.result()
+
+heavy_check("kmeans_assign_base")(_assignments)
+heavy_check("kmeans_assign_repart7")(lambda s: _assignments(s, 7))
+
+
+def _inertia(spark, n_iter: int) -> float:
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = C.kmeans_assign(emb, "vec_id", "embedding", k=4,
+                               n_iter=n_iter)
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    j = assigned.join(vecs, "vid")
+    cent = (
+        j.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    per_dim = (
+        j.select("vid", "cluster", F.posexplode("v").alias("pos", "x"))
+        .join(cent, ["cluster", "pos"])
+        .select(((F.col("x") - F.col("m")) ** 2).alias("d"))
+    )
+    return per_dim.agg(F.sum("d")).collect()[0][0]
+
+
+heavy_check("kmeans_inertia_i1")(lambda s: _inertia(s, 1))
+heavy_check("kmeans_inertia_i4")(lambda s: _inertia(s, 4))
+
+
+def test_kmeans_deterministic_and_complete(emb, heavy_results):
+    pa = heavy_results("kmeans_assign_base")
+    pb = heavy_results("kmeans_assign_repart7")
     # every vector assigned exactly once, identically under any
     # input partitioning (decimal-exact centroid updates)
     assert pa == pb
@@ -48,35 +81,13 @@ def test_kmeans_deterministic_and_complete(emb):
     assert set(pa.values()) <= set(range(4))
 
 
-def test_kmeans_improves_inertia(emb):
+def test_kmeans_improves_inertia(heavy_results):
     """More Lloyd iterations never increase total within-cluster
     spread (monotone convergence — the algorithm's defining
     property)."""
-
-    def inertia(n_iter):
-        assigned = C.kmeans_assign(emb, "vec_id", "embedding", k=4, n_iter=n_iter)
-        vecs = emb.select(
-            F.col("vec_id").alias("vid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-        j = assigned.join(vecs, "vid")
-        cent = (
-            j.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-        )
-        per_dim = (
-            j.select("vid", "cluster", F.posexplode("v").alias("pos", "x"))
-            .join(cent, ["cluster", "pos"])
-            .select(((F.col("x") - F.col("m")) ** 2).alias("d"))
-        )
-        return per_dim.agg(F.sum("d")).collect()[0][0]
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as ex:
-        f4, f1 = ex.submit(inertia, 4), ex.submit(inertia, 1)
-        assert f4.result() <= f1.result() + 1e-9
+    i4 = heavy_results("kmeans_inertia_i4")
+    i1 = heavy_results("kmeans_inertia_i1")
+    assert i4 <= i1 + 1e-9
 
 
 def test_chunks_reconstruct_text(spark, docs):

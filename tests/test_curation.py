@@ -13,6 +13,7 @@ from cassandra_join_library_spark.operators import similarity as S
 from cassandra_join_library_spark.sources.catalog import load_table
 from cassandra_join_library_spark.sources.catalog import local_frame
 
+from .background import heavy_check
 from .conftest import SF_SMOKE
 
 
@@ -21,29 +22,20 @@ def docs(spark):
     return load_table(spark, SF_SMOKE, "documents")
 
 
-@pytest.fixture(scope="module")
-def emb(spark):
-    return load_table(spark, SF_SMOKE, "embeddings")
+# ---- background heavy checks (~10 s combined, deterministic)
 
-
-def test_dedup_survivors_partition_semantics(spark, docs):
-    """One survivor per cluster; singletons pass through; survivor is
-    the longest member (ties -> lowest id); sizes sum to corpus size."""
+@heavy_check("curation_survivors_payload")
+def _survivors_payload(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
     pairs = D.jaccard_pairs_exact(docs, "doc_id", "text", n=5, threshold=0.5)
     clusters = D.duplicate_clusters(pairs).persist()
     surv = D.dedup_survivors(
         docs.select("doc_id", "n_chars"), clusters, "doc_id", "n_chars"
     ).persist()
-    rows = surv.collect()
-    # one row per distinct cluster (clustered ones + singletons)
+    rows = [r.asDict() for r in surv.collect()]
     n_docs = docs.count()
     n_clustered_docs = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
-    assert len(rows) == n_docs - n_clustered_docs + n_clusters
-    # cluster ids unique among survivors; sizes partition the corpus
-    assert len({r["cluster_id"] for r in rows}) == len(rows)
-    assert sum(r["cluster_size"] for r in rows) == n_docs
-    # the survivor dominates every member on (n_chars DESC, doc_id ASC)
     member_best = {
         r["cluster_id"]: (r["best_len"], r["best_id"])
         for r in (
@@ -56,11 +48,45 @@ def test_dedup_survivors_partition_semantics(spark, docs):
             )
         ).collect()
     }
+    surv.unpersist()
+    clusters.unpersist()
+    return rows, n_docs, n_clustered_docs, n_clusters, member_best
+
+
+@heavy_check("curation_semantic_dedup_payload")
+def _semantic_dedup_payload(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = S.semantic_dedup(emb, "vec_id", "embedding",
+                           dim=64, n_planes=6, threshold=0.4)
+    rows = {r["vec_id"]: r.asDict() for r in out.collect()}
+    exact = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in S.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    return rows, exact, emb.count()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_dedup_survivors_partition_semantics(heavy_results):
+    """One survivor per cluster; singletons pass through; survivor is
+    the longest member (ties -> lowest id); sizes sum to corpus size."""
+    rows, n_docs, n_clustered_docs, n_clusters, member_best = (
+        heavy_results("curation_survivors_payload"))
+    # one row per distinct cluster (clustered ones + singletons)
+    assert len(rows) == n_docs - n_clustered_docs + n_clusters
+    # cluster ids unique among survivors; sizes partition the corpus
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    assert sum(r["cluster_size"] for r in rows) == n_docs
+    # the survivor dominates every member on (n_chars DESC, doc_id ASC)
     for r in rows:
         if r["cluster_size"] > 1:
             assert r["n_chars"] == member_best[r["cluster_id"]][0]
-    surv.unpersist()
-    clusters.unpersist()
 
 
 def test_cap_per_group_bounds_and_stability(spark, docs):
@@ -277,21 +303,13 @@ def test_gopher_rules_verdict_consistency(spark, docs):
         assert 0.0 < r["top_word_ratio"] <= 1.0
 
 
-def test_semantic_dedup_drop_set_vs_exact_pairs(spark, emb):
+def test_semantic_dedup_drop_set_vs_exact_pairs(heavy_results):
     """Dropped => a lower-id same-bucket neighbor at >= threshold
     exists; every dropped id also appears in the EXACT pair set (the
     bucketing can only miss pairs, never invent them); n_close
     consistency."""
-    out = S.semantic_dedup(emb, "vec_id", "embedding",
-                           dim=64, n_planes=6, threshold=0.4).persist()
-    rows = {r["vec_id"]: r for r in out.collect()}
-    assert len(rows) == emb.count()
-    exact = {
-        frozenset((r["id_a"], r["id_b"]))
-        for r in S.cosine_pairs_blocked(
-            emb, "vec_id", "embedding", threshold=0.4
-        ).collect()
-    }
+    rows, exact, n_emb = heavy_results("curation_semantic_dedup_payload")
+    assert len(rows) == n_emb
     exact_ids = set().union(*exact) if exact else set()
     dropped = {v for v, r in rows.items() if r["dropped"]}
     assert dropped, "threshold 0.4 should drop at least one vector"

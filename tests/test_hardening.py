@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from cassandra_join_library_spark.sources.catalog import local_frame
 
+from .background import heavy_check
+
 
 def test_value_outliers_zero_variance_group(spark):
     """A constant group must be skipped, not crash with DIVIDE_BY_ZERO
@@ -424,17 +426,25 @@ def test_incremental_dedup_null_and_separator_safety(spark):
     assert kept == {10, 11}  # both genuinely new — nothing collides
 
 
-def test_lsh_dim_mismatch_fails_loudly(spark):
-    import pytest
-
+@heavy_check("hardening_lsh_dim_mismatch")
+def _lsh_dim_mismatch(spark):
     from cassandra_join_library_spark.operators.similarity import (
         lsh_cosine_pairs,
     )
 
     emb = local_frame(spark, [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.1])],
                       "vec_id bigint, embedding array<double>")
-    with pytest.raises(Exception, match="vector length"):
+    try:
         lsh_cosine_pairs(emb, "vec_id", "embedding", dim=64).collect()
+    except Exception as exc:  # noqa: BLE001 - payload IS the exception
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
+def test_lsh_dim_mismatch_fails_loudly(heavy_results):
+    err = heavy_results("hardening_lsh_dim_mismatch")
+    assert err is not None, "dim mismatch did not raise"
+    assert "vector length" in err
 
 
 def test_pq_shortlist_excludes_null_approx(spark):
@@ -466,12 +476,17 @@ def test_multimodal_null_text_rows_survive(spark):
     assert rows[2]["byte_len"] == 0  # NULL payload = zero bytes
 
 
-def test_model_score_survives_million_token_doc(spark):
+@heavy_check("hardening_million_token_prob")
+def _million_token_prob(spark):
     from cassandra_join_library_spark.operators.text import model_score
 
     big = local_frame(spark, [(1, " ".join(["w"] * 1_100_000))],
                       "doc_id bigint, text string")
-    assert model_score(big, "doc_id", "text").collect()[0]["prob"] == 1.0
+    return model_score(big, "doc_id", "text").collect()[0]["prob"]
+
+
+def test_model_score_survives_million_token_doc(heavy_results):
+    assert heavy_results("hardening_million_token_prob") == 1.0
 
 
 def test_exact_dedup_normalized_excludes_null_text(spark):

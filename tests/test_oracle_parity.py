@@ -21,10 +21,23 @@ import pytest
 from cassandra_join_library_spark.parity import run_parity_gate
 from cassandra_join_library_spark.registry import all_oracles, all_queries
 
+from .background import heavy_check
 from .conftest import SF_ORACLE
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def _rows_only_run(name):
+    def run(spark):
+        df = QUERIES[name](spark, SF_ORACLE)
+        return df.columns, df.count()
+    return run
+
+
+for _name in ROWS_ONLY:
+    heavy_check(f"rows_only::{_name}")(_rows_only_run(_name))
 
 
 @pytest.fixture(scope="session")
@@ -52,9 +65,9 @@ def test_oracle_parity(name, gate_results):
     assert name not in failures, f"{name} failed parity:\n{failures[name]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, heavy_results):
     """Queries without oracles must still run and return a stable schema."""
-    df = QUERIES[name](spark, SF_ORACLE)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    cols, cnt = heavy_results(f"rows_only::{name}")
+    assert cols, f"{name}: no columns"
+    assert cnt >= 0

@@ -8,11 +8,54 @@ from pyspark.sql import functions as F
 
 from cassandra_join_library_spark.operators import similarity as S
 
+from .background import heavy_check
 from .conftest import SF_ORACLE
 
 
 def _emb(spark):
     return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+# ---- background heavy checks: the three slowest recall sweeps
+# (~16 s combined) are deterministic — precompute the pair/row sets
+# on the sweep pool; the tests join and check the floors.
+
+@heavy_check("sim_ivf_kmeans_sets")
+def _ivf_kmeans_sets(spark):
+    from cassandra_join_library_spark.operators.corpus import kmeans_fit
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    _, centroids = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    approx = S.ivf_topk(emb, queries, k=5, nprobe=3, centroids_df=cent_df)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return e, a
+
+
+@heavy_check("sim_lsh_vs_exact_sets")
+def _lsh_vs_exact_sets(spark):
+    emb = _emb(spark)
+    lsh = S.lsh_cosine_pairs(emb, threshold=0.4, n_planes=6, n_tables=8)
+    exact = S.cosine_pairs(emb, threshold=0.4)
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    return l, e
+
+
+@heavy_check("sim_pq_rows")
+def _pq_rows(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    rows = S.pq_topk(emb, queries, k=5, m=8, ks=16,
+                     centroid_stride=7, refine=4).collect()
+    return exact, rows
 
 
 def test_ivf_recall_floor(spark):
@@ -28,33 +71,17 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.2, f"IVF recall {recall:.2f}"
 
 
-def test_ivf_kmeans_centroids_recall_floor(spark):
+def test_ivf_kmeans_centroids_recall_floor(heavy_results):
     """Trained (k-means) centroids through the centroids_df path must
     give recall at least on par with the stride default — the learned
     lists should partition the space no worse than arbitrary vectors."""
-    from cassandra_join_library_spark.operators.corpus import kmeans_fit
-
-    emb = _emb(spark)
-    queries = emb.filter(F.col("vec_id") < 20)
-    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
-    _, centroids = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cent_id BIGINT, embedding ARRAY<DOUBLE>",
-    )
-    approx = S.ivf_topk(emb, queries, k=5, nprobe=3, centroids_df=cent_df)
-    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e, a = heavy_results("sim_ivf_kmeans_sets")
     recall = len(e & a) / len(e)
     assert recall >= 0.2, f"kmeans-IVF recall {recall:.2f}"
 
 
-def test_lsh_pairs_subset_of_exact(spark):
-    emb = _emb(spark)
-    lsh = S.lsh_cosine_pairs(emb, threshold=0.4, n_planes=6, n_tables=8)
-    exact = S.cosine_pairs(emb, threshold=0.4)
-    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
-    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+def test_lsh_pairs_subset_of_exact(heavy_results):
+    l, e = heavy_results("sim_lsh_vs_exact_sets")
     assert l <= e  # verification guarantees no false positives
     # cos 0.4 (θ≈66°) is the worst regime for hyperplane LSH — the
     # synthetic vectors have no true near-dups; measured recall ≈ 0.48
@@ -78,23 +105,18 @@ def test_brute_force_topk_is_total_ordered(spark):
         assert sims == sorted(sims, reverse=True)
 
 
-def test_pq_recall_floor(spark):
+def test_pq_recall_floor(heavy_results):
     """PQ with ADC + 4x re-rank must beat random by a wide margin on
     the worst-case (near-orthogonal) synthetic vectors, and every
     returned cosine must equal the exact score (re-rank is exact)."""
-    emb = _emb(spark)
-    queries = emb.filter(F.col("vec_id") < 20)
-    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
-    approx = S.pq_topk(emb, queries, k=5, m=8, ks=16,
-                       centroid_stride=7, refine=4)
-    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    rows = approx.collect()
+    exact, rows = heavy_results("sim_pq_rows")
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(e & a) / len(e)
     assert recall >= 0.2, f"PQ recall {recall:.2f}"
     # scores on returned pairs are exact (match brute force where shared)
     es = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
-          for r in exact.collect()}
+          for r in exact}
     for r in rows:
         key = (r["query_id"], r["neighbor_id"])
         if key in es:

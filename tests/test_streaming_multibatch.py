@@ -20,13 +20,32 @@ from cassandra_join_library_spark.functions.scalars import dsum
 from cassandra_join_library_spark.sources.catalog import load_events
 from cassandra_join_library_spark.streaming import windows as W
 
+from .background import heavy_check
 from .conftest import SF_SMOKE
 
+#: lazily-staged shared events dir for the background sweep (each
+#: heavy check calls _staged(spark); the first one pays the ~3 s
+#: staging, the rest reuse it — same sharing the module fixture gave)
+_STAGED: dict = {}
 
-@pytest.fixture(scope="module")
-def staged_dir(spark, tmp_path_factory):
+
+def _staged(spark):
+    import tempfile
+    import threading
+
+    lock = _STAGED.setdefault("lock", threading.Lock())
+    with lock:
+        if "dir" not in _STAGED:
+            base = tempfile.mkdtemp(prefix="events_staged_")
+            _STAGED["dir"] = _stage_events(spark, base)
+    return _STAGED["dir"]
+
+
+def _stage_events(spark, base):
     """Events as 8 sequential time-range files with increasing mtime."""
-    base = tmp_path_factory.mktemp("events_staged")
+    from pathlib import Path
+
+    base = Path(base)
     e = load_events(spark, SF_SMOKE).orderBy("ts")
     rows = e.count()
     bounds = e.selectExpr(
@@ -62,7 +81,9 @@ def _stream(spark, staged_dir):
     )
 
 
-def test_append_mode_emits_closed_windows_across_batches(spark, staged_dir):
+@heavy_check("smb_append_windows")
+def _append_windows(spark):
+    staged_dir = _staged(spark)
     agg = (
         _stream(spark, staged_dir)
         .withWatermark("ts", "10 minutes")
@@ -72,8 +93,6 @@ def test_append_mode_emits_closed_windows_across_batches(spark, staged_dir):
     )
     name, q = W.run_to_memory(agg, output_mode="append")
     got = {r["ws"]: (r["n"], r["v"]) for r in spark.table(name).collect()}
-    assert got, "append mode emitted nothing — watermark never advanced"
-
     batch = (
         spark.read.parquet(staged_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -81,6 +100,12 @@ def test_append_mode_emits_closed_windows_across_batches(spark, staged_dir):
         .select(F.unix_timestamp("w.start").cast("bigint").alias("ws"), "n", "v")
     )
     want = {r["ws"]: (r["n"], r["v"]) for r in batch.collect()}
+    return got, want
+
+
+def test_append_mode_emits_closed_windows_across_batches(heavy_results):
+    got, want = heavy_results("smb_append_windows")
+    assert got, "append mode emitted nothing — watermark never advanced"
     # every emitted (closed) window must match the batch result exactly;
     # only trailing windows newer than the final watermark may be absent
     for ws, nv in got.items():
@@ -93,29 +118,14 @@ def test_append_mode_emits_closed_windows_across_batches(spark, staged_dir):
         )
 
 
-def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
-    """Late-data semantics, end to end: a row arriving AFTER its
-    window was closed and emitted must be discarded — not resurrect
-    the window as a duplicate emission, not corrupt the count.
-    Batches (one file per trigger, mtime-ordered):
+@heavy_check("smb_late_rows")
+def _late_rows(spark):
+    import tempfile
+    from pathlib import Path
 
-      f0: 10:00, 10:30   -> window [10:00,11:00) has 2 rows
-      f1: 12:00          -> watermark advances to 11:50 for the NEXT
-                            batch (wm lags one batch by design)
-      f2: 13:00          -> batch runs at wm 11:50 > 11:00: the
-                            [10:00,11:00) window EMITS (n=2), state
-                            evicted
-      f3: 10:15 (LATE) + 15:00 -> wm 12:50; the 10:15 row's window is
-                            long closed — must be dropped
-      f4: 17:00          -> wm 14:50 would re-emit [10:00,11:00) if
-                            the late row had re-created state
-
-    A row that arrives before its window's eviction (even "late" by
-    wall clock) is still merged — that is watermark semantics; the
-    drop applies strictly past eviction, and the trade for bounded
-    state must be exact: one emission, n=2, never a duplicate."""
     import pandas as pd
 
+    tmp_path = Path(tempfile.mkdtemp(prefix="late_rows_"))
     flat = tmp_path / "flat"
     os.makedirs(flat)
     batches = [
@@ -146,22 +156,44 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
         .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
     )
     name, q = W.run_to_memory(agg, output_mode="append")
-    rows = spark.table(name).collect()
-    first_window = [r["n"] for r in rows if r["ws"] == "10:00"]
+    return [(r["ws"], r["n"]) for r in spark.table(name).collect()]
+
+
+def test_late_rows_beyond_watermark_are_dropped(heavy_results):
+    """Late-data semantics, end to end: a row arriving AFTER its
+    window was closed and emitted must be discarded — not resurrect
+    the window as a duplicate emission, not corrupt the count.
+    Batches (one file per trigger, mtime-ordered):
+
+      f0: 10:00, 10:30   -> window [10:00,11:00) has 2 rows
+      f1: 12:00          -> watermark advances to 11:50 for the NEXT
+                            batch (wm lags one batch by design)
+      f2: 13:00          -> batch runs at wm 11:50 > 11:00: the
+                            [10:00,11:00) window EMITS (n=2), state
+                            evicted
+      f3: 10:15 (LATE) + 15:00 -> wm 12:50; the 10:15 row's window is
+                            long closed — must be dropped
+      f4: 17:00          -> wm 14:50 would re-emit [10:00,11:00) if
+                            the late row had re-created state
+
+    A row that arrives before its window's eviction (even "late" by
+    wall clock) is still merged — that is watermark semantics; the
+    drop applies strictly past eviction, and the trade for bounded
+    state must be exact: one emission, n=2, never a duplicate."""
+    rows = heavy_results("smb_late_rows")
+    first_window = [n for ws, n in rows if ws == "10:00"]
     assert first_window == [2], (
         f"late 10:15 row leaked into or duplicated the closed window: {rows}"
     )
 
 
-def test_custom_stateful_sessionizer_matches_batch_sessions(spark, staged_dir):
-    """The applyInPandasWithState sessionizer (EventTimeTimeout
-    emission) must reproduce the batch session_window aggregation for
-    every session it closes: same (user, start, count, total); only
-    sessions still open at end-of-stream may be unemitted."""
+@heavy_check("smb_sessionizer")
+def _sessionizer(spark):
     from cassandra_join_library_spark.streaming.stateful import (
         sessionize_with_timeout,
     )
 
+    staged_dir = _staged(spark)
     gap_s = 600
     stream = _stream(spark, staged_dir).withWatermark("ts", "10 minutes")
     out = sessionize_with_timeout(stream, gap_seconds=gap_s)
@@ -170,8 +202,6 @@ def test_custom_stateful_sessionizer_matches_batch_sessions(spark, staged_dir):
         (r["user_id"], r["session_start_epoch"]): (r["n_events"], round(r["total_value"], 6))
         for r in spark.table(name).collect()
     }
-    assert got, "sessionizer emitted nothing — timeouts never fired"
-
     batch = (
         spark.read.parquet(staged_dir)
         .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("w"))
@@ -182,17 +212,29 @@ def test_custom_stateful_sessionizer_matches_batch_sessions(spark, staged_dir):
     )
     want = {(r["user_id"], r["ss"]): (r["n"], round(r["v"], 6))
             for r in batch.collect()}
+    n_users = spark.read.parquet(staged_dir).select("user_id").distinct().count()
+    return got, want, n_users
+
+
+def test_custom_stateful_sessionizer_matches_batch_sessions(heavy_results):
+    """The applyInPandasWithState sessionizer (EventTimeTimeout
+    emission) must reproduce the batch session_window aggregation for
+    every session it closes: same (user, start, count, total); only
+    sessions still open at end-of-stream may be unemitted."""
+    got, want, n_users = heavy_results("smb_sessionizer")
+    assert got, "sessionizer emitted nothing — timeouts never fired"
     for k, nv in got.items():
         assert k in want and want[k] == nv, (
             f"session {k}: stream {nv} != batch {want.get(k)}"
         )
     # closed sessions must be the overwhelming majority at end of a
     # bounded replay (only per-user trailing sessions may stay open)
-    n_users = spark.read.parquet(staged_dir).select("user_id").distinct().count()
     assert len(want) - len(got) <= n_users
 
 
-def test_dedup_within_watermark_across_batches(spark, staged_dir):
+@heavy_check("smb_dedup_within_watermark")
+def _dedup_within_watermark(spark):
+    staged_dir = _staged(spark)
     dd = (
         _stream(spark, staged_dir)
         .withWatermark("ts", "10 minutes")
@@ -201,14 +243,22 @@ def test_dedup_within_watermark_across_batches(spark, staged_dir):
     )
     name, q = W.run_to_memory(dd, output_mode="append")
     got = spark.table(name)
-    # within-watermark dedup across ordered batches can re-emit a key
-    # after its state expires, so output >= global distinct but every
-    # (user, type) pair must appear
     distinct_pairs = (
         spark.read.parquet(staged_dir).select("user_id", "event_type").distinct().count()
     )
-    assert got.select("user_id", "event_type").distinct().count() == distinct_pairs
-    assert got.count() >= distinct_pairs
+    return (distinct_pairs,
+            got.select("user_id", "event_type").distinct().count(),
+            got.count())
+
+
+def test_dedup_within_watermark_across_batches(heavy_results):
+    distinct_pairs, got_distinct, got_count = heavy_results(
+        "smb_dedup_within_watermark")
+    # within-watermark dedup across ordered batches can re-emit a key
+    # after its state expires, so output >= global distinct but every
+    # (user, type) pair must appear
+    assert got_distinct == distinct_pairs
+    assert got_count >= distinct_pairs
 
 
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):

@@ -9,6 +9,8 @@ import random
 
 from pyspark.sql import functions as F
 
+from .background import heavy_check
+
 
 def _brute_triangles(edges: "set[tuple[int, int]]") -> "dict[int, int]":
     adj: "dict[int, set[int]]" = {}
@@ -23,28 +25,45 @@ def _brute_triangles(edges: "set[tuple[int, int]]") -> "dict[int, int]":
     return counts
 
 
-def test_triangle_participation_matches_bruteforce(spark):
-    """Random G(n, p) graphs: the degree-ordered wedge join must agree
-    with an O(n^3) brute force on every node's participation count —
-    the orientation is an optimization, never a semantics change."""
+def _triangle_trials():
+    """Deterministic G(n, p) trials (seeded rng, fixed draw order) —
+    regenerated identically by the background sweep and the test."""
+    rng = random.Random(11)
+    out = []
+    for trial in range(3):
+        n = 16 + trial * 8
+        out.append((n, {
+            (u, v)
+            for u in range(n) for v in range(u + 1, n)
+            if rng.random() < 0.25
+        }))
+    return out
+
+
+@heavy_check("wave4_triangle_got")
+def _triangle_got(spark):
     from cassandra_join_library_spark.operators.graph import (
         triangle_participation,
     )
 
-    rng = random.Random(11)
-    for trial in range(3):
-        n = 16 + trial * 8
-        edges = {
-            (u, v)
-            for u in range(n) for v in range(u + 1, n)
-            if rng.random() < 0.25
-        }
+    got = []
+    for n, edges in _triangle_trials():
         df = spark.createDataFrame(
             [(u, v) for u, v in sorted(edges)], "u long, v long")
-        got = {
+        got.append({
             r["node_id"]: r["n_triangles"]
             for r in triangle_participation(df, top=n).collect()
-        }
+        })
+    return got
+
+
+def test_triangle_participation_matches_bruteforce(heavy_results):
+    """Random G(n, p) graphs: the degree-ordered wedge join must agree
+    with an O(n^3) brute force on every node's participation count —
+    the orientation is an optimization, never a semantics change."""
+    all_got = heavy_results("wave4_triangle_got")
+    for trial, (n, edges) in enumerate(_triangle_trials()):
+        got = all_got[trial]
         want = _brute_triangles(edges)
         top = dict(sorted(want.items(),
                           key=lambda kv: (-kv[1], kv[0]))[:n])

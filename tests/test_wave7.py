@@ -15,6 +15,8 @@ from cassandra_join_library_spark.operators.multimodal import (
 from cassandra_join_library_spark.operators.profiling import l_diversity
 from cassandra_join_library_spark.operators.text import cdc_chunks
 
+from .background import heavy_check
+
 
 def test_cdc_chunks_reassemble(spark):
     """Chunks must partition the document: concatenating chunk_text in
@@ -84,9 +86,8 @@ def test_pcm_stats_matches_struct_unpack(spark):
         assert r.peak_abs == max(abs(s) for s in samples)
 
 
-def test_bfs_hops_hand_graph(spark):
-    """Path graph a-b-c-d plus isolated e, seed {a}: hops 0,1,2,3 —
-    and with max_hops=2 node d is unreached (-1)."""
+@heavy_check("wave7_bfs_hand_graph")
+def _bfs_hand_graph(spark):
     nodes = spark.createDataFrame(
         [Row(nt="n", id=i) for i in range(5)])
     und = [(0, 1), (1, 2), (2, 3)]
@@ -96,9 +97,16 @@ def test_bfs_hops_hand_graph(spark):
     seeds = nodes.filter(F.col("id") == 0)
     h3 = {r.hop: r.n_nodes for r in
           bfs_hops(nodes, edges, seeds, max_hops=3).collect()}
-    assert h3 == {-1: 1, 0: 1, 1: 1, 2: 1, 3: 1}
     h2 = {r.hop: r.n_nodes for r in
           bfs_hops(nodes, edges, seeds, max_hops=2).collect()}
+    return h3, h2
+
+
+def test_bfs_hops_hand_graph(heavy_results):
+    """Path graph a-b-c-d plus isolated e, seed {a}: hops 0,1,2,3 —
+    and with max_hops=2 node d is unreached (-1)."""
+    h3, h2 = heavy_results("wave7_bfs_hand_graph")
+    assert h3 == {-1: 1, 0: 1, 1: 1, 2: 1, 3: 1}
     assert h2 == {-1: 2, 0: 1, 1: 1, 2: 1}
 
 
