@@ -954,3 +954,42 @@ def prefix_filter_jaccard_pairs(
     return (common.join(ca, "doc_a").join(cb, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+def cross_snapshot_containment(new_df: DataFrame,
+                               prior_fingerprints: DataFrame,
+                               id_col: str, text_col: str,
+                               n: int = 5) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: per-NEW-document containment
+    of its shingle set in a PRIOR-corpus fingerprint store.
+
+    This is the production shape of crawl-over-crawl dedup at 100 TB:
+    the prior corpus is never re-shingled — its distinct shingle set
+    (in practice 64-bit hashes, bucketed by shingle on disk) is a
+    PERSISTED store that each new snapshot joins against.  Cost is
+    linear in the new crawl: one shingle pass over the new docs, one
+    shuffle-hash join against the store (co-located for free when the
+    store is bucketed by shingle), one doc-keyed count.  Contrast
+    :func:`jaccard_pairs_exact`, which compares a corpus against
+    itself — here the quadratic pair space never exists because the
+    store is a SET, not a document list.
+
+    ``prior_fingerprints`` must carry a distinct ``shingle`` column
+    (the store is deduplicated once at build time, not per query).
+    Returns (doc_id, n_shingles, n_seen, containment_ppm) for every
+    new document that produced at least one shingle; containment_ppm
+    is the exact integer floor(n_seen * 1e6 / n_shingles), so the
+    drop decision is oracle-checkable with no float boundary.
+    """
+    sh = shingles(new_df, id_col, text_col, n)
+    totals = sh.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    seen = (sh.join(prior_fingerprints.select("shingle"), "shingle")
+            .groupBy(F.col("doc").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen")))
+    return (totals.join(seen, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_seen", F.lit(0)).cast("bigint")
+                    .alias("n_seen"),
+                    F.expr("(coalesce(n_seen, 0) * 1000000) DIV n_shingles")
+                    .cast("bigint").alias("containment_ppm")))

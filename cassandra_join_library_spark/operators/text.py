@@ -784,3 +784,73 @@ WITH base AS (
 SELECT DISTINCT {id_col}, f.fp_pos AS fp_pos, f.fp_hash AS fp_hash
 FROM sel
 """
+
+
+#: the "trained" quality model shipped with the library: integer
+#: micro-weights (millionths) so inference is exact integer
+#: arithmetic end to end.  In production these come from a logistic
+#: regression trained offline; swapping them is a config change, not
+#: a plan change.
+QUALITY_WEIGHTS = {
+    "bias": -500_000,      # micro-units
+    "per_token": 10_000,   # per token, capped at token_cap
+    "token_cap": 100,
+    "stop_w": 500,         # × stop_ppm / 1000 (stopwords: quality UP)
+    "punct_w": 1_000,      # × punct_ppm / 1000 (subtracted)
+    "digit_w": 1_000,      # × digit_ppm / 1000 (subtracted)
+}
+
+_STOPWORDS = ("a", "an", "the", "and", "of", "to", "in", "is", "on",
+              "for", "with", "that")
+
+
+def logistic_quality_score(df, id_col: str, text_col: str,
+                           weights: "dict | None" = None):
+    """Quality-model inference as a map-only expression with broadcast
+    weights — the production shape of model-based corpus filtering at
+    100 TB.
+
+    A trained logistic regression over cheap lexical features
+    (token count, stopword ratio, punctuation ratio, digit ratio) is
+    evaluated entirely inside whole-stage codegen: the weights are
+    Catalyst literals, so they ship to every executor with the plan —
+    no Python in the row path, no shuffle, no join.  The linear term
+    is computed in exact integer micro-units (ratios as ppm via
+    integer division), so ``keep = z_micro > 0`` — equivalent to
+    ``sigmoid(z) > 0.5`` by monotonicity — has no float threshold
+    boundary and is value-oracle-checkable.
+
+    All integer divisions keep nonnegative operands (weights applied
+    as explicit adds/subtracts), so truncating and flooring division
+    agree between engines.  Returns (doc_id, z_micro, keep).
+    """
+    w = dict(QUALITY_WEIGHTS, **(weights or {}))
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+            F.length(text_col).alias("n_chars"),
+            F.expr(f"size(filter(split({text_col}, ' '), "
+                   f"t -> t IN ({stop_list})))").alias("n_stop"),
+            (F.length(text_col)
+             - F.length(F.regexp_replace(F.col(text_col),
+                                         r"[.,;:!?]", ""))).alias("n_punct"),
+            (F.length(text_col)
+             - F.length(F.regexp_replace(F.col(text_col),
+                                         r"[0-9]", ""))).alias("n_digit"),
+        )
+    )
+    z = (
+        f"CAST({w['bias']} "
+        f"+ {w['per_token']} * LEAST(n_tokens, {w['token_cap']}) "
+        f"+ ({w['stop_w']} * ((n_stop * 1000000) DIV n_tokens)) DIV 1000 "
+        f"- ({w['punct_w']} * ((n_punct * 1000000) "
+        f"DIV GREATEST(n_chars, 1))) DIV 1000 "
+        f"- ({w['digit_w']} * ((n_digit * 1000000) "
+        f"DIV GREATEST(n_chars, 1))) DIV 1000 AS BIGINT)"
+    )
+    return feats.select(
+        "doc_id", F.expr(z).alias("z_micro"),
+    ).withColumn("keep", F.col("z_micro") > 0)

@@ -139,8 +139,13 @@ _loaded = False
 #     tfidf_top_terms, corpus_split/quality_quantile/contamination).
 #     Note agg_cube from the r08 re-grade tail yields its slot: its
 #     latest driver green is r05, newer than every name taken.
+#   round-11 additions: wave27 (dedup_cross_snapshot,
+#     dedup_cross_snapshot_funnel, corpus_quality_logreg) — oracled,
+#     registered AFTER the locked front, so they are the r12
+#     never-graded pool.
 #   r12 POLICY (written now so the rotation outlives context cuts):
-#     never-graded oracled queries first (any round-11 additions),
+#     never-graded oracled queries first (the wave27 trio above plus
+#     any later round-11 additions),
 #     then oldest-graded-first re-grades continuing the ledger sweep —
 #     next up are the remaining r04-graded names
 #     (corpus_contamination_capped, corpus_stats, window_ntile_dist,
@@ -417,6 +422,7 @@ def _load_all() -> None:
         wave24,
         wave25,
         wave26,
+        wave27,
     )
     _reorder()
     _loaded = True

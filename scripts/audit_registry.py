@@ -48,6 +48,8 @@ ALLOW = {
                                       "broadcasts",
         "dedup_prefix_filter_funnel": "three 1-row funnel-count "
                                       "broadcasts",
+        "dedup_cross_snapshot_funnel": "two 1-row funnel-count "
+                                       "broadcasts",
         "stats_randomization_test": "1-row observed-difference "
                                     "broadcast",
         "ann_pq_topk": "broadcast query side with literal codebooks",
