@@ -885,13 +885,20 @@ def jaccard_prefix_lists(sh: "DataFrame", threshold: float):
     dfq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
-    ranked = (sh.join(dfq, "shingle")
+    # dfq is VOCABULARY-sized and counts is DOCS-sized — both grow
+    # with the corpus, and the checkpointed input's estimated stats
+    # can sneak either under the broadcast threshold (sf10: broadcast
+    # OOM on the 8g driver).  Sort-merge, not shuffle_hash: unlike
+    # winnowing's df-capped posting list these build sides are
+    # UNCAPPED, and a shuffle-hash map that cannot spill OOMs at sf10
+    # — SMJ spills and is the only shape that survives 100 TB.
+    ranked = (sh.hint("merge").join(dfq.hint("merge"), "shingle")
               .select("doc", "shingle",
                       F.row_number().over(w).alias("rk")))
     # p = n - ceil(t*n) + 1; ceil(t*n) for t at 2dp as integer math:
     # (100t * n + 99) div 100
     t_num = int(math.floor(threshold * 100))
-    pref = (ranked.join(counts, "doc")
+    pref = (ranked.join(counts.hint("merge"), "doc")
             .filter(F.col("rk")
                     <= F.col("n_sh")
                     - F.expr(f"({t_num} * n_sh + 99) div 100") + 1)
@@ -928,24 +935,32 @@ def prefix_filter_jaccard_pairs(
     # eager localCheckpoint (module docstring: materialization pattern)
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     pref, counts = jaccard_prefix_lists(sh, threshold)
+    # every relation in the candidate/verify joins is corpus-sized
+    # (prefix lists, candidate pairs, full shingle sets), but the
+    # checkpointed plans' estimated stats can sneak under the
+    # broadcast threshold — at sf10 Spark tried to broadcast one and
+    # blew the 8g driver.  Sort-merge (spillable), not shuffle_hash:
+    # these sides are uncapped (see jaccard_prefix_lists) — the only
+    # shape that survives 100 TB.
     a = pref.select(F.col("doc").alias("doc_a"),
-                    F.col("shingle").alias("s"))
+                    F.col("shingle").alias("s")).hint("merge")
     b = pref.select(F.col("doc").alias("doc_b"),
-                    F.col("shingle").alias("s"))
+                    F.col("shingle").alias("s")).hint("merge")
     cand = (a.join(b, "s")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
     x = sh.select(F.col("doc").alias("doc_a"),
-                  F.col("shingle").alias("s"))
+                  F.col("shingle").alias("s")).hint("merge")
     y = sh.select(F.col("doc").alias("doc_b"),
-                  F.col("shingle").alias("s"))
-    common = (cand.join(x, "doc_a").join(y, ["doc_b", "s"])
+                  F.col("shingle").alias("s")).hint("merge")
+    common = (cand.hint("merge")
+              .join(x, "doc_a").join(y, ["doc_b", "s"])
               .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
     ca = counts.select(F.col("doc").alias("doc_a"),
-                       F.col("n_sh").alias("na"))
+                       F.col("n_sh").alias("na")).hint("merge")
     cb = counts.select(F.col("doc").alias("doc_b"),
-                       F.col("n_sh").alias("nb"))
+                       F.col("n_sh").alias("nb")).hint("merge")
     # filter on the UNROUNDED ratio, round only for output — exactly
     # like jaccard_pairs_exact, so the two strategies can never
     # disagree at a rounding boundary of the threshold

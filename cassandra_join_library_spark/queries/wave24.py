@@ -103,8 +103,12 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     # operators/dedup.py module docstring)
     sh = (D.shingles(_docs(spark, sf_dir), "doc_id", "text", 5)
           .localCheckpoint(eager=True))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # merge (sort-merge) hints on every corpus-sized join: the
+    # checkpointed shingle set's estimated stats can sneak under the
+    # broadcast threshold — at sf10 Spark tried to broadcast a side
+    # and blew the 8g driver (same fix as prefix_filter_jaccard_pairs)
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle").hint("merge")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle").hint("merge")
     posting = (a.join(b, "shingle")
                .filter(F.col("doc_a") < F.col("doc_b"))
                .select("doc_a", "doc_b").distinct()
@@ -113,24 +117,24 @@ def dedup_prefix_filter_funnel(spark, sf_dir):
     # uses (operators/dedup.py jaccard_prefix_lists) — the funnel can
     # never drift from the query it grades
     pref, counts = D.jaccard_prefix_lists(sh, 0.5)
-    pa = pref.select(F.col("doc").alias("doc_a"), "shingle")
-    pb = pref.select(F.col("doc").alias("doc_b"), "shingle")
+    pa = pref.select(F.col("doc").alias("doc_a"), "shingle").hint("merge")
+    pb = pref.select(F.col("doc").alias("doc_b"), "shingle").hint("merge")
     cand = (pa.join(pb, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
     cand = cand.localCheckpoint(eager=True)
     ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_prefix"))
     x = sh.select(F.col("doc").alias("doc_a"),
-                  F.col("shingle").alias("s"))
+                  F.col("shingle").alias("s")).hint("merge")
     y = sh.select(F.col("doc").alias("doc_b"),
-                  F.col("shingle").alias("s"))
-    common = (cand.join(x, "doc_a").join(y, ["doc_b", "s"])
+                  F.col("shingle").alias("s")).hint("merge")
+    common = (cand.hint("merge").join(x, "doc_a").join(y, ["doc_b", "s"])
               .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
     ca = counts.select(F.col("doc").alias("doc_a"),
-                       F.col("n_sh").alias("na"))
+                       F.col("n_sh").alias("na")).hint("merge")
     cb = counts.select(F.col("doc").alias("doc_b"),
-                       F.col("n_sh").alias("nb"))
+                       F.col("n_sh").alias("nb")).hint("merge")
     verified = (common.join(ca, "doc_a").join(cb, "doc_b")
                 .filter(F.col("common") * F.lit(1.0)
                         / (F.col("na") + F.col("nb") - F.col("common"))
