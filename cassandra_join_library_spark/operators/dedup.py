@@ -983,7 +983,7 @@ def cross_snapshot_containment(new_df: DataFrame,
     (in practice 64-bit hashes, bucketed by shingle on disk) is a
     PERSISTED store that each new snapshot joins against.  Cost is
     linear in the new crawl: one shingle pass over the new docs, one
-    shuffle-hash join against the store (co-located for free when the
+    sort-merge join against the store (co-located for free when the
     store is bucketed by shingle), one doc-keyed count.  Contrast
     :func:`jaccard_pairs_exact`, which compares a corpus against
     itself — here the quadratic pair space never exists because the
@@ -996,10 +996,18 @@ def cross_snapshot_containment(new_df: DataFrame,
     is the exact integer floor(n_seen * 1e6 / n_shingles), so the
     drop decision is oracle-checkable with no float boundary.
     """
-    sh = shingles(new_df, id_col, text_col, n)
+    # eager localCheckpoint (module docstring: materialization
+    # pattern) — the totals aggregate and the store join both read it
+    sh = shingles(new_df, id_col, text_col, n).localCheckpoint(eager=True)
     totals = sh.groupBy(F.col("doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
-    seen = (sh.join(prior_fingerprints.select("shingle"), "shingle")
+    # sort-merge, not broadcast: both sides are uncapped and corpus-
+    # sized (the store IS the prior corpus's vocabulary), and a
+    # checkpointed store's estimated stats can sneak under the
+    # broadcast threshold (the prefix-filter sf10 OOM class)
+    seen = (sh.hint("merge")
+            .join(prior_fingerprints.select("shingle").hint("merge"),
+                  "shingle")
             .groupBy(F.col("doc").alias("doc_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen")))
     return (totals.join(seen, "doc_id", "left")

@@ -826,20 +826,27 @@ def logistic_quality_score(df, id_col: str, text_col: str,
     """
     w = dict(QUALITY_WEIGHTS, **(weights or {}))
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    # every count is cast to BIGINT before the ppm multiplies below:
+    # size()/length() return 32-bit INT, and n_stop * 1000000 overflows
+    # INT under ANSI mode for any doc with > 2147 stopword tokens —
+    # exactly the large documents the 100 TB path exists for
     feats = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
-            F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
-            F.length(text_col).alias("n_chars"),
-            F.expr(f"size(filter(split({text_col}, ' '), "
-                   f"t -> t IN ({stop_list})))").alias("n_stop"),
+            F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)")
+            .alias("n_tokens"),
+            F.length(text_col).cast("bigint").alias("n_chars"),
+            F.expr(f"CAST(size(filter(split({text_col}, ' '), "
+                   f"t -> t IN ({stop_list}))) AS BIGINT)").alias("n_stop"),
             (F.length(text_col)
              - F.length(F.regexp_replace(F.col(text_col),
-                                         r"[.,;:!?]", ""))).alias("n_punct"),
+                                         r"[.,;:!?]", "")))
+            .cast("bigint").alias("n_punct"),
             (F.length(text_col)
              - F.length(F.regexp_replace(F.col(text_col),
-                                         r"[0-9]", ""))).alias("n_digit"),
+                                         r"[0-9]", "")))
+            .cast("bigint").alias("n_digit"),
         )
     )
     z = (

@@ -112,8 +112,11 @@ def dedup_cross_snapshot_funnel(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_store"))
     rollup = contain.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
-        F.sum((F.col("containment_ppm") >= 800000).cast("bigint"))
-        .cast("bigint").alias("n_dropped"))
+        # coalesce: SUM over an empty relation is NULL, the oracle's
+        # COUNT(*) WHERE is 0 — the degenerate corpus must still match
+        F.coalesce(
+            F.sum((F.col("containment_ppm") >= 800000).cast("bigint")),
+            F.lit(0)).cast("bigint").alias("n_dropped"))
     return (n_store.crossJoin(F.broadcast(rollup))
             .select("n_store", "n_new_docs", "n_dropped"))
 

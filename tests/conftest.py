@@ -72,7 +72,11 @@ def pytest_sessionfinish(session, exitstatus):
         ex.shutdown(wait=True, cancel_futures=True)
 
 
+@pytest.hookimpl(trylast=True)
 def pytest_collection_modifyitems(session, config, items):
+    # trylast: run AFTER the builtin mark plugin applies -k/-m
+    # deselection, so a filtered session that keeps no heavy_results
+    # consumer (or no gate consumer) never starts the background work
     _start_heavy_sweep(items)
     if GATE_STATE or not any(
         "gate_results" in getattr(i, "fixturenames", ())

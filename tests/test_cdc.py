@@ -14,13 +14,6 @@ from .background import heavy_check
 STRATEGIES = ["broadcast_delta", "copartitioned"]
 
 
-@pytest.fixture(params=STRATEGIES)
-def merge_upsert(request):
-    def fn(*args, **kw):
-        return _merge_upsert(*args, strategy=request.param, **kw)
-    return fn
-
-
 def _target(spark):
     return spark.createDataFrame(
         [(1, "a", 10), (2, "b", 10), (3, "c", 10)],

@@ -29,14 +29,25 @@ from .conftest import SF_SMOKE
 _STAGED: dict = {}
 
 
-def _staged(spark):
+def _scratch_dir(prefix):
+    """mkdtemp + atexit cleanup (replaces the tmp_path retention the
+    fixture-based versions of these tests got from pytest)."""
+    import atexit
+    import shutil
     import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
+def _staged(spark):
     import threading
 
     lock = _STAGED.setdefault("lock", threading.Lock())
     with lock:
         if "dir" not in _STAGED:
-            base = tempfile.mkdtemp(prefix="events_staged_")
+            base = _scratch_dir("events_staged_")
             _STAGED["dir"] = _stage_events(spark, base)
     return _STAGED["dir"]
 
@@ -120,12 +131,11 @@ def test_append_mode_emits_closed_windows_across_batches(heavy_results):
 
 @heavy_check("smb_late_rows")
 def _late_rows(spark):
-    import tempfile
     from pathlib import Path
 
     import pandas as pd
 
-    tmp_path = Path(tempfile.mkdtemp(prefix="late_rows_"))
+    tmp_path = Path(_scratch_dir("late_rows_"))
     flat = tmp_path / "flat"
     os.makedirs(flat)
     batches = [

@@ -61,6 +61,15 @@ def test_quality_score_weight_override_and_nulls(spark):
     assert out2 == {1: True, 2: True}
 
 
+def test_quality_score_survives_stopword_heavy_megadoc(spark):
+    """size()/length() are 32-bit: a doc with > 2147 stopword tokens
+    must not ARITHMETIC_OVERFLOW the ppm multiply (ANSI mode)."""
+    df = local_frame(spark, [(1, "the " * 3000 + "end")],
+                     "doc_id bigint, text string")
+    r = logistic_quality_score(df, "doc_id", "text").collect()[0]
+    assert r["keep"]  # ~100% stopwords, long: stop term dominates
+
+
 def test_quality_score_is_map_only(spark):
     """No shuffle in the inference plan — the weights are literals."""
     df = local_frame(spark, [(1, "a b c")], "doc_id bigint, text string")
