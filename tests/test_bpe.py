@@ -33,21 +33,26 @@ def test_overlapping_same_symbol_pair_merges_at_even_offsets(heavy_results):
     assert got[2] == (3, "aa", "a</w>", 2)
 
 
-def test_tiebreak_is_lexicographic(spark):
+heavy_check("bpe_merges_tiebreak")(lambda s: _merges(s, ["xy zw"], 1))
+heavy_check("bpe_merges_tiny_corpus")(lambda s: _merges(
+    s, ["aaa banana band", "banana aaa bab", "band bab banana"], 6))
+
+
+def test_tiebreak_is_lexicographic(heavy_results):
     """Equal counts must resolve by (left, right) ascending."""
-    got = _merges(spark, ["xy zw"], 1)
+    got = heavy_results("bpe_merges_tiebreak")
     # (x,y), (y,</w>), (z,w), (w,</w>) all count 1 -> (w,</w>) first?
     # '<' sorts before lowercase letters in ASCII: '</w>' as right
     # operand; left candidates: w,x,y,z -> 'w' smallest
     assert got[0] == (1, "w", "</w>", 1)
 
 
-def test_tiny_corpus_matches_unrolled_sql(spark):
+def test_tiny_corpus_matches_unrolled_sql(heavy_results):
     """End-to-end engine parity on a corpus with overlap + ties."""
     from cassandra_join_library_spark.queries._bpe_sql import bpe_train_sql
 
     texts = ["aaa banana band", "banana aaa bab", "band bab banana"]
-    got = _merges(spark, texts, 6)
+    got = heavy_results("bpe_merges_tiny_corpus")
 
     con = duckdb.connect()
     con.register("documents", pd.DataFrame({"text": texts}))

@@ -12,7 +12,19 @@ from cassandra_join_library_spark.operators.dedup import (
 )
 from cassandra_join_library_spark.sources.catalog import local_frame
 
+from .background import heavy_check
 from .conftest import SF_ORACLE
+
+
+@heavy_check("dedup_edges_minhash_r2_sets")
+def _minhash_r2_sets(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs_exact(
+        docs, "doc_id", "text", n=5, threshold=0.5).collect()}
+    banded = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=24, rows_per_band=2,
+        threshold=0.5).collect()}
+    return exact, banded
 
 
 def test_short_docs_through_repetition_and_bigrams(spark):
@@ -34,17 +46,12 @@ def test_short_docs_through_repetition_and_bigrams(spark):
     assert out[4]["dup_bigram_ratio"] == 1.0
 
 
-def test_minhash_r2_subset_of_exact_with_recall_floor(spark):
+def test_minhash_r2_subset_of_exact_with_recall_floor(heavy_results):
     """The r=2 banding knob (the sparse-bucket setting a 100 TB run
     uses): output must be a strict subset of the exact Jaccard pairs
     (every candidate is exact-verified) with candidate recall near the
     1-(1-j²)¹² analytic bound — well above 0.8 at j >= 0.5."""
-    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
-    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs_exact(
-        docs, "doc_id", "text", n=5, threshold=0.5).collect()}
-    banded = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(
-        docs, "doc_id", "text", n=5, num_hashes=24, rows_per_band=2,
-        threshold=0.5).collect()}
+    exact, banded = heavy_results("dedup_edges_minhash_r2_sets")
     assert banded <= exact
     if exact:
         recall = len(banded) / len(exact)

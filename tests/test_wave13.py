@@ -14,10 +14,11 @@ from cassandra_join_library_spark.operators.stats import (
     nearest_value_topk,
 )
 
+from .background import heavy_check
 
-def test_join_view_delta_equals_full_join(spark):
-    """Base ∪ deltas joined via the three-term expansion must equal
-    the monolithic join of the full sides."""
+
+@heavy_check("wave13_join_view_delta_sets")
+def _join_view_delta_sets(spark):
     rng = random.Random(3)
     a = [(i, rng.randrange(5)) for i in range(40)]
     b = [(j, rng.randrange(40), rng.randrange(100)) for j in range(120)]
@@ -34,6 +35,13 @@ def test_join_view_delta_equals_full_join(spark):
     full = a_df.join(b_df, ["ck"])
     got = sorted(map(tuple, refreshed.collect()))
     want = sorted(map(tuple, full.collect()))
+    return got, want
+
+
+def test_join_view_delta_equals_full_join(heavy_results):
+    """Base ∪ deltas joined via the three-term expansion must equal
+    the monolithic join of the full sides."""
+    got, want = heavy_results("wave13_join_view_delta_sets")
     assert got == want and len(want) > 0
 
 

@@ -17,6 +17,8 @@ from cassandra_join_library_spark.operators.sketch import (
     cms_estimate,
 )
 
+from .background import heavy_check
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -58,25 +60,16 @@ def test_mp4_corrupt_and_truncated_streams(spark):
     assert not r2["is_mp4"] and r2["duration_ms"] is None
 
 
-def test_cms_overestimates_and_merges(spark):
+def _cms_payload(spark):
     # heavy skew: 'hot' appears 500x, 100 singletons force collisions
     rows = [("hot",)] * 500 + [(f"w{i}",) for i in range(100)]
     df = spark.createDataFrame(rows, "term string")
     counters = cms_counter_table(df, "term")
-    # counter mass: every row contributes exactly d cells
-    from cassandra_join_library_spark.operators.sketch import CMS_DEPTH
     total = counters.agg(F.sum("cnt")).collect()[0][0]
-    assert total == len(rows) * CMS_DEPTH
-    # point queries never underestimate, and the heavy item is exact
-    # (nothing else can add 500 to all four of its cells)
-    items = spark.createDataFrame(
-        [("hot", 500)] + [(f"w{i}", 1) for i in range(0, 100, 7)],
-        "term string, truth bigint")
+    truths = [("hot", 500)] + [(f"w{i}", 1) for i in range(0, 100, 7)]
+    items = spark.createDataFrame(truths, "term string, truth bigint")
     est = {r["term"]: r["cms_est"]
            for r in cms_estimate(items, counters, "term").collect()}
-    for r in items.collect():
-        assert est[r["term"]] >= r["truth"], r["term"]
-    assert est["hot"] == 500
     # SUM-mergeability: shard counters add up to the global table
     h1 = df.limit(300)
     h2 = df.exceptAll(h1)
@@ -88,7 +81,25 @@ def test_cms_overestimates_and_merges(spark):
                         ["i", "col"], "full_outer")
             .filter(F.coalesce("cnt", F.lit(0))
                     != F.coalesce("g", F.lit(0))))
-    assert diff.count() == 0
+    return len(rows), total, truths, est, diff.count()
+
+
+heavy_check("wave20_cms_payload")(_cms_payload)
+
+
+def test_cms_overestimates_and_merges(heavy_results):
+    from cassandra_join_library_spark.operators.sketch import CMS_DEPTH
+
+    n_rows, total, truths, est, n_diff = heavy_results(
+        "wave20_cms_payload")
+    # counter mass: every row contributes exactly d cells
+    assert total == n_rows * CMS_DEPTH
+    # point queries never underestimate, and the heavy item is exact
+    # (nothing else can add 500 to all four of its cells)
+    for term, truth in truths:
+        assert est[term] >= truth, term
+    assert est["hot"] == 500
+    assert n_diff == 0
 
 
 def test_mannwhitney_matches_bruteforce(spark):

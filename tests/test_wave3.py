@@ -6,7 +6,61 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .background import heavy_check
 from .conftest import SF_ORACLE
+
+
+def _gram_rows():
+    return [
+        ([0.5, -1.25, 2.0],),
+        ([1.0, 0.0, -0.5],),
+        (None,),                 # skipped (twin: WHERE vec IS NOT NULL)
+        ([-0.1, 0.2, 0.3],),
+    ]
+
+
+@heavy_check("wave3_gram_payload")
+def _gram_payload(spark):
+    from cassandra_join_library_spark.operators.linalg import gram_matrix
+
+    rows = _gram_rows()
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(df, "embedding", dim=3).collect()}
+    rep = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(df.repartition(7), "embedding", dim=3)
+           .collect()}
+
+    def err_of(extra):
+        bad = spark.createDataFrame(rows + [extra],
+                                    "embedding array<double>")
+        try:
+            gram_matrix(bad, "embedding", dim=3).collect()
+        except Exception as exc:  # noqa: BLE001 - payload IS the error
+            return f"{type(exc).__name__}: {exc}"
+        return None
+
+    return got, rep, err_of(([1.0, 2.0],)), err_of(([float("nan"), 0.0, 1.0],))
+
+
+@heavy_check("wave3_pagerank_star")
+def _pagerank_star(spark):
+    from cassandra_join_library_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n", 0), ("n", 1), ("n", 2), ("n", 3), ("n", 9)],
+        "nt string, id long",
+    )  # 0 = hub, 1-3 leaves, 9 isolated
+    sym = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        [("n", a, "n", b) for a, b in sym]
+        + [("n", b, "n", a) for a, b in sym],
+        "src_t string, src long, dst_t string, dst long",
+    )
+    return {row["id"]: row["rank_micro"]
+            for row in pagerank_fixed_point(nodes, edges, n_iter=4).collect()}
 
 
 def test_quantize_int8_error_bounded_by_half_step(spark):
@@ -289,74 +343,38 @@ def test_tf_cosine_matches_bruteforce_on_random_docs(spark):
     assert got == expected
 
 
-def test_gram_matrix_matches_numpy_and_rejects_bad_vectors(spark):
+def test_gram_matrix_matches_numpy_and_rejects_bad_vectors(heavy_results):
     """Exact parity with a brute-force numpy gram; NULL vectors are
     excluded (mirroring the SQL twin's IS NOT NULL), partitioning must
     not change a single bit (decimal reduce) — and a ragged or
     non-finite vector must RAISE rather than silently diverge from
     the twin (advisor finding, r06)."""
     import numpy as np
-    import pytest
-    from pyspark.errors import PythonException
 
-    from cassandra_join_library_spark.operators.linalg import (
-        SCALE, gram_matrix,
-    )
+    from cassandra_join_library_spark.operators.linalg import SCALE
 
-    rows = [
-        ([0.5, -1.25, 2.0],),
-        ([1.0, 0.0, -0.5],),
-        (None,),                 # skipped (twin: WHERE vec IS NOT NULL)
-        ([-0.1, 0.2, 0.3],),
-    ]
-    df = spark.createDataFrame(rows, "embedding array<double>")
-    got = {(r["i"], r["j"]): r["gram"]
-           for r in gram_matrix(df, "embedding", dim=3).collect()}
-
+    got, rep, ragged_err, nonfinite_err = heavy_results(
+        "wave3_gram_payload")
+    rows = _gram_rows()
     x = np.array([rows[0][0], rows[1][0], rows[3][0]])
     xi = (np.sign(x) * np.floor(np.abs(x) * SCALE + 0.5)).astype(np.int64)
     m = xi.T @ xi
     want = {(i, j): float(m[i, j]) for i in range(3) for j in range(3)
             if j >= i}
     assert got == want
-
-    rep = {(r["i"], r["j"]): r["gram"]
-           for r in gram_matrix(df.repartition(7), "embedding", dim=3)
-           .collect()}
     assert rep == got
-
-    ragged = spark.createDataFrame(
-        rows + [([1.0, 2.0],)], "embedding array<double>")
-    with pytest.raises(PythonException, match="ragged input"):
-        gram_matrix(ragged, "embedding", dim=3).collect()
-
-    nonfinite = spark.createDataFrame(
-        rows + [([float("nan"), 0.0, 1.0],)], "embedding array<double>")
-    with pytest.raises(PythonException, match="NaN/Inf"):
-        gram_matrix(nonfinite, "embedding", dim=3).collect()
+    assert ragged_err and "ragged input" in ragged_err
+    assert nonfinite_err and "NaN/Inf" in nonfinite_err
 
 
-def test_pagerank_fixed_point_star_graph(spark):
+def test_pagerank_fixed_point_star_graph(heavy_results):
     """Hand-checkable star: hub h <-> leaves a,b,c (symmetric edges),
     isolated node z.  The hub must outrank leaves, leaves tie exactly
     (integer determinism), and the isolated node holds exactly the
     teleport base after every iteration."""
-    from cassandra_join_library_spark.operators.graph import (
-        INIT_MICRO, pagerank_fixed_point,
-    )
+    from cassandra_join_library_spark.operators.graph import INIT_MICRO
 
-    nodes = spark.createDataFrame(
-        [("n", 0), ("n", 1), ("n", 2), ("n", 3), ("n", 9)],
-        "nt string, id long",
-    )  # 0 = hub, 1-3 leaves, 9 isolated
-    sym = [(0, 1), (0, 2), (0, 3)]
-    edges = spark.createDataFrame(
-        [("n", a, "n", b) for a, b in sym]
-        + [("n", b, "n", a) for a, b in sym],
-        "src_t string, src long, dst_t string, dst long",
-    )
-    r = {row["id"]: row["rank_micro"]
-         for row in pagerank_fixed_point(nodes, edges, n_iter=4).collect()}
+    r = heavy_results("wave3_pagerank_star")
 
     base = (INIT_MICRO * 15) // 100
     assert r[9] == base                      # isolated: teleport only
