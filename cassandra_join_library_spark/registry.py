@@ -140,9 +140,9 @@ _loaded = False
 #     Note agg_cube from the r08 re-grade tail yields its slot: its
 #     latest driver green is r05, newer than every name taken.
 #   round-11 additions: wave27 (dedup_cross_snapshot,
-#     dedup_cross_snapshot_funnel, corpus_quality_logreg) — oracled,
-#     registered AFTER the locked front, so they are the r12
-#     never-graded pool.
+#     dedup_cross_snapshot_funnel, corpus_quality_logreg) and wave28
+#     (ann_hamming_topk) — oracled, registered AFTER the locked
+#     front, so they are the r12 never-graded pool.
 #   r12 POLICY (written now so the rotation outlives context cuts):
 #     never-graded oracled queries first (the wave27 trio above plus
 #     any later round-11 additions),
@@ -423,6 +423,7 @@ def _load_all() -> None:
         wave25,
         wave26,
         wave27,
+        wave28,
     )
     _reorder()
     _loaded = True

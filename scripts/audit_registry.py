@@ -71,6 +71,8 @@ ALLOW = {
         "profile_key_skew": "1-row global count-summary broadcast",
         "profile_fk_integrity": "three 1-row counts crossjoined per relationship",
         "ann_mutual_knn": "broadcast bounded eval slice, theta self-pair filter",
+        "ann_hamming_topk": "broadcast query-signature side, theta "
+                            "self-pair filter",
         "privacy_t_closeness": "1-row corpus-total broadcast",
         "stats_chi_square_cells": "1-row grand-total broadcast",
         "stats_autocorr_daily": "1-row mean + 1-row denominator broadcasts",
