@@ -909,6 +909,20 @@ def sign_signatures(df: DataFrame, id_col: str = "vec_id",
     Returns (``id_col``, sig_0..sig_{ceil(dim/32)-1}), each word a
     BIGINT holding 32 sign bits (never bit 63, so ANSI arithmetic
     can't overflow)."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    # a ragged vector would silently pack missing dims as 0-bits and a
+    # NULL element would score as "negative sign" — both silent wrong
+    # answers for a data/parameter mistake; fail loudly per row (the
+    # lsh_cosine_pairs guard pattern)
+    df = df.filter(F.assert_true(
+        (F.size(vec_col) == dim)
+        & ~F.expr(f"exists({vec_col}, x -> x IS NULL)"),
+        F.format_string(
+            "sign_signatures: vector length %s != dim=%s or NULL "
+            "element — pass the embedding's true dimension",
+            F.size(vec_col).cast("string"), F.lit(str(dim)),
+        ),
+    ).isNull())
     words = []
     for w in range(0, dim, 32):
         hi = min(dim, w + 32)
@@ -917,8 +931,7 @@ def sign_signatures(df: DataFrame, id_col: str = "vec_id",
             f"(acc, i) -> acc + IF({vec_col}[i] > 0D, "
             f"shiftleft(1L, i - {w}), 0L))"
         ).alias(f"sig_{w // 32}"))
-    return (df.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col), *words))
+    return df.select(F.col(id_col), *words)
 
 
 def hamming_topk(df: DataFrame, queries: DataFrame,

@@ -10,6 +10,10 @@ from cassandra_join_library_spark.operators.bpe import bpe_train
 
 from .background import heavy_check
 
+#: the overlap+ties parity corpus — ONE literal feeds the Spark sweep
+#: entries, the DuckDB twin, and the local/distributed snapshot
+TINY_CORPUS = ["aaa banana band", "banana aaa bab", "band bab banana"]
+
 
 def _merges(spark, texts, n_merges):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
@@ -35,7 +39,7 @@ def test_overlapping_same_symbol_pair_merges_at_even_offsets(heavy_results):
 
 heavy_check("bpe_merges_tiebreak")(lambda s: _merges(s, ["xy zw"], 1))
 heavy_check("bpe_merges_tiny_corpus")(lambda s: _merges(
-    s, ["aaa banana band", "banana aaa bab", "band bab banana"], 6))
+    s, TINY_CORPUS, 6))
 
 
 def test_tiebreak_is_lexicographic(heavy_results):
@@ -51,7 +55,7 @@ def test_tiny_corpus_matches_unrolled_sql(heavy_results):
     """End-to-end engine parity on a corpus with overlap + ties."""
     from cassandra_join_library_spark.queries._bpe_sql import bpe_train_sql
 
-    texts = ["aaa banana band", "banana aaa bab", "band bab banana"]
+    texts = TINY_CORPUS
     got = heavy_results("bpe_merges_tiny_corpus")
 
     con = duckdb.connect()
@@ -65,8 +69,7 @@ def test_tiny_corpus_matches_unrolled_sql(heavy_results):
 def _bpe_snap(spark, distributed):
     from cassandra_join_library_spark.operators.bpe import bpe_train_state
 
-    texts = ["aaa banana band", "banana aaa bab", "band bab banana"]
-    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    df = spark.createDataFrame([(t,) for t in TINY_CORPUS], "text string")
     m, w = bpe_train_state(spark, df, "text", n_merges=6,
                            top_words=100, distributed=distributed)
     merges = [tuple(r) for r in m.orderBy("step").collect()]

@@ -363,8 +363,13 @@ def test_gram_matrix_matches_numpy_and_rejects_bad_vectors(heavy_results):
             if j >= i}
     assert got == want
     assert rep == got
-    assert ragged_err and "ragged input" in ragged_err
-    assert nonfinite_err and "NaN/Inf" in nonfinite_err
+    # error string carries "<ExceptionType>: <msg>" — pin BOTH the
+    # runtime-failure type and the message, like the original
+    # pytest.raises(PythonException, match=...) did
+    assert ragged_err and ragged_err.startswith("PythonException")
+    assert "ragged input" in ragged_err
+    assert nonfinite_err and nonfinite_err.startswith("PythonException")
+    assert "NaN/Inf" in nonfinite_err
 
 
 def test_pagerank_fixed_point_star_graph(heavy_results):
