@@ -73,6 +73,9 @@ ALLOW = {
         "ann_mutual_knn": "broadcast bounded eval slice, theta self-pair filter",
         "ann_hamming_topk": "broadcast query-signature side, theta "
                             "self-pair filter",
+        "ann_hamming_recall_audit": "composes ann_hamming_topk + "
+                                    "ann_topk_bruteforce: broadcast "
+                                    "query sides only",
         "privacy_t_closeness": "1-row corpus-total broadcast",
         "stats_chi_square_cells": "1-row grand-total broadcast",
         "stats_autocorr_daily": "1-row mean + 1-row denominator broadcasts",
