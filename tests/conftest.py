@@ -78,6 +78,19 @@ def pytest_collection_modifyitems(session, config, items):
     # deselection, so a filtered session that keeps no heavy_results
     # consumer (or no gate consumer) never starts the background work
     _start_heavy_sweep(items)
+    if HEAVY_STATE:
+        # stable-partition: run every non-consumer first and the
+        # heavy_results consumers LAST — by the time the tail is
+        # reached the sweep pool has long finished, so consumers never
+        # block on their own futures (measured: test_bpe, 3rd module
+        # alphabetically, waited 31 s on a payload that would have
+        # been free an hour of tests later)
+        consumers = [i for i in items
+                     if "heavy_results" in getattr(i, "fixturenames", ())]
+        if consumers:
+            rest = [i for i in items
+                    if "heavy_results" not in getattr(i, "fixturenames", ())]
+            items[:] = rest + consumers
     if GATE_STATE or not any(
         "gate_results" in getattr(i, "fixturenames", ())
         for i in items

@@ -260,25 +260,33 @@ def test_snapshot_diff_invariants(spark, docs):
         base.filter(F.col("doc_id") % 5 == 0).count()
 
 
-def test_bmp_parser_rejects_non_bmp(spark, docs):
+@heavy_check("curation_bmp_payload")
+def _bmp_payload(spark):
     from cassandra_join_library_spark.operators import multimodal as M
 
+    docs = load_table(spark, SF_SMOKE, "documents")
     built = M.synthesize_bmp(docs.select("doc_id").limit(10), "doc_id")
-    good = M.parse_bmp_metadata(built, "doc_id").collect()
-    assert all(r["is_bmp"] and r["bpp"] == 24 for r in good)
-    # corrupt payloads (text bytes / truncated header) parse as non-BMP
-    # with NULL fields, never an error
-    bad = M.parse_bmp_metadata(
+    good = [r.asDict() for r in
+            M.parse_bmp_metadata(built, "doc_id").collect()]
+    bad = [r.asDict() for r in M.parse_bmp_metadata(
         docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
         .limit(10),
         "doc_id",
-    ).collect()
-    assert all(not r["is_bmp"] and r["bmp_width"] is None for r in bad)
-    trunc = M.parse_bmp_metadata(
+    ).collect()]
+    trunc = [r.asDict() for r in M.parse_bmp_metadata(
         built.select("doc_id",
                      F.expr("substring(payload, 1, 10)").alias("payload")),
         "doc_id",
-    ).collect()
+    ).collect()]
+    return good, bad, trunc
+
+
+def test_bmp_parser_rejects_non_bmp(heavy_results):
+    good, bad, trunc = heavy_results("curation_bmp_payload")
+    assert all(r["is_bmp"] and r["bpp"] == 24 for r in good)
+    # corrupt payloads (text bytes / truncated header) parse as non-BMP
+    # with NULL fields, never an error
+    assert all(not r["is_bmp"] and r["bmp_width"] is None for r in bad)
     assert all(not r["is_bmp"] for r in trunc)
 
 

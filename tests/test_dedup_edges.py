@@ -58,11 +58,41 @@ def test_minhash_r2_subset_of_exact_with_recall_floor(heavy_results):
         assert recall >= 0.8, f"r=2 recall {recall:.2f}"
 
 
-def test_clustering_matches_union_find_on_random_graphs(spark):
+def _uf_edges(seed):
+    """Deterministic seeded random edge set (same draws in the sweep
+    and the in-test union-find reference)."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(rng.randint(20, 60)))
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(rng.randint(10, 70))
+    }
+    # long chain to stress the jump path
+    chain = list(range(100, 100 + rng.randint(10, 25)))
+    edges |= {(a, a + 1) for a in chain[:-1]}
+    return sorted(edges)
+
+
+_UF_SEEDS = (7, 99, 2026)
+
+
+@heavy_check("dedup_edges_cluster_got")
+def _cluster_got(spark):
+    out = {}
+    for seed in _UF_SEEDS:
+        pairs = local_frame(
+            spark, [Row(doc_a=a, doc_b=b) for a, b in _uf_edges(seed)])
+        out[seed] = {r["doc_id"]: r["cluster_id"]
+                     for r in duplicate_clusters(pairs).collect()}
+    return out
+
+
+def test_clustering_matches_union_find_on_random_graphs(heavy_results):
     """Pointer-jump armor: on seeded random graphs (mixed chains,
     cliques, isolated edges) the distributed components must equal a
     driver-side union-find's, exactly."""
-    import random
 
     def union_find_components(edges):
         parent = {}
@@ -80,41 +110,33 @@ def test_clustering_matches_union_find_on_random_graphs(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         return {n: find(n) for n in parent}
 
-    def run_seed(seed):
-        rng = random.Random(seed)
-        nodes = list(range(rng.randint(20, 60)))
-        edges = {
-            tuple(sorted(rng.sample(nodes, 2)))
-            for _ in range(rng.randint(10, 70))
-        }
-        # long chain to stress the jump path
-        chain = list(range(100, 100 + rng.randint(10, 25)))
-        edges |= {(a, a + 1) for a in chain[:-1]}
-        want = union_find_components(sorted(edges))
-        pairs = local_frame(spark, 
-            [Row(doc_a=a, doc_b=b) for a, b in sorted(edges)]
-        )
-        got = {r["doc_id"]: r["cluster_id"]
-               for r in duplicate_clusters(pairs).collect()}
-        assert got == want, f"seed={seed}"
-
-    # independent seeds — concurrent driver threads (latency-bound)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        list(ex.map(run_seed, (7, 99, 2026)))
+    all_got = heavy_results("dedup_edges_cluster_got")
+    for seed in _UF_SEEDS:
+        want = union_find_components(_uf_edges(seed))
+        assert all_got[seed] == want, f"seed={seed}"
 
 
-def test_unconverged_clustering_raises(spark):
+@heavy_check("dedup_edges_unconverged_payload")
+def _unconverged_payload(spark):
     # chain of diameter 5 with max_iterations=2 must refuse, not return
     # silently split clusters
-    pairs = local_frame(spark, 
+    pairs = local_frame(spark,
         [Row(doc_a=i, doc_b=i + 1) for i in range(6)]
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
+    try:
         duplicate_clusters(pairs, max_iterations=2)
+        err = None
+    except Exception as exc:  # noqa: BLE001 - payload IS the error
+        err = f"{type(exc).__name__}: {exc}"
     ok = duplicate_clusters(pairs, max_iterations=10)
-    assert {r["cluster_id"] for r in ok.collect()} == {0}
+    return err, {r["cluster_id"] for r in ok.collect()}
+
+
+def test_unconverged_clustering_raises(heavy_results):
+    err, clusters = heavy_results("dedup_edges_unconverged_payload")
+    assert err is not None and err.startswith("RuntimeError")
+    assert "did not converge" in err
+    assert clusters == {0}
 
 
 def test_duplicate_passages_maximal_runs(spark):
