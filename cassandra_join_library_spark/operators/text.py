@@ -861,3 +861,52 @@ def logistic_quality_score(df, id_col: str, text_col: str,
     return feats.select(
         "doc_id", F.expr(z).alias("z_micro"),
     ).withColumn("keep", F.col("z_micro") > 0)
+
+
+def boilerplate_span_coverage(df, id_col: str, text_col: str,
+                              k: int = 8, min_df: int = 2):
+    """Cross-document boilerplate detection by span coverage: word
+    k-grams appearing in >= ``min_df`` distinct documents are
+    "boilerplate spans" (templated headers/footers, licence blocks,
+    navigation text — the RefinedWeb/C4-style strip step generalized
+    to span level), and each document reports how many of its token
+    positions any such span covers.
+
+    Plan: one positional-gram pass, a gram-keyed distinct-doc count
+    (the boilerplate dictionary — vocabulary-sized, NOT broadcast),
+    a sort-merge join of postings against the hot grams, a k-wide
+    position explode, and a doc-keyed distinct count.  Every stage is
+    corpus-linear; the k-fold position fanout is bounded by k × hot
+    occurrences, which the min_df threshold keeps to the templated
+    tail.  Exact integers end to end.
+
+    Returns (doc_id, n_tokens, n_covered, boiler_ppm) for every
+    non-null-text document — zero coverage included, so the output
+    partitions the corpus."""
+    from .. import operators  # noqa: F401  (package-relative anchor)
+    from .dedup import positional_grams  # type: ignore
+
+    base = df.filter(F.col(text_col).isNotNull())
+    toks = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)")
+        .alias("n_tokens"))
+    pg = positional_grams(base, id_col, text_col, k=k)
+    hot = (pg.select("doc", "gram").distinct()
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+           .filter(F.col("gdf") >= min_df).select("gram"))
+    # sort-merge: both sides are corpus/vocabulary-sized (the
+    # uncapped-join rule from the prefix-filter sf10 OOM)
+    covered = (pg.hint("merge").join(hot.hint("merge"), "gram")
+               .select("doc", F.explode(
+                   F.expr(f"sequence(pos, pos + {k - 1})")).alias("p"))
+               .distinct()
+               .groupBy(F.col("doc").alias("doc_id"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered")))
+    return (toks.join(covered, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_covered", F.lit(0)).cast("bigint")
+                    .alias("n_covered"),
+                    F.expr("(coalesce(n_covered, 0) * 1000000) "
+                           "DIV n_tokens")
+                    .cast("bigint").alias("boiler_ppm")))

@@ -141,8 +141,8 @@ _loaded = False
 #     latest driver green is r05, newer than every name taken.
 #   round-11 additions: wave27 (dedup_cross_snapshot,
 #     dedup_cross_snapshot_funnel, corpus_quality_logreg) and wave28
-#     (ann_hamming_topk, ann_hamming_recall_audit) — oracled,
-#     registered AFTER the locked
+#     (ann_hamming_topk, ann_hamming_recall_audit) and wave29
+#     (text_boilerplate_coverage) — oracled, registered AFTER the locked
 #     front, so they are the r12 never-graded pool.
 #   r12 POLICY (written now so the rotation outlives context cuts):
 #     never-graded oracled queries first (the wave27 trio above plus
@@ -425,6 +425,7 @@ def _load_all() -> None:
         wave26,
         wave27,
         wave28,
+        wave29,
     )
     _reorder()
     _loaded = True
