@@ -343,3 +343,63 @@ def cms_estimate(items: DataFrame, counters: DataFrame,
     return (cells.join(F.broadcast(counters), ["i", "col"])
             .groupBy(item_col)
             .agg(F.min("cnt").cast("bigint").alias("cms_est")))
+
+
+# ---------------------------------------------------------------
+# log-binned quantile sketch: the third member of the portable
+# mergeable-sketch family (HLL -> distinct, CMS -> heavy hitters,
+# log bins -> quantiles).  State is <= 64 (bin, count) rows per
+# table regardless of data size; merge algebra is plain SUM, so
+# shard tables combine exactly like CMS counters.
+
+def logbin_table(df: DataFrame, cents_expr: str) -> DataFrame:
+    """Mergeable log-bin counts over a positive BIGINT expression:
+    bin = bit_length(value) (1-based), one row per occupied bin.
+
+    The quantile twin of :func:`hll_register_table` / the CMS counter
+    table: bounded state (<= 64 rows), SUM-mergeable across shards /
+    partitions / days, and the rank->bin lookup brackets any quantile
+    within one power of two — the accuracy class a 100 TB monitoring
+    rollup needs at ~512 bytes of state.  ``cents_expr`` must be
+    exact integer units (DECIMAL-derived cents, never raw doubles) so
+    both engines bin identically."""
+    return (df.select(F.expr(f"length(bin({cents_expr}))")
+                      .cast("bigint").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def logbin_quantiles(bins: DataFrame, q_pcts: "list[int]") -> DataFrame:
+    """Bracket each requested percentile from a log-bin table: the
+    smallest bin whose cumulative count reaches rank
+    ``ceil(q * n / 100)``, with its [2^(bin-1), 2^bin - 1] bounds.
+
+    The cumulative window runs over <= 64 bin rows (state-bounded,
+    never data-sized); the q-spec side is a literal |q_pcts|-row
+    broadcast."""
+    from pyspark.sql import Window
+
+    cum = bins.select(
+        "bin", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("cum"),
+    )
+    total = bins.agg(F.sum("cnt").cast("bigint").alias("n"))
+    qs = bins.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct bigint")
+    spec = qs.crossJoin(F.broadcast(total)).select(
+        "q_pct", "n",
+        F.expr("(q_pct * n + 99) DIV 100").cast("bigint")
+        .alias("target_rank"))
+    hit = (spec.join(F.broadcast(cum),
+                     F.col("cum") >= F.col("target_rank"))
+           .groupBy("q_pct", "n", "target_rank")
+           .agg(F.min("bin").cast("bigint").alias("bin")))
+    return hit.select(
+        "q_pct", "n", "target_rank", "bin",
+        F.expr("shiftleft(1L, CAST(bin - 1 AS INT))").cast("bigint")
+        .alias("bin_lo"),
+        F.expr("shiftleft(1L, CAST(bin AS INT)) - 1").cast("bigint")
+        .alias("bin_hi"))

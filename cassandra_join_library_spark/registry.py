@@ -142,7 +142,8 @@ _loaded = False
 #   round-11 additions: wave27 (dedup_cross_snapshot,
 #     dedup_cross_snapshot_funnel, corpus_quality_logreg) and wave28
 #     (ann_hamming_topk, ann_hamming_recall_audit) and wave29
-#     (text_boilerplate_coverage) — oracled, registered AFTER the locked
+#     (text_boilerplate_coverage) and wave30 (approx_quantile_logbins)
+#     — oracled, registered AFTER the locked
 #     front, so they are the r12 never-graded pool.
 #   r12 POLICY (written now so the rotation outlives context cuts):
 #     never-graded oracled queries first (the wave27 trio above plus
@@ -426,6 +427,7 @@ def _load_all() -> None:
         wave27,
         wave28,
         wave29,
+        wave30,
     )
     _reorder()
     _loaded = True

@@ -95,6 +95,9 @@ ALLOW = {
                            "|X|*|Y| cells per side (never corpus^2) "
                            "+ 1-row total/stat broadcasts",
         "profile_equidepth_price": "1-row row-total broadcast",
+        "approx_quantile_logbins": "3-row q-spec and 1-row total/"
+                                   "mismatch broadcasts over the "
+                                   "<= 64-row bin table",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
@@ -154,6 +157,9 @@ ALLOW = {
         "stats_mannwhitney_u": "cumulative-frequency window over the "
                                "distinct-dollar table (price-domain-"
                                "bounded), never the orders table",
+        "approx_quantile_logbins": "cumulative window over the "
+                                   "<= 64-row log-bin sketch state, "
+                                   "never the orders table",
     },
     "cartesian_product": {},
     "python_udf": {},

@@ -1,0 +1,44 @@
+"""Wave-30 operator edges: log-bin packing, rank bracketing, and the
+guarantee that the bracketed bound always contains the true value."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_join_library_spark.operators.sketch import (
+    logbin_quantiles, logbin_table,
+)
+from cassandra_join_library_spark.sources.catalog import local_frame
+
+
+def test_logbin_table_bit_lengths(spark):
+    df = local_frame(spark, [(1,), (2,), (3,), (4,), (255,), (256,)],
+                     "v bigint")
+    got = {r["bin"]: r["cnt"] for r in logbin_table(df, "v").collect()}
+    # 1 -> bin 1; 2,3 -> bin 2; 4 -> bin 3; 255 -> bin 8; 256 -> bin 9
+    assert got == {1: 1, 2: 2, 3: 1, 8: 1, 9: 1}
+
+
+def test_logbin_quantiles_bracket_truth(spark):
+    import random
+
+    rng = random.Random(5)
+    vals = [rng.randint(1, 10_000_000) for _ in range(500)]
+    df = local_frame(spark, [(v,) for v in vals], "v bigint")
+    qs = {r["q_pct"]: r for r in logbin_quantiles(
+        logbin_table(df, "v"), [50, 90, 99]).collect()}
+    svals = sorted(vals)
+    for q in (50, 90, 99):
+        r = qs[q]
+        assert r["n"] == 500
+        truth = svals[r["target_rank"] - 1]  # rank is 1-based
+        assert r["bin_lo"] <= truth <= r["bin_hi"], (q, truth, dict(r.asDict()))
+        assert r["bin_hi"] == 2 * r["bin_lo"] - 1  # one power of two wide
+
+
+def test_logbin_quantile_exact_on_single_bin(spark):
+    # all values in one bin: every quantile lands there
+    df = local_frame(spark, [(9,), (10,), (12,), (15,)], "v bigint")
+    qs = {r["q_pct"]: r["bin"] for r in logbin_quantiles(
+        logbin_table(df, "v"), [50, 99]).collect()}
+    assert qs == {50: 4, 99: 4}
