@@ -361,10 +361,21 @@ def logbin_table(df: DataFrame, cents_expr: str) -> DataFrame:
     partitions / days, and the rank->bin lookup brackets any quantile
     within one power of two — the accuracy class a 100 TB monitoring
     rollup needs at ~512 bytes of state.  ``cents_expr`` must be
-    exact integer units (DECIMAL-derived cents, never raw doubles) so
-    both engines bin identically."""
-    return (df.select(F.expr(f"length(bin({cents_expr}))")
-                      .cast("bigint").alias("bin"))
+    exact POSITIVE integer units (DECIMAL-derived cents, never raw
+    doubles) so both engines bin identically; zero/negative/NULL
+    values have no bit-length bin and fail loudly per row (the
+    sign_signatures guard pattern) instead of returning a bracket
+    that excludes the true value."""
+    v = F.expr(cents_expr)
+    guarded = df.filter(F.assert_true(
+        v.isNotNull() & (v > 0),
+        F.format_string(
+            "logbin_table: value %s is not a positive integer — "
+            "bit-length bins need exact positive units",
+            v.cast("string")),
+    ).isNull())
+    return (guarded.select(F.expr(f"length(bin({cents_expr}))")
+                           .cast("bigint").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
 

@@ -883,8 +883,7 @@ def boilerplate_span_coverage(df, id_col: str, text_col: str,
     Returns (doc_id, n_tokens, n_covered, boiler_ppm) for every
     non-null-text document — zero coverage included, so the output
     partitions the corpus."""
-    from .. import operators  # noqa: F401  (package-relative anchor)
-    from .dedup import positional_grams  # type: ignore
+    from .dedup import positional_grams
 
     base = df.filter(F.col(text_col).isNotNull())
     toks = base.select(

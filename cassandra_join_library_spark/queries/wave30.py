@@ -75,11 +75,14 @@ def approx_quantile_logbins(spark, sf_dir):
     cents = orders.select(F.expr(_CENTS).alias("c"),
                           (F.col("o_orderkey") % 4).alias("sh"))
     global_bins = logbin_table(cents, "c")
-    shard_bins = (cents.groupBy("sh",
-                                F.expr("length(bin(c))").cast("bigint")
-                                .alias("bin"))
-                  .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
-    merged = (shard_bins.groupBy("bin")
+    # the shard tables go through the SAME operator (per-shard calls),
+    # so the merge proof can never drift from the sketch's bin formula
+    shard_bins = [logbin_table(cents.filter(F.col("sh") == s), "c")
+                  for s in range(4)]
+    merged = shard_bins[0]
+    for sb in shard_bins[1:]:
+        merged = merged.unionByName(sb)
+    merged = (merged.groupBy("bin")
               .agg(F.sum("cnt").cast("bigint").alias("cnt")))
     mism = (global_bins.withColumnRenamed("cnt", "g")
             .join(merged.withColumnRenamed("cnt", "m"), "bin",
