@@ -145,22 +145,52 @@ _loaded = False
 #     (text_boilerplate_coverage) and wave30 (approx_quantile_logbins)
 #     — oracled, registered AFTER the locked
 #     front, so they are the r12 never-graded pool.
-#   r12 POLICY (written now so the rotation outlives context cuts):
-#     never-graded oracled queries first (the wave27 trio above plus
-#     any later round-11 additions),
-#     then oldest-graded-first re-grades continuing the ledger sweep —
-#     next up are the remaining r04-graded names
-#     (corpus_contamination_capped, corpus_stats, window_ntile_dist,
-#     window_first_last, array_token_ops, layout_zorder,
-#     value_histogram, setop_except_all/intersect_all,
-#     stratified_sample, window_ratio_to_report, argmax_per_group,
-#     winsorized_stats, weighted_sample, pivot_status_by_year,
-#     percentiles_exact) and then the r05 block (agg_cube, dedup_*
-#     cascade heads) until the window holds 50.  First evidence
-#     outranks re-evidence; re-grades fill only leftover slots.
-#   banked (driver-green, regression pool): _ROUND10_FRONT,
-#     _ROUND9_FRONT, _ROUND7_FRONT and _BANKED_ROUND6 below, plus the
-#     r01/r05 heads that follow in registration order.
+#   round 12 (this order): _ROUND12_FRONT below — the 7 wave-27-30
+#     never-graded oracled queries first (draining the never-graded
+#     pool to ZERO), then 43 strictly oldest-graded-first re-grades
+#     computed from the CORRECTNESS_r*.json ledger (latest green round
+#     per name, registration order as tie-break): the 16 remaining
+#     r04-graded names (corpus_contamination_capped .. percentiles_exact),
+#     then the first 27 of the r05-graded block (dedup/similarity/
+#     text/multimodal heads through stream_tumbling).
+#   r13 POLICY (written now so the rotation outlives context cuts):
+#     never-graded oracled queries first (any round-12 additions
+#     registered after the locked front), then oldest-graded-first
+#     re-grades continuing the ledger sweep — next up is the rest of
+#     the r05 block (stream_sliding onward: streaming batch twins,
+#     events heads, profiling heads, string_similarity, explode_tokens,
+#     agg_cube) until the window holds 50.  First evidence outranks
+#     re-evidence; re-grades fill only leftover slots.
+#   banked (driver-green, regression pool): _ROUND11_FRONT,
+#     _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and _BANKED_ROUND6
+#     below, plus the r01/r05 heads that follow in registration order.
+_ROUND12_FRONT = [
+    # 7 never-graded oracled queries (wave 27-30, registered after the
+    # locked r11 front) — first driver evidence
+    "dedup_cross_snapshot", "dedup_cross_snapshot_funnel",
+    "corpus_quality_logreg", "ann_hamming_topk",
+    "ann_hamming_recall_audit", "text_boilerplate_coverage",
+    "approx_quantile_logbins",
+    # 16 remaining r04-graded re-grades (oldest driver evidence)
+    "corpus_contamination_capped", "corpus_stats", "window_ntile_dist",
+    "window_first_last", "array_token_ops", "layout_zorder",
+    "value_histogram", "setop_except_all", "setop_intersect_all",
+    "stratified_sample", "window_ratio_to_report", "argmax_per_group",
+    "winsorized_stats", "weighted_sample", "pivot_status_by_year",
+    "percentiles_exact",
+    # first 27 of the r05-graded block, registration order
+    "dedup_exact", "dedup_jaccard_exact", "dedup_jaccard_capped",
+    "dedup_minhash_lsh", "dedup_simhash_md5", "dedup_clusters",
+    "dedup_incremental", "dedup_passages", "dedup_containment",
+    "ann_topk_bruteforce", "embedding_cosine_pairs",
+    "dedup_embedding_cosine", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    "ann_lsh_cosine", "ann_pq_topk", "text_token_stats",
+    "text_bpe_pretokens", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_model_score", "mm_binary_metadata",
+    "mm_decode_features", "mm_resize", "mm_frame_sample",
+    "stream_tumbling",
+]
+
 _ROUND11_FRONT = [
     # 11 never-graded oracled queries (r08 outage debt, final tranche)
     "corpus_span_corruption", "ann_ivf_recall_audit",
@@ -346,15 +376,15 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND11_FRONT, then
-    the banked (already driver-green) _ROUND10_FRONT/_ROUND9_FRONT/
-    _ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the rest of the
-    oracled queries in registration order, then the no-oracle queries
-    last."""
-    seen = set(_ROUND11_FRONT)
-    front = _ROUND11_FRONT + [
-        n for n in _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT
-        + _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND12_FRONT, then
+    the banked (already driver-green) _ROUND11_FRONT/_ROUND10_FRONT/
+    _ROUND9_FRONT/_ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the
+    rest of the oracled queries in registration order, then the
+    no-oracle queries last."""
+    seen = set(_ROUND12_FRONT)
+    front = _ROUND12_FRONT + [
+        n for n in _ROUND11_FRONT + _ROUND10_FRONT + _ROUND9_FRONT
+        + _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]
