@@ -936,14 +936,23 @@ def sign_signatures(df: DataFrame, id_col: str = "vec_id",
 
 def hamming_topk(df: DataFrame, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 k: int = 5, dim: int = 64) -> DataFrame:
+                 k: int = 5, dim: int = 64,
+                 max_queries: int = 100_000) -> DataFrame:
     """Exact Hamming top-k over binary sign signatures.
 
     The scan side is the bit-packed signature table (16 bytes/vector),
-    the query side broadcasts, and the distance is XOR + bit_count on
-    BIGINT words — the cheapest exact rerank primitive there is.  At
-    100 TB the candidate set would first be cut by the SimHash
-    pigeonhole buckets (operators/dedup.py simhash machinery); this
+    the QUERY side broadcasts — so it must be genuinely small (a batch
+    of probe vectors, never a second corpus).  That contract is
+    enforced, not assumed: the signature'd query side is counted and a
+    ``ValueError`` raised over ``max_queries`` (default 100k probes ≈
+    10 MB broadcast) — the same uncapped-broadcast failure class the
+    prefix-filter sf10 OOM documented (SCALE.md round-11 rule).  For
+    corpus×corpus Hamming pairs, use the SimHash pigeonhole banding in
+    operators/dedup.py instead — no broadcast side at all.
+
+    The distance is XOR + bit_count on BIGINT words — the cheapest
+    exact rerank primitive there is.  At 100 TB the candidate set
+    would first be cut by the SimHash pigeonhole buckets; this
     operator is the exact scorer those candidates flow into, run here
     corpus-wide so the oracle can check every value.  Ties break
     (hamming ASC, neighbor ASC); the query row itself is excluded.
@@ -956,6 +965,17 @@ def hamming_topk(df: DataFrame, queries: DataFrame,
     qsig = sign_signatures(queries, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
         *[F.col(f"sig_{w}").alias(f"q_{w}") for w in range(n_words)])
+    # bounded by construction AFTER this guard: one count over the
+    # (small) query side at plan-build time buys driver-OOM safety
+    n_q = qsig.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hamming_topk: query side has {n_q} rows > max_queries="
+            f"{max_queries}; it is broadcast, so a corpus-sized query "
+            "set would OOM the driver — use the SimHash pigeonhole "
+            "banding (operators/dedup.py) for corpus-scale pairs, or "
+            "raise max_queries deliberately"
+        )
     ham = None
     for w in range(n_words):
         term = F.bit_count(F.expr(f"q_{w} ^ sig_{w}"))

@@ -408,9 +408,14 @@ def logbin_quantiles(bins: DataFrame, q_pcts: "list[int]") -> DataFrame:
                      F.col("cum") >= F.col("target_rank"))
            .groupBy("q_pct", "n", "target_rank")
            .agg(F.min("bin").cast("bigint").alias("bin")))
+    # bin is bit_length of a positive BIGINT, so 1 <= bin <= 63;
+    # bin = 63 needs a special case — shiftleft(1L, 63) wraps to
+    # Long.MIN_VALUE and the "- 1" throws ARITHMETIC_OVERFLOW under
+    # ANSI mode.  The true upper bound of the top bin IS Long.MAX.
     return hit.select(
         "q_pct", "n", "target_rank", "bin",
         F.expr("shiftleft(1L, CAST(bin - 1 AS INT))").cast("bigint")
         .alias("bin_lo"),
-        F.expr("shiftleft(1L, CAST(bin AS INT)) - 1").cast("bigint")
-        .alias("bin_hi"))
+        F.expr("CASE WHEN bin >= 63 THEN 9223372036854775807L "
+               "ELSE shiftleft(1L, CAST(bin AS INT)) - 1 END")
+        .cast("bigint").alias("bin_hi"))

@@ -890,7 +890,12 @@ def boilerplate_span_coverage(df, id_col: str, text_col: str,
         F.col(id_col).alias("doc_id"),
         F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)")
         .alias("n_tokens"))
-    pg = positional_grams(base, id_col, text_col, k=k)
+    # two downstream consumers (hot-gram dictionary + coverage join)
+    # re-read this corpus-sized repartition+transform; materialize
+    # eagerly like the dedup shingle sites (module-wide pattern —
+    # localCheckpoint cuts the lineage, cluster caveat in dedup.py)
+    pg = positional_grams(base, id_col, text_col, k=k).localCheckpoint(
+        eager=True)
     hot = (pg.select("doc", "gram").distinct()
            .groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
            .filter(F.col("gdf") >= min_df).select("gram"))

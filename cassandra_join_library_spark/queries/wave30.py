@@ -58,7 +58,11 @@ spec AS (
 )
 SELECT h.q_pct, h.n, h.target_rank, h.bin,
        CAST(1::BIGINT << CAST(h.bin - 1 AS INT) AS BIGINT) AS bin_lo,
-       CAST((1::BIGINT << CAST(h.bin AS INT)) - 1 AS BIGINT) AS bin_hi,
+       -- bin = 63 (values >= 2^62): 1<<63 overflows BIGINT on both
+       -- engines; the top bin's true upper bound is BIGINT max
+       CAST(CASE WHEN h.bin >= 63 THEN 9223372036854775807
+                 ELSE (1::BIGINT << CAST(h.bin AS INT)) - 1 END
+         AS BIGINT) AS bin_hi,
        (SELECT n_mismatch FROM mism) = 0 AS shards_match
 FROM hit h
 """)

@@ -205,6 +205,8 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str,
     if not isinstance(ev.schema["ts"].dataType, TimestampType):
         ev = ev.withColumn("ts", F.col("ts").cast(TimestampType()))
     ev2 = ev.withColumn("sentinel", F.lit(False))
+    # bounded collect: a single aggregated row (the corpus max ts) —
+    # needed driver-side to synthesize the watermark-flushing sentinel
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sentinels = (
         ev.select("user_id").distinct()

@@ -33,10 +33,18 @@ HEAVY_STATE: dict = {}
 
 
 def _start_heavy_sweep(items):
-    if HEAVY_STATE or not any(
-        "heavy_results" in getattr(i, "fixturenames", ())
+    # submit only the heavy checks a SELECTED consumer can reach:
+    # every heavy_check registers in the module of its consuming tests
+    # (parametrized names are f-strings, so name-level resolution is
+    # impossible statically, but module-level is exact), so a -k/-m
+    # filtered session pays only for the modules it kept — and
+    # sessionfinish's wait is bounded by the same set
+    consumer_mods = {
+        getattr(getattr(i, "module", None), "__name__", None)
         for i in items
-    ):
+        if "heavy_results" in getattr(i, "fixturenames", ())
+    } - {None}
+    if HEAVY_STATE or not consumer_mods:
         return
     from concurrent.futures import ThreadPoolExecutor
 
@@ -47,6 +55,7 @@ def _start_heavy_sweep(items):
     HEAVY_STATE["executor"] = ex
     HEAVY_STATE["futures"] = {
         name: ex.submit(fn, s) for name, fn in HEAVY.items()
+        if getattr(fn, "__module__", None) in consumer_mods
     }
 
 

@@ -36,6 +36,23 @@ def test_logbin_quantiles_bracket_truth(spark):
         assert r["bin_hi"] == 2 * r["bin_lo"] - 1  # one power of two wide
 
 
+def test_logbin_top_bin_no_overflow(spark):
+    # bin 63 (values >= 2^62, up to BIGINT max): the naive
+    # shiftleft(1L, 63) - 1 read-out wraps to Long.MIN_VALUE and
+    # throws ARITHMETIC_OVERFLOW under ANSI mode (ADVICE r11); the
+    # special-cased top bin must report [2^62, Long.MAX] and still
+    # bracket the true value
+    top = 9223372036854775807  # 2^63 - 1
+    df = local_frame(spark, [(1,), (2**62,), (top,)], "v bigint")
+    rows = {r["q_pct"]: r for r in logbin_quantiles(
+        logbin_table(df, "v"), [99]).collect()}
+    r = rows[99]
+    assert r["bin"] == 63
+    assert r["bin_lo"] == 2**62
+    assert r["bin_hi"] == top
+    assert r["bin_lo"] <= top <= r["bin_hi"]
+
+
 def test_logbin_quantile_exact_on_single_bin(spark):
     # all values in one bin: every quantile lands there
     df = local_frame(spark, [(9,), (10,), (12,), (15,)], "v bigint")
