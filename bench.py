@@ -86,6 +86,9 @@ HEADLINE = [
     "mm_subtitle_align",     # SRT round-trip + doc-keyed range join
     "corpus_span_corruption",  # T5 span-corruption planning (islands)
     "dedup_prefix_filter_jaccard",  # PPJoin prefix filter, same answer as posting join
+    # round-11 additions (r11 verdict ask #3)
+    "dedup_cross_snapshot",  # incremental dedup vs a persisted fingerprint store
+    "approx_quantile_logbins",  # mergeable 64-row quantile sketch + shard proof
 ]
 
 
