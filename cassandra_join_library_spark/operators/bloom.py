@@ -97,10 +97,22 @@ def bloom_might_contain(
 
     ``words`` becomes an array literal in the plan (broadcast with the
     serialized task, like any literal); the k probes are
-    shift/and/element_at — all whole-stage-codegen'd, no Python."""
+    shift/and/element_at — all whole-stage-codegen'd, no Python.
+
+    The literal is a numpy int64 array, NOT a python list: ``F.lit``
+    on a list compiles to a ``CreateArray`` with one child expression
+    per element, re-CONSTRUCTED per input row — measured 4x slower at
+    2^20 bits and growing linearly with filter size — while a numpy
+    array becomes a single bound ``Literal``.  Even so, probe cost
+    still grows past ~2^22 bits (plan/task-binary weight), so this
+    literal path is for SMALL filters (selective dimension keys);
+    corpus-sized membership stores use the flat-cost (w, word)-table
+    path (:func:`bloom_words_table` + :func:`bloom_pass_keys`)."""
+    import numpy as np
+
     key = F.col(key) if isinstance(key, str) else key
     num_bits = len(words) * 64
-    lit_words = F.lit(words)
+    lit_words = F.lit(np.asarray(words, dtype=np.int64))
     tests = []
     for p in _positions(key, num_bits, num_hashes):
         word = F.element_at(lit_words, (p / 64).cast("int") + 1)
@@ -125,3 +137,128 @@ def bloom_prefilter(
     follow with the real join for exact results."""
     words = bloom_build(dim, dim_key, num_bits, num_hashes)
     return fact.filter(bloom_might_contain(fact_key, words, num_hashes))
+
+
+def _portable_positions(key: Column, num_bits: int,
+                        num_hashes: int) -> "list[Column]":
+    """k portable bit positions: 60-bit md5-prefix hashes with the
+    ``i:`` seed-prefix convention shared with the portable MinHash
+    (dedup.py minhash machinery), so any SQL engine reproduces them —
+    DuckDB: ``('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT %
+    num_bits``.  xxhash64 (:func:`_positions`) is faster but
+    Spark-only; portable positions are for stores whose bit content
+    itself must be auditable across engines."""
+    return [
+        F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15), 16, 10)
+            .cast("bigint"),
+            F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_words_table(
+    df: DataFrame,
+    key: "Column | str",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    shard: "Column | None" = None,
+) -> DataFrame:
+    """The Bloom membership filter as a PERSISTABLE (w, word) table —
+    the at-rest store twin of :func:`bloom_build` (which collects the
+    words to a driver literal).
+
+    This is the snapshot-store shape at 100 TB: the prior corpus's
+    fingerprint Bloom lives on disk as <= num_bits/64 rows (BIGINT
+    word index, BIGINT word) next to the exact fingerprint store, is
+    rebuilt never and MERGED always — ``bit_or`` per word is
+    associative/commutative/idempotent, so per-shard (or per-day)
+    word tables union + bit_or into the corpus filter exactly, the
+    same merge algebra the HLL (MAX) / CMS (SUM) / log-bin (SUM)
+    sketches carry.  Positions are md5-portable
+    (:func:`_portable_positions`), so the bit content — not just the
+    answers derived from it — is reproducible by any SQL engine.
+
+    Missing words (no key set any bit there) have no row; readers
+    treat absent as 0 (see :func:`bloom_pass_keys`).
+
+    ``shard``: optionally, a grouping expression — the result gains a
+    leading ``shard_id`` column and holds one word table PER SHARD,
+    built in a single pass over ``df`` (the per-day / per-partition
+    build shape); ``bit_or`` over ``w`` folds them into the corpus
+    filter."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
+    key = F.col(key) if isinstance(key, str) else key
+    probes = F.array(*[
+        F.struct(
+            (p / 64).cast("bigint").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+            ).alias("mask"),
+        )
+        for p in _portable_positions(key, num_bits, num_hashes)
+    ])
+    if shard is not None:
+        return (
+            df.select(shard.alias("shard_id"), F.explode(probes).alias("p"))
+            .groupBy("shard_id", F.col("p.w").alias("w"))
+            .agg(F.bit_or("p.mask").alias("word"))
+        )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.mask").alias("word"))
+    )
+
+
+def bloom_pass_keys(
+    df: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Filter ANY frame to rows whose ``key_col`` passes the portable
+    Bloom store: all ``num_hashes`` probed bits set.  Duplicates are
+    fine (each row probes independently); every input column is kept.
+
+    ``words`` is the (w, word) table from :func:`bloom_words_table` —
+    broadcast here, which is safe BY CONSTRUCTION: it has at most
+    num_bits/64 rows (16 K rows at the 1 Mi-bit default) regardless of
+    how many keys built it, the bounded-state exception the SCALE.md
+    uncapped-join rule carves out.  The probe is k chained broadcast
+    LEFT joins — per row, k hash-map lookups inside the map stage,
+    ZERO shuffle of the probe side (the first cut of this operator
+    exploded k probe rows and counted hits with a groupBy, which
+    shuffled 5x the corpus and cost 8x the exact join it was meant to
+    prune at sf10).  An absent (all-zero) word joins NULL and the bit
+    test coalesces it to 0 — correctly failing that probe.  The k
+    joins all broadcast the SAME relation, so Spark ships it once
+    (ReusedExchange).
+
+    No false negatives ever: a key whose bits were all set at build
+    time probes the same positions (same seeds) and finds them set."""
+    key = F.col(key_col)
+    in_cols = df.columns
+    out = df
+    tests = []
+    for i, p in enumerate(_portable_positions(key, num_bits, num_hashes)):
+        wcol, mcol, vcol, jcol = f"_bw{i}", f"_bm{i}", f"_bv{i}", f"_bj{i}"
+        out = (
+            out.withColumn(wcol, (p / 64).cast("bigint"))
+            .withColumn(mcol, F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                (p % 64).cast("int")))
+            .join(
+                F.broadcast(words.select(F.col("w").alias(jcol),
+                                         F.col("word").alias(vcol))),
+                F.col(wcol) == F.col(jcol), "left")
+        )
+        tests.append(
+            F.coalesce(F.col(vcol), F.lit(0)).bitwiseAND(F.col(mcol))
+            != 0)
+    return out.filter(reduce(lambda a, b: a & b, tests)).select(*in_cols)

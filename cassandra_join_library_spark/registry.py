@@ -458,6 +458,7 @@ def _load_all() -> None:
         wave28,
         wave29,
         wave30,
+        wave31,
     )
     _reorder()
     _loaded = True

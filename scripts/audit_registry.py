@@ -98,6 +98,9 @@ ALLOW = {
         "approx_quantile_logbins": "3-row q-spec and 1-row total/"
                                    "mismatch broadcasts over the "
                                    "<= 64-row bin table",
+        "bloom_store_fp_audit": "six 1-row audit-count broadcasts "
+                                "crossjoined into the single output "
+                                "row",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
