@@ -202,29 +202,32 @@ def bloom_words_table(
         )
         for p in _portable_positions(key, num_bits, num_hashes)
     ])
-    if shard is not None:
-        return (
-            df.select(shard.alias("shard_id"), F.explode(probes).alias("p"))
-            .groupBy("shard_id", F.col("p.w").alias("w"))
-            .agg(F.bit_or("p.mask").alias("word"))
-        )
-    return (
-        df.select(F.explode(probes).alias("p"))
-        .groupBy(F.col("p.w").alias("w"))
-        .agg(F.bit_or("p.mask").alias("word"))
-    )
+    cols = ([shard.alias("shard_id")] if shard is not None else []) \
+        + [F.explode(probes).alias("p")]
+    grp = (["shard_id"] if shard is not None else []) \
+        + [F.col("p.w").alias("w")]
+    return (df.select(*cols).groupBy(*grp)
+            .agg(F.bit_or("p.mask").alias("word")))
 
 
 def bloom_pass_keys(
     df: DataFrame,
     key_col: str,
     words: DataFrame,
-    num_bits: int = 1 << 20,
+    num_bits: int,
     num_hashes: int = 5,
 ) -> DataFrame:
     """Filter ANY frame to rows whose ``key_col`` passes the portable
     Bloom store: all ``num_hashes`` probed bits set.  Duplicates are
     fine (each row probes independently); every input column is kept.
+
+    ``num_bits`` is REQUIRED (no default, unlike the builders): it
+    MUST equal the value the words table was built with, or probe
+    positions land in the wrong word and member keys silently fail —
+    false negatives, the one thing a Bloom filter must never produce.
+    The builder raises on malformed sizes; this probe does too, but a
+    well-formed WRONG size is undetectable from the table alone, so
+    the caller owns carrying the build parameters with the store.
 
     ``words`` is the (w, word) table from :func:`bloom_words_table` —
     broadcast here, which is safe BY CONSTRUCTION: it has at most
@@ -242,6 +245,10 @@ def bloom_pass_keys(
 
     No false negatives ever: a key whose bits were all set at build
     time probes the same positions (same seeds) and finds them set."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
     key = F.col(key_col)
     in_cols = df.columns
     out = df

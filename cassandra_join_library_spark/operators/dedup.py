@@ -976,7 +976,7 @@ def cross_snapshot_containment(new_df: DataFrame,
                                id_col: str, text_col: str,
                                n: int = 5,
                                store_bloom: "DataFrame | None" = None,
-                               bloom_bits: int = 1 << 20,
+                               bloom_bits: "int | None" = None,
                                bloom_hashes: int = 5) -> DataFrame:
     """Incremental (cross-snapshot) dedup: per-NEW-document containment
     of its shingle set in a PRIOR-corpus fingerprint store.
@@ -1023,6 +1023,14 @@ def cross_snapshot_containment(new_df: DataFrame,
     if store_bloom is not None:
         from .bloom import bloom_pass_keys
 
+        if bloom_bits is None:
+            # a defaulted size that differs from the build would make
+            # member shingles probe the wrong word — silent false
+            # negatives; the build parameters travel with the store
+            raise ValueError(
+                "store_bloom requires bloom_bits — pass the exact "
+                "num_bits the words table was built with"
+            )
         # map-side prune: each (doc, shingle) row probes the broadcast
         # word table in place — no distinct, no join-back, no shuffle
         # before the store join itself

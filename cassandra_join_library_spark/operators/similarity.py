@@ -965,12 +965,14 @@ def hamming_topk(df: DataFrame, queries: DataFrame,
     qsig = sign_signatures(queries, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
         *[F.col(f"sig_{w}").alias(f"q_{w}") for w in range(n_words)])
-    # bounded by construction AFTER this guard: one count over the
-    # (small) query side at plan-build time buys driver-OOM safety
-    n_q = qsig.count()
+    # bounded by construction AFTER this guard — and the guard itself
+    # is bounded: limit(max+1) stops the scan at the threshold, so a
+    # corpus-sized query set is rejected without ever being signed
+    # in full
+    n_q = qsig.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(
-            f"hamming_topk: query side has {n_q} rows > max_queries="
+            f"hamming_topk: query side exceeds max_queries="
             f"{max_queries}; it is broadcast, so a corpus-sized query "
             "set would OOM the driver — use the SimHash pigeonhole "
             "banding (operators/dedup.py) for corpus-scale pairs, or "

@@ -65,8 +65,9 @@ def dedup_cross_snapshot_bloom(spark, sf_dir):
     no false negatives), but new-crawl shingles that fail the Bloom
     probe are dropped BEFORE the store sort-merge join, so only the
     pass fraction reaches it.  At 100 TB the store's Bloom is a
-    PERSISTED (w, word) table (num_bits/64 rows — 16 MiB at the 2^28
-    cap — built once per snapshot with the store, bit_or-merged
+    PERSISTED (w, word) table (num_bits/64 rows — 1 M rows / ~16 MiB
+    at the 2^26 cap — built once per snapshot with the store,
+    bit_or-merged
     across shards), broadcast to probe the new crawl, and the store
     join moves roughly (containment + fp_rate) of the new crawl
     instead of all of it — ``bloom_store_fp_audit`` measures that
@@ -96,7 +97,7 @@ def dedup_cross_snapshot_bloom(spark, sf_dir):
 #: split: k=5 md5-seeded positions, 2^20 bits, bit 63 CASEd around
 #: the signed-shift overflow both engines share (wave-30 lesson)
 _BLOOM_CTE = f"""
-seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+seeds AS (SELECT unnest([{", ".join(str(i) for i in range(_K))}]) AS i),
 spos AS (
   SELECT s.shingle,
          ('0x' || substr(md5(i::VARCHAR || ':' || s.shingle), 1, 15))
@@ -143,7 +144,7 @@ spos AS (
         & b.word) != 0
   GROUP BY 1
 ), pass AS (
-  SELECT shingle FROM hits WHERE nhit = 5
+  SELECT shingle FROM hits WHERE nhit = {_K}
 ), truth AS (
   SELECT shingle FROM probe_keys INTERSECT SELECT shingle FROM store
 )"""
