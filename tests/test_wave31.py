@@ -1,7 +1,11 @@
 """Wave-31 operator edges: the portable Bloom membership store —
 bit-exact words vs an independent Python reference, the
 no-false-negative theorem, the bit-63 mask path, merge algebra, and
-exact-answer parity of the Bloom-prefiltered cross-snapshot dedup."""
+exact-answer parity of the Bloom-prefiltered cross-snapshot dedup.
+
+The two Spark-heavy payloads (corpus parity, probe pass set) run on
+the background sweep (tests/background.py) so the suite wall absorbs
+them."""
 
 from __future__ import annotations
 
@@ -17,6 +21,8 @@ from cassandra_join_library_spark.operators.dedup import (
     cross_snapshot_containment, shingles,
 )
 from cassandra_join_library_spark.sources.catalog import local_frame
+
+from .background import heavy_check
 
 _K = 5
 
@@ -51,6 +57,21 @@ def test_bloom_words_table_bit_exact(spark):
     assert got == _ref_words(keys, 1 << 10)
 
 
+def test_bloom_words_table_sharded_build_merges_exact(spark):
+    # shard= must produce per-shard tables whose bit_or equals the
+    # single-pass build (the merge algebra the store lives on)
+    keys = [f"key {i}" for i in range(60)]
+    df = local_frame(spark, [(k,) for k in keys], "s string")
+    single = {r["w"]: r["word"]
+              for r in bloom_words_table(df, "s", 1 << 10, _K).collect()}
+    sharded = bloom_words_table(
+        df, "s", 1 << 10, _K, shard=F.length("s") % 3)
+    merged = {r["w"]: r["word"]
+              for r in sharded.groupBy("w")
+              .agg(F.bit_or("word").alias("word")).collect()}
+    assert merged == single
+
+
 def test_bloom_words_table_bit63_mask(spark):
     # deterministic search for a key whose md5 position hits bit 63 of
     # some word — exercises the signed-shift wrap the DuckDB oracle
@@ -67,14 +88,23 @@ def test_bloom_words_table_bit63_mask(spark):
     assert any(v < 0 for v in got.values())  # bit 63 really was set
 
 
-def test_bloom_words_table_rejects_bad_num_bits(spark):
+def test_bloom_size_validation(spark):
     df = local_frame(spark, [("x",)], "s string")
     for bad in (0, -64, 100):
         with pytest.raises(ValueError):
             bloom_words_table(df, "s", num_bits=bad)
+        with pytest.raises(ValueError):
+            bloom_pass_keys(df, "s", df, num_bits=bad)
+    # probe size is required and must travel with the store
+    with pytest.raises(ValueError):
+        cross_snapshot_containment(
+            df.select(F.lit(1).alias("doc_id"), F.col("s").alias("text")),
+            df.select(F.col("s").alias("shingle")),
+            "doc_id", "text", store_bloom=df)
 
 
-def test_bloom_pass_keys_no_false_negatives_and_rejects(spark):
+@heavy_check("wave31_pass_keys_payload")
+def _pass_keys_payload(spark):
     num_bits = 1 << 14
     members = [f"member {i}" for i in range(100)]
     absent = [f"absent {i}" for i in range(100)]
@@ -84,6 +114,12 @@ def test_bloom_pass_keys_no_false_negatives_and_rejects(spark):
         spark, [(k,) for k in members + absent], "s string")
     got = {r["s"] for r in
            bloom_pass_keys(probes, "s", words, num_bits, _K).collect()}
+    return members, absent, got
+
+
+def test_bloom_pass_keys_no_false_negatives_and_rejects(heavy_results):
+    num_bits = 1 << 14
+    members, absent, got = heavy_results("wave31_pass_keys_payload")
     # theorem: every member passes
     assert set(members) <= got
     # expected behavior, verified against the reference filter: each
@@ -102,7 +138,8 @@ def test_bloom_pass_keys_no_false_negatives_and_rejects(spark):
     assert len(got) < len(members) + len(absent)
 
 
-def test_cross_snapshot_bloom_prefilter_exact_parity(spark):
+@heavy_check("wave31_cross_snapshot_parity")
+def _cross_snapshot_parity(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     prior = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
@@ -119,6 +156,11 @@ def test_cross_snapshot_bloom_prefilter_exact_parity(spark):
         store_bloom=words, bloom_bits=1 << 16, bloom_hashes=_K)
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in bloomed.collect()}
+    return a, b
+
+
+def test_cross_snapshot_bloom_prefilter_exact_parity(heavy_results):
+    a, b = heavy_results("wave31_cross_snapshot_parity")
     assert a == b and a  # identical, and non-degenerate
 
 
