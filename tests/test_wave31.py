@@ -182,3 +182,27 @@ def test_bloom_might_contain_numpy_literal_parity(spark):
     # the exact end-to-end answer equality lives in the
     # bloom_prefilter_join oracle (gate) — this test pins the literal
     # representation change specifically
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=24),
+    min_size=1, max_size=24, unique=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=_keys, bits_pow=st.integers(min_value=6, max_value=14))
+def test_bloom_words_table_bit_exact_property(spark, keys, bits_pow):
+    # arbitrary unicode keys (md5 runs over utf-8 bytes on both the
+    # JVM and python sides — non-ASCII is where a codec mismatch
+    # would hide) and arbitrary power-of-two sizings down to one word
+    num_bits = 1 << bits_pow
+    df = local_frame(spark, [(k,) for k in keys], "s string")
+    got = {r["w"]: r["word"]
+           for r in bloom_words_table(df, "s", num_bits, _K).collect()}
+    assert got == _ref_words(keys, num_bits)
