@@ -487,8 +487,13 @@ def _sq_dists_all(vec: Column, centroids: "List[List[int]]") -> Column:
     codegen size; same trick as the PQ codebook in similarity.py), not
     k copies of the expression.  Magnitudes: |x| ≤ ~10 ⇒ microunits
     ≤ 10^7, squared diff ≤ 4·10^14, × 4096 dims ≤ 1.6·10^18 < 2^63."""
+    # inner vectors as numpy-backed Literals (one bound reference per
+    # centroid), not k x dim scalar CreateArray children re-evaluated
+    # per row — the bloom.py/similarity.py wave-31 literal finding
+    import numpy as np
+
     cents = F.array(*[
-        F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        F.lit(np.asarray([int(x) for x in c], dtype=np.int64))
         for c in centroids
     ])
     return F.transform(

@@ -332,8 +332,14 @@ def _plane_coeffs(plane: int, dim: int) -> "list[float]":
 
 
 def _hyperplane(plane: int, dim: int) -> Column:
-    """Literal-array column of :func:`_plane_coeffs`."""
-    return F.array(*[F.lit(c) for c in _plane_coeffs(plane, dim)])
+    """Literal-array column of :func:`_plane_coeffs` — bound as ONE
+    numpy-backed ``Literal``: ``F.lit(python_list)`` compiles to a
+    ``CreateArray`` whose dim children are re-evaluated per input row
+    (the bloom.py wave-31 finding; with n_tables x n_planes planes
+    that was thousands of per-row literal constructions)."""
+    import numpy as np
+
+    return F.lit(np.asarray(_plane_coeffs(plane, dim), dtype=np.float64))
 
 
 def lsh_cosine_pairs(
@@ -468,7 +474,14 @@ def pq_topk(
     books = [[list(row["v"][s * d:(s + 1) * d]) for row in train] for s in range(m)]
 
     def lit_arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
+        # one numpy-backed Literal, not a per-row CreateArray of d
+        # scalar children (the bloom.py wave-31 finding); float() on
+        # each entry first so the doubles are bit-identical to the
+        # previous scalar-literal plan
+        import numpy as np
+
+        return F.lit(np.asarray([float(x) for x in vals],
+                                dtype=np.float64))
 
     def sqdist(sub_col, lit_vec):
         # rounded like every ranked score in this engine: code argmin,
