@@ -244,11 +244,19 @@ def bloom_pass_keys(
     (ReusedExchange).
 
     No false negatives ever: a key whose bits were all set at build
-    time probes the same positions (same seeds) and finds them set."""
+    time probes the same positions (same seeds) and finds them set.
+
+    ``words`` is materialized here (eager localCheckpoint — one tiny
+    job over <= num_bits/64 rows): the k broadcast sides carry
+    k DIFFERENTLY-ALIASED selects of it, which defeats Spark's
+    ReusedExchange, and without materialization each broadcast
+    re-runs the full build aggregate — the store was being exploded
+    and re-aggregated k times (seen in the sf10 executed plan)."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"
         )
+    words = words.localCheckpoint(eager=True)
     key = F.col(key_col)
     in_cols = df.columns
     out = df
