@@ -363,6 +363,15 @@ def lsh_cosine_pairs(
     cos 0.4 (θ ≈ 66°) recall degrades fundamentally — fewer planes /
     more tables trade candidate volume back toward brute force.
     Candidate join touches only bucket-colliding ids — no cross product.
+
+    SIZING (measured, SCALE.md round-12): candidate volume ≈
+    n² · n_tables / 2^n_planes, and candidate verification is the
+    whole cost — hold bucket occupancy constant as the corpus grows
+    (n_planes ≈ log2(n) − 5 for near-dup thresholds; sf1 measured
+    12.3 s → 7.5 s from 12 → 18 planes at identical output).  At
+    loose thresholds the needed plane count is too low for that to
+    work and LSH stops paying vs blocked brute-force; run the
+    recall-audit queries before committing to an index shape.
     """
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_vec").alias("vec"), F.col("_norm").alias("norm")
