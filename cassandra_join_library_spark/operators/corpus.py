@@ -57,9 +57,20 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
-    dfreq = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
+    # df(term) from the tf AGGREGATE, not a second pass over tok: tf
+    # already has exactly one row per (doc, term), so count-per-term
+    # equals count_distinct(doc).  tf is MATERIALIZED (eager
+    # localCheckpoint): its two consumers prune different columns, so
+    # Catalyst specializes the two exchange subtrees and exchange
+    # reuse cannot fire — without it the corpus is tokenized twice
+    # (measured sf1: 3.03 s -> 1.45 s; costs ~0.4 s at sf0.1, the
+    # scale-first trade, same class as the prefix-filter sort-merge
+    # hints in SCALE.md round-11/12)
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count("*").cast("bigint").alias("tf"))
+          .localCheckpoint(eager=True))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     ndocs = df.select(F.count_distinct(id_col).cast("bigint").alias("n"))
     scored = (
@@ -661,13 +672,18 @@ def bm25_search(
     dedup/decontamination review loop and the baseline for RAG-style
     data curation.  Plan shape (all built-ins, no UDF):
 
-    - one tokenize pass feeds BOTH document lengths (full corpus agg
-      on doc id) and the postings for the query terms (``term IN
-      (...)`` prunes the explode output BEFORE the tf shuffle — the
-      inverted-index access path, cost ∝ matching postings, not
-      corpus size);
-    - df(term) and the global (N, total_len) are broadcast (one row
-      per query term / one row total);
+    - ONE tokenize pass, ONE doc-keyed exchange: document length and
+      the per-query-term tf columns come out of a single grouped
+      aggregate (tf_i = SUM(term = q_i), a |query|-wide conditional
+      pivot — map-side combined, one row per doc).  The first cut
+      branched the exploded token stream into separate dl and
+      postings aggregates; exchange reuse cannot dedupe a NARROW
+      stage, so the corpus was tokenized 4x (measured in the final
+      AQE plan — zero ReusedExchange);
+    - the (doc_id, term, tf) postings are unpivoted map-only from
+      those columns (rows only for tf > 0, |query|-bounded fanout);
+      df(term) and the global (N, total_len) derive from the same
+      aggregate and broadcast (one row per query term / one row);
     - per-term contributions are computed in double with a fixed
       operand order, rounded to 6 dp, then summed as DECIMAL — exact
       and order-independent, so the score is bit-stable under
@@ -679,23 +695,37 @@ def bm25_search(
     merge), never a global sort or unpartitioned window.  Returns
     (doc_id, n_matched, score), highest score first.
     """
+    terms = list(query_terms)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    stats = dl.agg(
+    # one narrow row per doc, MATERIALIZED (eager localCheckpoint):
+    # its three consumers (stats, postings, dfreq-through-postings)
+    # prune different columns, so Catalyst specializes each branch's
+    # exchange and reuse cannot fire — without materialization the
+    # corpus was tokenized 3x (measured: 1.07 s -> 0.78 s at sf0.1,
+    # 0.71 s -> 0.61 s at sf1; at 100 TB it is 1 corpus scan vs 3)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[F.sum((F.col("term") == t).cast("bigint")).cast("bigint")
+          .alias(f"_tf{i}") for i, t in enumerate(terms)],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.sum("dl").cast("bigint").alias("total_len"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
-    hits = tok.filter(F.col("term").isin(list(query_terms)))
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    stack = ", ".join(
+        "'{}', _tf{}".format(t.replace("'", "\\'"), i)
+        for i, t in enumerate(terms)
     )
+    tf = (per_doc.select(
+        "doc_id", "dl",
+        F.expr(f"stack({len(terms)}, {stack}) AS (term, tf)"))
+        .filter(F.col("tf") > 0))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     # fixed operand order, mirrored verbatim in the SQL oracle so the
