@@ -101,17 +101,26 @@ def merge_upsert(
     payload = [c for c in target.columns if c not in keys]
 
     if strategy == "broadcast_delta":
+        # the delta is definitionally small here (it is about to be
+        # broadcast twice) and is consumed by two branches — eager
+        # materialization keeps each branch from re-deriving the
+        # compacted changelog (with a window-derived changelog the
+        # final plan re-scanned its source per consumer: 9 scans in
+        # the cdc_merge_upsert query, measured r12; the column-pruning
+        # specialization of shared subtrees defeats exchange reuse)
         c = latest.select(
             *keys, F.struct(*payload).alias("_c"),
             F.struct(*seq_cols).alias("_cseq"), F.col(op_col).alias("_op"),
-        )
+        ).localCheckpoint(eager=True)
         # untouched keys stream straight through (broadcast anti)
         kept = target.join(F.broadcast(c.select(*keys)), keys, "left_anti")
-        # touched keys: small inner-join result carries both versions
+        # touched keys: small inner-join result carries both versions;
+        # consumed by the stale/update split below — also touched-keys
+        # sized under the broadcast_delta contract, also materialized
         contested = target.select(
             *keys, F.struct(*payload).alias("_t"),
             F.struct(*seq_cols).alias("_tseq"),
-        ).join(F.broadcast(c), keys, "inner")
+        ).join(F.broadcast(c), keys, "inner").localCheckpoint(eager=True)
         change_wins: Column = F.col("_cseq") >= F.col("_tseq")
         stale_keep = (
             contested.filter(~change_wins)
@@ -122,9 +131,13 @@ def merge_upsert(
             .select(*keys, "_c.*").select(*target.columns)
         )
         # inserts: delta keys that hit no target row (delta-sized
-        # anti join against the contested key set, never the snapshot)
+        # anti join against the contested key set, never the
+        # snapshot).  Explicit broadcast: the checkpoint above erases
+        # contested's size estimate and Spark's stats-blind default
+        # is a sort-merge anti — contested is touched-keys-sized
+        # (<= the already-broadcast delta) by the strategy contract
         inserts = (
-            c.join(contested.select(*keys), keys, "left_anti")
+            c.join(F.broadcast(contested.select(*keys)), keys, "left_anti")
             .filter(F.col("_op") != delete_op)
             .select(*keys, "_c.*").select(*target.columns)
         )

@@ -550,7 +550,17 @@ def rich_club(edges: DataFrame, pct: int = 90) -> DataFrame:
     node-sized, its distinct-degree CDF domain-bounded; the rich set
     is then broadcast-joined against the edge list (one corpus-sized
     pass), and the coefficient is one fixed IEEE division.  Returns
-    one row: (deg_threshold, n_rich, m_rich, phi)."""
+    one row: (deg_threshold, n_rich, m_rich, phi).
+
+    The edge list is materialized here: every branch (the degrees
+    chain and the rich-edge count) needs the FULL list, and without
+    the checkpoint each of the ~6 plan references re-derived it —
+    the co-purchase query's final plan scanned lineitem 30 times
+    (measured r12).  Shared edge HELPERS stay lazy (queries like
+    two_hop push per-branch pruning into the derivation and regress
+    1.5x if force-materialized); the boundary belongs to operators
+    whose branches all need everything."""
+    edges = edges.localCheckpoint(eager=True)
     deg = degrees(edges)
     per_d = deg.groupBy("deg").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"))

@@ -352,7 +352,8 @@ def cms_estimate(items: DataFrame, counters: DataFrame,
 # table regardless of data size; merge algebra is plain SUM, so
 # shard tables combine exactly like CMS counters.
 
-def logbin_table(df: DataFrame, cents_expr: str) -> DataFrame:
+def logbin_table(df: DataFrame, cents_expr: str,
+                 shard: "Column | None" = None) -> DataFrame:
     """Mergeable log-bin counts over a positive BIGINT expression:
     bin = bit_length(value) (1-based), one row per occupied bin.
 
@@ -365,7 +366,15 @@ def logbin_table(df: DataFrame, cents_expr: str) -> DataFrame:
     doubles) so both engines bin identically; zero/negative/NULL
     values have no bit-length bin and fail loudly per row (the
     sign_signatures guard pattern) instead of returning a bracket
-    that excludes the true value."""
+    that excludes the true value.
+
+    ``shard``: optionally, a grouping expression — the result gains a
+    leading ``shard_id`` column and holds one bin table PER SHARD,
+    built in a single pass over ``df`` (the per-day / per-partition
+    build shape, same hook as ``bloom_words_table``); SUM over
+    ``bin`` folds them into the corpus sketch.  One-pass sharding is
+    what keeps a merge PROOF from multiplying base-table scans
+    (filtering per shard re-scanned the source once per shard)."""
     v = F.expr(cents_expr)
     guarded = df.filter(F.assert_true(
         v.isNotNull() & (v > 0),
@@ -374,8 +383,12 @@ def logbin_table(df: DataFrame, cents_expr: str) -> DataFrame:
             "bit-length bins need exact positive units",
             v.cast("string")),
     ).isNull())
-    return (guarded.select(F.expr(f"length(bin({cents_expr}))")
-                           .cast("bigint").alias("bin"))
+    bin_col = F.expr(f"length(bin({cents_expr}))").cast("bigint").alias("bin")
+    if shard is not None:
+        return (guarded.select(shard.alias("shard_id"), bin_col)
+                .groupBy("shard_id", "bin")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return (guarded.select(bin_col)
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
 

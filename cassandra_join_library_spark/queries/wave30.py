@@ -78,16 +78,17 @@ def approx_quantile_logbins(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cents = orders.select(F.expr(_CENTS).alias("c"),
                           (F.col("o_orderkey") % 4).alias("sh"))
-    global_bins = logbin_table(cents, "c")
-    # the shard tables go through the SAME operator (per-shard calls),
-    # so the merge proof can never drift from the sketch's bin formula
-    shard_bins = [logbin_table(cents.filter(F.col("sh") == s), "c")
-                  for s in range(4)]
-    merged = shard_bins[0]
-    for sb in shard_bins[1:]:
-        merged = merged.unionByName(sb)
-    merged = (merged.groupBy("bin")
-              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    # TWO passes over orders total (global + one sharded build via
+    # the shard= hook — filtering per shard re-scanned orders 4x),
+    # and both bin tables are <= 64 (x4) rows: materialize them so
+    # the quantile read-out's multiple consumers (cumulative window,
+    # total, mismatch join) never re-derive from the base table —
+    # the first cut's final plan scanned orders 13x
+    global_bins = logbin_table(cents, "c").localCheckpoint(eager=True)
+    merged = (logbin_table(cents, "c", shard=F.col("sh"))
+              .groupBy("bin")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+              .localCheckpoint(eager=True))
     mism = (global_bins.withColumnRenamed("cnt", "g")
             .join(merged.withColumnRenamed("cnt", "m"), "bin",
                   "full_outer")

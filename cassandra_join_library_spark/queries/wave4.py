@@ -38,6 +38,11 @@ def _copurchase_edges(spark, sf_dir):
     )
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    # deliberately LAZY (no checkpoint here): consumers like
+    # graph_two_hop_reach push per-branch pruning INTO this self-join
+    # and regress 1.5x if the full edge list is force-materialized
+    # (measured r12); operators whose every branch needs the full
+    # list (rich_club) materialize at their own boundary instead
     return (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))

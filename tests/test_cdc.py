@@ -146,14 +146,25 @@ def test_compact_changelog_ties_break_on_last_seq_col(spark):
 def test_broadcast_delta_plan_never_full_outers_the_snapshot(spark):
     """The default strategy must resolve as broadcast joins streaming
     the snapshot — a FullOuter join (which can never broadcast) would
-    shuffle the entire 100 TB target."""
+    shuffle the entire 100 TB target.  Since r12 the contested branch
+    (second snapshot pass + broadcast inner join) executes EAGERLY at
+    build time behind a localCheckpoint, so the returned plan carries
+    the kept branch's broadcast anti join and scans the checkpointed
+    contested rows; the full-outer ban still applies to the whole
+    visible plan."""
     from cassandra_join_library_spark.registry import all_queries
     from .conftest import SF_ORACLE
 
     df = all_queries()["cdc_merge_upsert"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" not in plan
+    # kept anti + inserts anti both broadcast (the checkpoint erases
+    # contested's size estimate, so the inserts anti carries an
+    # explicit hint — without it Spark's stats-blind default was a
+    # sort-merge anti, a snapshot-shuffling shape at 100 TB)
     assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan             # checkpointed contested
+    assert "SortMergeJoin" not in plan
 
 
 def test_merge_matches_reference_model_on_random_changelogs(spark):
