@@ -225,33 +225,46 @@ UNION ALL SELECT '3_purchase', COUNT(*) FROM p
 def events_funnel(spark, sf_dir):
     """Strictly-ordered funnel (view -> click -> purchase): a user
     advances a stage only with an event AFTER their previous stage's
-    first event.  Each stage is a per-user MIN aggregate joined to the
-    prior stage on user_id — every shuffle in the chain is keyed on
-    user_id, so the exchanges line up (Spark reuses the partitioning
-    instead of re-shuffling), and per-stage state is one timestamp per
-    user.  No window over the global event stream."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first event.  ONE events scan (type filter pushed to parquet), one
+    user_id shuffle: the three stage timestamps are chained MIN(CASE)
+    windows over the same user partition (t2's predicate reads t1's
+    window result, so the three WindowExecs stack on one exchange with
+    no re-shuffle), then one per-user reduce and a 3-cell stack.  The
+    r12 recompute triage replaced the aggregate-join chain whose v/c
+    stage frames were each computed twice (differently-pruned aggregate
+    consumers defeat exchange reuse — SCALE.md rule): 6 events scans
+    became 1."""
+    from pyspark.sql import Window
 
-    def stage(event_type, prev, prev_ts):
-        s = e.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return s.groupBy("user_id").agg(F.min("ts").alias(prev_ts + "x"))
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "event_type", "ts")
+         .filter(F.col("event_type").isin("view", "click", "purchase")))
+    w = Window.partitionBy("user_id")
 
-    v = stage("view", None, "t")
-    c = stage("click", v, "tx")
-    p = stage("purchase", c, "txx")
+    def first_after(event_type, prev_col):
+        hit = F.col("event_type") == event_type
+        if prev_col is not None:
+            hit = hit & (F.col("ts") > F.col(prev_col))
+        return F.min(F.when(hit, F.col("ts"))).over(w)
 
-    def count_of(df, label):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(label).alias("stage"), "n_users"
-        )
-
-    return (
-        count_of(v, "1_view")
-        .unionAll(count_of(c, "2_click"))
-        .unionAll(count_of(p, "3_purchase"))
+    staged = (
+        e.withColumn("t1", first_after("view", None))
+        .withColumn("t2", first_after("click", "t1"))
+        .withColumn("t3", first_after("purchase", "t2"))
     )
+    # t1/t2/t3 are per-user constants; reduce to one row per user on
+    # the partitioning the windows already established (no new
+    # exchange), then one tiny global aggregate
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    counts = per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n3"))
+    return counts.selectExpr(
+        "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) "
+        "AS (stage, n_users)")
 
 
 @register("events_rollup_daily", oracle="""
