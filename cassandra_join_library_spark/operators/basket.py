@@ -56,9 +56,17 @@ def association_pairs(
     switch the numerator to DECIMAL).  Returns
     (u, v, c_u, c_v, c_uv, supp_ppm, conf_uv_ppm, conf_vu_ppm, lift).
     """
+    # three consumers (basket total, item counts, the pair join's two
+    # sides) each prune different columns of this distinct — aggregate
+    # exchange reuse can never fire (SCALE.md column-pruning rule), so
+    # without materialization the input is scanned and de-duplicated
+    # up to 7x.  Eager localCheckpoint = the dedup-module discipline
+    # for corpus-sized multi-consumer intermediates: one scan + one
+    # distinct, every consumer reads the checkpoint.
     baskets = (
         df.select(F.col(basket_col).alias("b"),
                   F.col(item_col).alias("i")).distinct()
+        .localCheckpoint(eager=True)
     )
     totals = baskets.agg(
         F.countDistinct("b").cast("bigint").alias("n_baskets"))
