@@ -783,7 +783,13 @@ def semantic_dedup(
         bit = (_dot(F.col("vec"), _hyperplane(p, dim)) > 0).cast("long")
         contrib = F.shiftleft(bit, p)
         bits = contrib if bits is None else bits + contrib
-    b = n.withColumn("bucket_id", bits.cast("bigint"))
+    # three consumers (both pair-join sides + the final readout join)
+    # with different column pruning — exchange reuse can't fire, so an
+    # unmaterialized b re-scans the embeddings per consumer (7 scans in
+    # the final plan).  Eager localCheckpoint = one scan, one bucket
+    # pass (the dedup-module multi-consumer discipline).
+    b = n.withColumn("bucket_id", bits.cast("bigint")) \
+        .localCheckpoint(eager=True)
     a_side = b.select(
         F.col("id").alias("id_a"), F.col("bucket_id"),
         F.col("vec").alias("va"), F.col("norm").alias("na"),
@@ -795,11 +801,17 @@ def semantic_dedup(
     sim = F.round(
         cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), round_to
     )
+    # close is read three times (the n_close count reads it twice via
+    # the union, the drop set once) — without materialization the
+    # within-bucket pair join itself runs 3x.  It is small by the
+    # threshold filter (near-duplicate pairs, result-sized), so the
+    # eager checkpoint costs little and removes two pair joins.
     close = (
         a_side.join(b_side, "bucket_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+        .localCheckpoint(eager=True)
     )
     counts = (
         close.select(F.col("id_a").alias("id"))
