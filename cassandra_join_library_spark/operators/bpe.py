@@ -274,3 +274,154 @@ def bpe_encode_counts(
             F.sum("n_tok").alias("n_bpe_tokens"),
         )
     )
+
+
+def _tagged_words(tagged_df: DataFrame, text_col: str,
+                  class_col: str, snap_col: str) -> DataFrame:
+    """(snap, class, word) occurrences: the one corpus-sized pass both
+    drift audits share — lowercase alphabetic words, the exact
+    ``build_word_vocab`` tokenization, so membership tests against the
+    trained dictionary are apples-to-apples."""
+    return (
+        tagged_df.select(
+            F.col(snap_col).alias("snap"),
+            F.col(class_col).alias("class"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+
+
+# rounded ppm division guarded for an empty side (a class present in
+# only one snapshot): NULL, never a divide-by-zero under ANSI mode.
+# The 1e6 numerator needs the per-class count <= 2^63/1e6 ~ 9.2e12;
+# a 100 TB corpus (~2.5e13 tokens) concentrated in ONE class crosses
+# that — switch the numerator to DECIMAL there (the lift convention)
+_PPM_SAFE = ("CASE WHEN ({b}) = 0 THEN NULL ELSE "
+             "((1000000 * ({a})) div ({b})) + "
+             "(CASE WHEN 2 * ((1000000 * ({a})) % ({b})) >= ({b}) "
+             "THEN 1 ELSE 0 END) END")
+
+
+def bpe_fertility_drift(
+    spark: SparkSession,
+    train_df: DataFrame,
+    tagged_df: DataFrame,
+    text_col: str,
+    class_col: str,
+    snap_col: str = "snap",
+    n_merges: int = 8,
+    top_words: int = 2000,
+    retrain_ppm: int = 50_000,
+) -> DataFrame:
+    """Tokenizer-fertility drift across corpus snapshots: train BPE on
+    ``train_df`` (the PRIOR snapshot — the tokenizer that shipped),
+    encode BOTH snapshots of ``tagged_df`` (rows tagged 'a'/'b' in
+    ``snap_col``) with that frozen symbol table, and report per-class
+    fertility (BPE tokens per word, rounded ppm) side by side with the
+    signed drift — the audit that decides whether a new crawl's
+    language mix has outgrown the shipped tokenizer before a retrain
+    is paid for.
+
+    Scale shape: training's corpus-sized step is one word-count
+    shuffle (``build_word_vocab``); the merge loop runs once on the
+    ≤``top_words``-row dictionary; encoding both snapshots is ONE
+    tagged corpus pass joined against the broadcast symbol table, and
+    the aggregate is map-side combinable on the domain-bounded
+    (snap, class) key.  OOV words cost len+1 character tokens (the
+    untrained-BPE floor), so NEW-vocabulary drift shows up as rising
+    fertility, exactly the signal the audit exists to catch.  Returns
+    one row per class with n_words/n_bpe_tokens/fertility_ppm per
+    side, drift_ppm (b - a, signed), and needs_retrain
+    (|drift| >= ``retrain_ppm``; NULL when a side is empty).
+    """
+    _, vocab = bpe_train_state(spark, train_df, text_col,
+                               n_merges, top_words)
+    vocab_tok = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_sym"))
+    words = _tagged_words(tagged_df, text_col, class_col, snap_col)
+    per_side = (
+        words.join(F.broadcast(vocab_tok), "word", "left")
+        .withColumn(
+            "n_tok",
+            F.coalesce(F.col("n_sym"), F.length("word").cast("bigint") + 1),
+        )
+        .groupBy("snap", "class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+    def side(col, tag):
+        return F.sum(F.when(F.col("snap") == tag, F.col(col))
+                     .otherwise(F.lit(0))).cast("bigint")
+
+    wide = per_side.groupBy("class").agg(
+        side("n_words", "a").alias("n_words_a"),
+        side("n_bpe_tokens", "a").alias("n_bpe_tokens_a"),
+        side("n_words", "b").alias("n_words_b"),
+        side("n_bpe_tokens", "b").alias("n_bpe_tokens_b"),
+    )
+    fa = F.expr(_PPM_SAFE.format(a="n_bpe_tokens_a", b="n_words_a")) \
+        .cast("bigint")
+    fb = F.expr(_PPM_SAFE.format(a="n_bpe_tokens_b", b="n_words_b")) \
+        .cast("bigint")
+    return wide.select(
+        "class", "n_words_a", "n_bpe_tokens_a", fa.alias("fert_a_ppm"),
+        "n_words_b", "n_bpe_tokens_b", fb.alias("fert_b_ppm"),
+        (fb - fa).cast("bigint").alias("drift_ppm"),
+        (F.abs(fb - fa) >= retrain_ppm).alias("needs_retrain"),
+    )
+
+
+def vocab_oov_drift(
+    train_df: DataFrame,
+    tagged_df: DataFrame,
+    text_col: str,
+    class_col: str,
+    snap_col: str = "snap",
+    top_words: int = 2000,
+) -> DataFrame:
+    """Dictionary OOV-mass drift across snapshots: the fraction of
+    word OCCURRENCES outside the prior snapshot's top-``top_words``
+    dictionary, per class and side, with the signed drift — the
+    cheap leading indicator of :func:`bpe_fertility_drift` (vocabulary
+    turnover shows here before it inflates fertility), runnable on
+    every crawl because it needs no merge training at all.
+
+    One word-count shuffle to build the dictionary, one tagged corpus
+    pass left-joined against its broadcast, one domain-bounded
+    (snap, class) aggregate.  Returns (class, n_words_a, n_oov_a,
+    oov_a_ppm, n_words_b, n_oov_b, oov_b_ppm, drift_ppm).
+    """
+    vocab = build_word_vocab(train_df, text_col, top_words) \
+        .select("word", F.lit(1).alias("_hit"))
+    words = _tagged_words(tagged_df, text_col, class_col, snap_col)
+    per_side = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("snap", "class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+        )
+    )
+
+    def side(col, tag):
+        return F.sum(F.when(F.col("snap") == tag, F.col(col))
+                     .otherwise(F.lit(0))).cast("bigint")
+
+    wide = per_side.groupBy("class").agg(
+        side("n_words", "a").alias("n_words_a"),
+        side("n_oov", "a").alias("n_oov_a"),
+        side("n_words", "b").alias("n_words_b"),
+        side("n_oov", "b").alias("n_oov_b"),
+    )
+    oa = F.expr(_PPM_SAFE.format(a="n_oov_a", b="n_words_a")).cast("bigint")
+    ob = F.expr(_PPM_SAFE.format(a="n_oov_b", b="n_words_b")).cast("bigint")
+    return wide.select(
+        "class", "n_words_a", "n_oov_a", oa.alias("oov_a_ppm"),
+        "n_words_b", "n_oov_b", ob.alias("oov_b_ppm"),
+        (ob - oa).cast("bigint").alias("drift_ppm"),
+    )

@@ -159,3 +159,131 @@ SELECT class, n_words, n_bpe_tokens,
        CAST({rdiv} AS BIGINT) AS fertility_ppm
 FROM per_class"""
     )
+
+
+# rounded ppm division guarded for an empty side — NULL, matching the
+# Spark operator's _PPM_SAFE (a class present in only one snapshot)
+def _ppm_safe_sql(a: str, b: str) -> str:
+    return (f"CASE WHEN ({b}) = 0 THEN NULL ELSE "
+            f"((1000000 * ({a})) // ({b})) + "
+            f"(CASE WHEN 2 * ((1000000 * ({a})) % ({b})) >= ({b}) "
+            f"THEN 1 ELSE 0 END) END")
+
+
+def _tagged_words_cte(table: str, text_col: str, class_col: str,
+                      a_where: str, b_where: str) -> str:
+    return f"""tagged_words AS MATERIALIZED (
+  SELECT snap, class, word FROM (
+    SELECT 'a' AS snap, {class_col} AS class,
+           unnest(string_split(lower({text_col}), ' ')) AS word
+    FROM {table} WHERE {a_where}
+    UNION ALL
+    SELECT 'b' AS snap, {class_col} AS class,
+           unnest(string_split(lower({text_col}), ' ')) AS word
+    FROM {table} WHERE {b_where})
+  WHERE regexp_matches(word, '^[a-z]+$')
+)"""
+
+
+def bpe_fertility_drift_sql(n_merges: int = 8, top_words: int = 2000,
+                            table: str = "documents",
+                            text_col: str = "text",
+                            class_col: str = "lang",
+                            a_where: str = "doc_id % 2 = 0",
+                            b_where: str = "doc_id % 2 = 1",
+                            retrain_ppm: int = 50000) -> str:
+    """Oracle for ``operators.bpe.bpe_fertility_drift``: train on the
+    ``a_where`` snapshot, encode both snapshots with the frozen symbol
+    table, per-class side-by-side fertility + signed drift."""
+    parts = _bpe_ctes(n_merges, top_words,
+                      f"(SELECT * FROM {table} WHERE {a_where})", text_col)
+    parts.append(f"""vocab_tok AS MATERIALIZED (
+  SELECT wd.word, CAST(COUNT(*) AS BIGINT) AS n_sym
+  FROM w{n_merges} w JOIN wids wd ON wd.wid = w.wid
+  GROUP BY wd.word
+)""")
+    parts.append(_tagged_words_cte(table, text_col, class_col,
+                                   a_where, b_where))
+    fa = _ppm_safe_sql("n_bpe_tokens_a", "n_words_a")
+    fb = _ppm_safe_sql("n_bpe_tokens_b", "n_words_b")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+, per_side AS (
+  SELECT t.snap, t.class,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(coalesce(v.n_sym, length(t.word) + 1)) AS BIGINT)
+           AS n_bpe_tokens
+  FROM tagged_words t LEFT JOIN vocab_tok v ON v.word = t.word
+  GROUP BY 1, 2
+), wide AS (
+  SELECT class,
+         CAST(SUM(CASE WHEN snap = 'a' THEN n_words ELSE 0 END)
+              AS BIGINT) AS n_words_a,
+         CAST(SUM(CASE WHEN snap = 'a' THEN n_bpe_tokens ELSE 0 END)
+              AS BIGINT) AS n_bpe_tokens_a,
+         CAST(SUM(CASE WHEN snap = 'b' THEN n_words ELSE 0 END)
+              AS BIGINT) AS n_words_b,
+         CAST(SUM(CASE WHEN snap = 'b' THEN n_bpe_tokens ELSE 0 END)
+              AS BIGINT) AS n_bpe_tokens_b
+  FROM per_side GROUP BY 1
+), scored AS (
+  SELECT class, n_words_a, n_bpe_tokens_a, n_words_b, n_bpe_tokens_b,
+         {fa} AS fa, {fb} AS fb
+  FROM wide
+)
+SELECT class, n_words_a, n_bpe_tokens_a, CAST(fa AS BIGINT) AS fert_a_ppm,
+       n_words_b, n_bpe_tokens_b, CAST(fb AS BIGINT) AS fert_b_ppm,
+       CAST(fb - fa AS BIGINT) AS drift_ppm,
+       abs(fb - fa) >= {retrain_ppm} AS needs_retrain
+FROM scored"""
+    )
+
+
+def vocab_oov_drift_sql(top_words: int = 2000,
+                        table: str = "documents",
+                        text_col: str = "text",
+                        class_col: str = "lang",
+                        a_where: str = "doc_id % 2 = 0",
+                        b_where: str = "doc_id % 2 = 1") -> str:
+    """Oracle for ``operators.bpe.vocab_oov_drift``: top-``top_words``
+    dictionary from the ``a_where`` snapshot, per-class OOV occurrence
+    mass on both snapshots + signed drift."""
+    oa = _ppm_safe_sql("n_oov_a", "n_words_a")
+    ob = _ppm_safe_sql("n_oov_b", "n_words_b")
+    return f"""WITH vocab AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS word
+          FROM {table} WHERE {a_where})
+    WHERE regexp_matches(word, '^[a-z]+$')
+    GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words})
+),
+{_tagged_words_cte(table, text_col, class_col, a_where, b_where)}
+, per_side AS (
+  SELECT t.snap, t.class,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tagged_words t LEFT JOIN vocab v ON v.word = t.word
+  GROUP BY 1, 2
+), wide AS (
+  SELECT class,
+         CAST(SUM(CASE WHEN snap = 'a' THEN n_words ELSE 0 END)
+              AS BIGINT) AS n_words_a,
+         CAST(SUM(CASE WHEN snap = 'a' THEN n_oov ELSE 0 END)
+              AS BIGINT) AS n_oov_a,
+         CAST(SUM(CASE WHEN snap = 'b' THEN n_words ELSE 0 END)
+              AS BIGINT) AS n_words_b,
+         CAST(SUM(CASE WHEN snap = 'b' THEN n_oov ELSE 0 END)
+              AS BIGINT) AS n_oov_b
+  FROM per_side GROUP BY 1
+), scored AS (
+  SELECT class, n_words_a, n_oov_a, n_words_b, n_oov_b,
+         {oa} AS oa, {ob} AS ob
+  FROM wide
+)
+SELECT class, n_words_a, n_oov_a, CAST(oa AS BIGINT) AS oov_a_ppm,
+       n_words_b, n_oov_b, CAST(ob AS BIGINT) AS oov_b_ppm,
+       CAST(ob - oa AS BIGINT) AS drift_ppm
+FROM scored"""

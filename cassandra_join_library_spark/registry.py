@@ -145,6 +145,9 @@ _loaded = False
 #     (text_boilerplate_coverage) and wave30 (approx_quantile_logbins)
 #     — oracled, registered AFTER the locked
 #     front, so they are the r12 never-graded pool.
+#   round-12 additions: wave32 (tokenizer_fertility_drift,
+#     tokenizer_oov_drift) — oracled, registered AFTER the locked
+#     front, so they are (part of) the r13 never-graded pool.
 #   round 12 (this order): _ROUND12_FRONT below — the 7 wave-27-30
 #     never-graded oracled queries first (draining the never-graded
 #     pool to ZERO), then 43 strictly oldest-graded-first re-grades
@@ -459,6 +462,7 @@ def _load_all() -> None:
         wave29,
         wave30,
         wave31,
+        wave32,
     )
     _reorder()
     _loaded = True

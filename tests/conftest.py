@@ -182,7 +182,7 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
          if sw is not None else "counter unattached")
     terminalreporter.write_line(
         f"WindowExec 'No Partition Defined' warnings (in-JVM counter): "
-        f"{n} — registered-query plans are audit-clean 330/330; these "
+        f"{n} — registered-query plans are audit-clean 332/332; these "
         f"come from test-only frames and allowed sketch-state windows. "
         f"Investigate a jump vs the committed baseline in SCALE.md "
         f"before it hides a data-sized window."
