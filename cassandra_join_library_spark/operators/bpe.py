@@ -234,6 +234,40 @@ def bpe_train_state(
     return merges_df, words
 
 
+def _encode_words(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Encode exploded word occurrences against the trained symbol
+    table: broadcast equi-join (the vocab is ≤``top_words`` rows, so
+    the corpus never shuffles) + the OOV character-token floor
+    (len + 1 for the end mark).  The ONE copy of the encoding rule —
+    every consumer (per-doc counts, fertility drift) shares it so the
+    floor can never desynchronize between audits."""
+    vocab_tok = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_sym"))
+    return (
+        words.join(F.broadcast(vocab_tok), "word", "left")
+        .withColumn(
+            "n_tok",
+            F.coalesce(F.col("n_sym"), F.length("word").cast("bigint") + 1),
+        )
+    )
+
+
+def _snap_pivot(joined: DataFrame,
+                measures: "dict[str, object]") -> DataFrame:
+    """ONE map-side-combinable aggregate per class: each measure is
+    conditionally summed per snapshot side ('a'/'b') — a single
+    groupBy over the corpus-sized frame, replacing the prior
+    (snap, class) → class two-stage aggregation.  Column order is
+    (measure₁_a, measure₂_a, ..., measure₁_b, ...)."""
+    aggs = [
+        F.sum(F.when(F.col("snap") == side, expr).otherwise(F.lit(0)))
+        .cast("bigint").alias(f"{name}_{side}")
+        for side in ("a", "b")
+        for name, expr in measures.items()
+    ]
+    return joined.groupBy("class").agg(*aggs)
+
+
 def bpe_encode_counts(
     spark: SparkSession,
     df: DataFrame,
@@ -253,8 +287,6 @@ def bpe_encode_counts(
     Out-of-vocabulary words fall back to character tokens
     (len + 1 for the end mark), the untrained-BPE floor."""
     _, vocab = bpe_train_state(spark, df, text_col, n_merges, top_words)
-    vocab_tok = vocab.select(
-        "word", F.size("syms").cast("bigint").alias("n_sym"))
     doc_words = (
         df.select(
             F.col(id_col),
@@ -263,11 +295,7 @@ def bpe_encode_counts(
         .filter(F.col("word").rlike("^[a-z]+$"))
     )
     return (
-        doc_words.join(F.broadcast(vocab_tok), "word", "left")
-        .withColumn(
-            "n_tok",
-            F.coalesce(F.col("n_sym"), F.length("word").cast("bigint") + 1),
-        )
+        _encode_words(doc_words, vocab)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -327,8 +355,8 @@ def bpe_fertility_drift(
     shuffle (``build_word_vocab``); the merge loop runs once on the
     ≤``top_words``-row dictionary; encoding both snapshots is ONE
     tagged corpus pass joined against the broadcast symbol table, and
-    the aggregate is map-side combinable on the domain-bounded
-    (snap, class) key.  OOV words cost len+1 character tokens (the
+    the side pivot is a SINGLE map-side-combinable aggregate on the
+    domain-bounded class key (conditional sums per side).  OOV words cost len+1 character tokens (the
     untrained-BPE floor), so NEW-vocabulary drift shows up as rising
     fertility, exactly the signal the audit exists to catch.  Returns
     one row per class with n_words/n_bpe_tokens/fertility_ppm per
@@ -337,31 +365,10 @@ def bpe_fertility_drift(
     """
     _, vocab = bpe_train_state(spark, train_df, text_col,
                                n_merges, top_words)
-    vocab_tok = vocab.select(
-        "word", F.size("syms").cast("bigint").alias("n_sym"))
     words = _tagged_words(tagged_df, text_col, class_col, snap_col)
-    per_side = (
-        words.join(F.broadcast(vocab_tok), "word", "left")
-        .withColumn(
-            "n_tok",
-            F.coalesce(F.col("n_sym"), F.length("word").cast("bigint") + 1),
-        )
-        .groupBy("snap", "class")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
-        )
-    )
-
-    def side(col, tag):
-        return F.sum(F.when(F.col("snap") == tag, F.col(col))
-                     .otherwise(F.lit(0))).cast("bigint")
-
-    wide = per_side.groupBy("class").agg(
-        side("n_words", "a").alias("n_words_a"),
-        side("n_bpe_tokens", "a").alias("n_bpe_tokens_a"),
-        side("n_words", "b").alias("n_words_b"),
-        side("n_bpe_tokens", "b").alias("n_bpe_tokens_b"),
+    wide = _snap_pivot(
+        _encode_words(words, vocab),
+        {"n_words": F.lit(1), "n_bpe_tokens": F.col("n_tok")},
     )
     fa = F.expr(_PPM_SAFE.format(a="n_bpe_tokens_a", b="n_words_a")) \
         .cast("bigint")
@@ -392,31 +399,18 @@ def vocab_oov_drift(
 
     One word-count shuffle to build the dictionary, one tagged corpus
     pass left-joined against its broadcast, one domain-bounded
-    (snap, class) aggregate.  Returns (class, n_words_a, n_oov_a,
+    class-keyed aggregate.  Returns (class, n_words_a, n_oov_a,
     oov_a_ppm, n_words_b, n_oov_b, oov_b_ppm, drift_ppm).
     """
     vocab = build_word_vocab(train_df, text_col, top_words) \
         .select("word", F.lit(1).alias("_hit"))
     words = _tagged_words(tagged_df, text_col, class_col, snap_col)
-    per_side = (
-        words.join(F.broadcast(vocab), "word", "left")
-        .groupBy("snap", "class")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
-            .cast("bigint").alias("n_oov"),
-        )
-    )
-
-    def side(col, tag):
-        return F.sum(F.when(F.col("snap") == tag, F.col(col))
-                     .otherwise(F.lit(0))).cast("bigint")
-
-    wide = per_side.groupBy("class").agg(
-        side("n_words", "a").alias("n_words_a"),
-        side("n_oov", "a").alias("n_oov_a"),
-        side("n_words", "b").alias("n_words_b"),
-        side("n_oov", "b").alias("n_oov_b"),
+    wide = _snap_pivot(
+        words.join(F.broadcast(vocab), "word", "left"),
+        {
+            "n_words": F.lit(1),
+            "n_oov": F.when(F.col("_hit").isNull(), 1).otherwise(0),
+        },
     )
     oa = F.expr(_PPM_SAFE.format(a="n_oov_a", b="n_words_a")).cast("bigint")
     ob = F.expr(_PPM_SAFE.format(a="n_oov_b", b="n_words_b")).cast("bigint")

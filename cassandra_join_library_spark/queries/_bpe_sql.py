@@ -61,15 +61,23 @@ GROUP BY d.{id_col}"""
     )
 
 
+def _word_vocab_sql(table: str, text_col: str, top_words: int) -> str:
+    """The top-N training-dictionary SQL — the ONE copy of the
+    tokenization + tie-break convention (mirrors
+    ``operators.bpe.build_word_vocab``), shared by the merge-training
+    CTE chain and the merge-free OOV oracle."""
+    return f"""SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS word
+        FROM {table})
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words}"""
+
+
 def _bpe_ctes(n_merges: int, top_words: int,
               table: str, text_col: str) -> "list[str]":
     parts = [
         f"""words AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS word
-        FROM {table})
-  WHERE regexp_matches(word, '^[a-z]+$')
-  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words}
+  {_word_vocab_sql(table, text_col, top_words)}
 )""",
         """wids AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY word) AS wid, word, freq FROM words
@@ -141,9 +149,10 @@ def bpe_fertility_sql(n_merges: int = 8, top_words: int = 2000,
     FROM {table})
   WHERE regexp_matches(word, '^[a-z]+$')
 )""")
-    rdiv = ("((1000000 * n_bpe_tokens) // (n_words)) + "
-            "(CASE WHEN 2 * ((1000000 * n_bpe_tokens) % (n_words)) "
-            ">= (n_words) THEN 1 ELSE 0 END)")
+    # per_class rows exist only for classes with >= 1 word, so the
+    # empty-side NULL guard in _ppm_safe_sql never fires here — using
+    # the shared formula keeps the rounding convention in ONE place
+    rdiv = _ppm_safe_sql("n_bpe_tokens", "n_words")
     return (
         "WITH " + ",\n".join(parts)
         + f"""
@@ -168,6 +177,21 @@ def _ppm_safe_sql(a: str, b: str) -> str:
             f"((1000000 * ({a})) // ({b})) + "
             f"(CASE WHEN 2 * ((1000000 * ({a})) % ({b})) >= ({b}) "
             f"THEN 1 ELSE 0 END) END")
+
+
+def _wide_pivot_sql(measures: "list[str]") -> str:
+    """The per_side → wide side pivot CTE (class × {a,b} conditional
+    sums) — shared by both drift oracles so the side-attribution rule
+    exists once."""
+    cols = [
+        f"CAST(SUM(CASE WHEN snap = '{side}' THEN {m} ELSE 0 END)\n"
+        f"              AS BIGINT) AS {m}_{side}"
+        for side in ("a", "b")
+        for m in measures
+    ]
+    return ("wide AS (\n  SELECT class,\n         "
+            + ",\n         ".join(cols)
+            + "\n  FROM per_side GROUP BY 1\n)")
 
 
 def _tagged_words_cte(table: str, text_col: str, class_col: str,
@@ -216,18 +240,7 @@ def bpe_fertility_drift_sql(n_merges: int = 8, top_words: int = 2000,
            AS n_bpe_tokens
   FROM tagged_words t LEFT JOIN vocab_tok v ON v.word = t.word
   GROUP BY 1, 2
-), wide AS (
-  SELECT class,
-         CAST(SUM(CASE WHEN snap = 'a' THEN n_words ELSE 0 END)
-              AS BIGINT) AS n_words_a,
-         CAST(SUM(CASE WHEN snap = 'a' THEN n_bpe_tokens ELSE 0 END)
-              AS BIGINT) AS n_bpe_tokens_a,
-         CAST(SUM(CASE WHEN snap = 'b' THEN n_words ELSE 0 END)
-              AS BIGINT) AS n_words_b,
-         CAST(SUM(CASE WHEN snap = 'b' THEN n_bpe_tokens ELSE 0 END)
-              AS BIGINT) AS n_bpe_tokens_b
-  FROM per_side GROUP BY 1
-), scored AS (
+), {_wide_pivot_sql(["n_words", "n_bpe_tokens"])}, scored AS (
   SELECT class, n_words_a, n_bpe_tokens_a, n_words_b, n_bpe_tokens_b,
          {fa} AS fa, {fb} AS fb
   FROM wide
@@ -253,11 +266,7 @@ def vocab_oov_drift_sql(top_words: int = 2000,
     ob = _ppm_safe_sql("n_oov_b", "n_words_b")
     return f"""WITH vocab AS MATERIALIZED (
   SELECT word FROM (
-    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-    FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS word
-          FROM {table} WHERE {a_where})
-    WHERE regexp_matches(word, '^[a-z]+$')
-    GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words})
+  {_word_vocab_sql(f"{table} WHERE {a_where}", text_col, top_words)})
 ),
 {_tagged_words_cte(table, text_col, class_col, a_where, b_where)}
 , per_side AS (
@@ -267,18 +276,7 @@ def vocab_oov_drift_sql(top_words: int = 2000,
            AS n_oov
   FROM tagged_words t LEFT JOIN vocab v ON v.word = t.word
   GROUP BY 1, 2
-), wide AS (
-  SELECT class,
-         CAST(SUM(CASE WHEN snap = 'a' THEN n_words ELSE 0 END)
-              AS BIGINT) AS n_words_a,
-         CAST(SUM(CASE WHEN snap = 'a' THEN n_oov ELSE 0 END)
-              AS BIGINT) AS n_oov_a,
-         CAST(SUM(CASE WHEN snap = 'b' THEN n_words ELSE 0 END)
-              AS BIGINT) AS n_words_b,
-         CAST(SUM(CASE WHEN snap = 'b' THEN n_oov ELSE 0 END)
-              AS BIGINT) AS n_oov_b
-  FROM per_side GROUP BY 1
-), scored AS (
+), {_wide_pivot_sql(["n_words", "n_oov"])}, scored AS (
   SELECT class, n_words_a, n_oov_a, n_words_b, n_oov_b,
          {oa} AS oa, {ob} AS ob
   FROM wide
