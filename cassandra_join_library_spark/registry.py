@@ -145,9 +145,11 @@ _loaded = False
 #     (text_boilerplate_coverage) and wave30 (approx_quantile_logbins)
 #     — oracled, registered AFTER the locked
 #     front, so they are the r12 never-graded pool.
-#   round-12 additions: wave32 (tokenizer_fertility_drift,
-#     tokenizer_oov_drift) — oracled, registered AFTER the locked
-#     front, so they are (part of) the r13 never-graded pool.
+#   round-12 additions: wave31 (dedup_cross_snapshot_bloom,
+#     bloom_store_fp_audit) and wave32 (tokenizer_fertility_drift,
+#     tokenizer_oov_drift) — all oracled, registered AFTER the locked
+#     front, so these 4 are the r13 never-graded pool (first-evidence
+#     slots, ahead of the r05 re-grade sweep per the r13 policy).
 #   round 12 (this order): _ROUND12_FRONT below — the 7 wave-27-30
 #     never-graded oracled queries first (draining the never-graded
 #     pool to ZERO), then 43 strictly oldest-graded-first re-grades
