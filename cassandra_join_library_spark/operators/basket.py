@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 
 # rounded non-negative integer division (half away from zero) — the
 # same macro contract as operators/graph.py / operators/stats.py
-_RDIV = ("(({a}) div ({b})) + "
-         "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)")
+_RDIV = ("((({a}) div ({b})) + "
+         "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END))")
 
 
 def association_pairs(

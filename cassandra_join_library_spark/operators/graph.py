@@ -33,7 +33,7 @@ INIT_MICRO = 1_000_000
 
 # rounded integer division on non-negative longs: q = a div b, +1 when
 # the remainder is at least half of b (half away from zero)
-_RDIV = "(({a}) div ({b})) + (CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)"
+_RDIV = "((({a}) div ({b})) + (CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END))"
 
 
 def pagerank_fixed_point(

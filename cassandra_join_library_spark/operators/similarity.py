@@ -593,27 +593,43 @@ def label_centroids(
     Cross-ROW float summation is order-dependent, so each element is
     rounded to ``round_to`` dp and summed as DECIMAL — exact,
     order-independent, bit-stable under re-partitioning, and
-    reproducible in the SQL oracle; the mean divides back in double.
+    reproducible in the SQL oracle.  The mean itself is ALSO integer:
+    the decimal sum scaled to 10^round_to units divides by the count
+    with explicit round-half-away — ``round(double_quotient, 6)``
+    was the one float op left, and the sf0.1 oracle sweep caught
+    Spark and DuckDB rounding a boundary quotient apart (their
+    double-round semantics differ in the last ulp); the final value
+    is int/10^round_to, an identical IEEE division in both engines.
+    Scaled-sum bound: |Σ round(val)| < 9.2e12 at round_to=6 before
+    BIGINT wraps — ~9e12 rows of unit-norm dims per (label, pos)
+    cell, far past any real corpus.
     One shuffle on the bounded (label, pos) key — at 100 TB this is
     |labels|·dim cells of constant size, and the partial aggregation
     (map-side combine) does the heavy summation before the exchange.
     Returns (label, pos, n_vecs, mean_val).
     """
+    from .stats import _RDIV
+
+    scale = 10 ** round_to
     el = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(_as_double(vec_col)).alias("pos", "val"),
     )
-    return (
+    agg = (
         el.groupBy(F.col("label"), F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(
-                F.sum(F.round("val", round_to).cast("decimal(27,6)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                round_to,
-            ).alias("mean_val"),
+            (F.sum(F.round("val", round_to).cast("decimal(27,6)"))
+             * F.lit(scale)).cast("long").alias("_su"),
         )
+    )
+    mean_micro = F.expr(
+        "(CASE WHEN _su < 0 THEN -1 ELSE 1 END) * "
+        + _RDIV.format(a="abs(_su)", b="n_vecs")
+    )
+    return agg.select(
+        "label", "pos", "n_vecs",
+        (mean_micro.cast("double") / F.lit(float(scale))).alias("mean_val"),
     )
 
 

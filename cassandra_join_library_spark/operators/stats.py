@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # rounded non-negative integer division (half away from zero) — the
-# same macro contract as operators/graph.py
-_RDIV = ("(({a}) div ({b})) + "
-         "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)")
+# same macro contract as operators/graph.py.  Outer-parenthesized so
+# the macro can be embedded after a binary minus (see
+# queries/wave9.py _rdiv_sql for the precedence bug this prevents).
+_RDIV = ("((({a}) div ({b})) + "
+         "(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END))")
 
 
 def staged_ppm(num: str, den: str, intdiv: str = "div") -> str:

@@ -157,17 +157,26 @@ def corpus_bm25_topk(spark, sf_dir):
 WITH el AS (
   SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), ag AS (
+  SELECT label, CAST(pos AS BIGINT) AS pos,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(round(val, 6) AS DECIMAL(27,6))) * 1000000
+              AS BIGINT) AS su
+  FROM el GROUP BY 1, 2
 )
-SELECT label, CAST(pos AS BIGINT) AS pos,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       round(CAST(sum(CAST(round(val, 6) AS DECIMAL(27,6))) AS DOUBLE)
-             / count(*), 6) AS mean_val
-FROM el GROUP BY 1, 2
+SELECT label, pos, n_vecs,
+       CAST((CASE WHEN su < 0 THEN -1 ELSE 1 END) *
+            (((abs(su)) // (n_vecs)) +
+             (CASE WHEN 2 * ((abs(su)) % (n_vecs)) >= (n_vecs)
+              THEN 1 ELSE 0 END)) AS DOUBLE) / 1000000.0 AS mean_val
+FROM ag
 """)
 def embedding_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (class means) — posexplode +
     one (label, pos)-keyed aggregate; decimal-exact cross-row sums
-    keep the means bit-stable and fully value-oracled."""
+    AND an integer round-half-away mean (the final round-on-double
+    diverged between engines at sf0.1) keep the means bit-stable and
+    fully value-oracled."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_centroids(emb, "embedding", "label")
 

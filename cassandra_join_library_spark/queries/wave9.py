@@ -35,10 +35,15 @@ def _t(spark, sf_dir, name):
 
 
 # DuckDB-side rounded non-negative integer division (same contract as
-# operators/stats._RDIV, `//` instead of `div`)
+# operators/stats._RDIV, `//` instead of `div`).  The result is
+# OUTER-PARENTHESIZED — without it, embedding the macro after a
+# binary minus (e.g. ``abs(rdiv_a - rdiv_b)``) textually distributes
+# the minus over only the division term and ADDS the rounding
+# correction instead of subtracting it: the exact +2-ppm divergence
+# the sf0.1 oracle sweep caught in profile_histogram_l1_drift.
 def _rdiv_sql(a: str, b: str) -> str:
-    return (f"(({a}) // ({b})) + "
-            f"(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END)")
+    return (f"((({a}) // ({b})) + "
+            f"(CASE WHEN 2 * (({a}) % ({b})) >= ({b}) THEN 1 ELSE 0 END))")
 
 
 _KCORE_K = 100
