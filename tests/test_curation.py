@@ -399,3 +399,51 @@ def test_c4_line_filter_semantics(spark):
     assert not r1["dropped"]
     r2 = out[2]
     assert r2["n_kept"] == 1 and r2["dropped"]
+
+
+def test_rdiv_macros_survive_subtraction_context(spark):
+    """Regression (r12 sf0.1 sweep): the rounded-division macros must
+    be OUTER-parenthesized — embedded after a binary minus, an
+    unparenthesized `x div y + CASE...` distributes the minus over
+    only the division term and ADDS the rounding correction (the
+    profile_histogram_l1_drift oracle bug).  10 - rdiv(3, 2) must be
+    10 - 2 = 8, not 10 - 1 + 1 = 10."""
+    import duckdb
+
+    from cassandra_join_library_spark.operators.basket import (
+        _RDIV as _RDIV_B,
+    )
+    from cassandra_join_library_spark.operators.graph import _RDIV as _RDIV_G
+    from cassandra_join_library_spark.operators.stats import _RDIV
+    from cassandra_join_library_spark.queries.wave9 import _rdiv_sql
+
+    for macro in (_RDIV, _RDIV_B, _RDIV_G):
+        expr = "10 - " + macro.format(a="3", b="2")
+        got = spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+        assert got == 8, f"spark macro lost parens: {expr!r} -> {got}"
+    got = duckdb.sql("SELECT 10 - " + _rdiv_sql("3", "2")).fetchone()[0]
+    assert got == 8, "duckdb macro lost parens"
+
+
+def test_label_centroids_integer_mean_half_away(spark):
+    """Regression (r12 sf0.1 sweep): the centroid mean must be exact
+    integer round-half-away in micro units — round(double, 6) on the
+    quotient diverged between engines on boundary values.  su=3 micro
+    over n=2 sits exactly on the 1.5-micro boundary: half-away gives
+    2 micro, half-even (or a last-ulp-low double) gives 1."""
+    emb = local_frame(
+        spark,
+        [(0, "a", [0.000001]), (1, "a", [0.000002])],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    row = S.label_centroids(emb, "embedding", "label").collect()[0]
+    assert row["n_vecs"] == 2
+    assert row["mean_val"] == 0.000002
+    # and a negative-sum boundary rounds AWAY from zero, not toward
+    neg = local_frame(
+        spark,
+        [(0, "a", [-0.000001]), (1, "a", [-0.000002])],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    nrow = S.label_centroids(neg, "embedding", "label").collect()[0]
+    assert nrow["mean_val"] == -0.000002
