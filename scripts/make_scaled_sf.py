@@ -99,7 +99,34 @@ def main() -> None:
         print(f"{t}: copied")
     for t in OFFSETS:
         out = _replicate(srcs[t], t, args.replicas, pads)
+        if t == "events":
+            # TIME-ORDERED part files (range-partition + sort on ts):
+            # the streaming gate replays this table as a file stream,
+            # one part file per microbatch — replicas interleave the
+            # same time range, so unordered parts make everything
+            # after the first file late beyond the watermark and the
+            # sessionization silently drops it (found by the r12 sf1
+            # sweep).  A historical replay is time-ordered in
+            # production for exactly this reason.
+            out = out.repartitionByRange(8, F.col("ts")) \
+                     .sortWithinPartitions("ts")
         out.write.mode("overwrite").parquet(f"{args.dst}/{t}.parquet")
+        if t == "events":
+            # FileStreamSource replays oldest-mtime-first; parallel
+            # writers finish within the same millisecond, so stamp
+            # mtimes in part order (part-0000N == range partition N)
+            # to pin the replay to time order deterministically
+            import os
+            import time
+
+            parts = sorted(
+                f for f in os.listdir(f"{args.dst}/{t}.parquet")
+                if f.startswith("part-")
+            )
+            base = time.time() - 2 * len(parts)
+            for i, f in enumerate(parts):
+                p = f"{args.dst}/{t}.parquet/{f}"
+                os.utime(p, (base + 2 * i, base + 2 * i))
         print(f"{t}: {pads[t]} -> {pads[t] * args.replicas}")
 
 
