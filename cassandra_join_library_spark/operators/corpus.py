@@ -238,13 +238,23 @@ def corpus_stats(
     per group (source × language).  Partial-aggregate shape — the
     shuffle carries one row per (partition, group); at 100 TB this is
     the cheapest possible full-corpus pass."""
+    from .stats import staged_ppm
+
     n_chars = F.length(F.col(text_col)).cast("bigint")
     est_tokens = F.ceil(n_chars / 4.0).cast("bigint")
-    return df.groupBy(*group_cols).agg(
+    agg = df.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(n_chars).cast("bigint").alias("total_chars"),
         F.sum(est_tokens).cast("bigint").alias("total_est_tokens"),
-        F.round(F.avg(n_chars), 6).alias("avg_chars"),
+    )
+    # avg as INTEGER micro-units then one IEEE division — never
+    # round(double_quotient): engines round boundary quotients apart
+    # (the r12 sf10 sweep hit this here).  staged_ppm keeps the x1e6
+    # exact past 9e12 total chars, the 100 TB regime.
+    return agg.withColumn(
+        "avg_chars",
+        F.expr(staged_ppm("total_chars", "n_docs")).cast("double")
+        / F.lit(1000000.0),
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import corpus as C
+from ..operators.stats import staged_ppm
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -159,13 +160,18 @@ def corpus_contamination_capped(spark, sf_dir):
                                    max_bench_doc_freq=1)
 
 
-@register("corpus_stats", oracle="""
-SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
-       CAST(sum(CAST(ceil(CAST(length(text) AS BIGINT) / 4.0) AS BIGINT))
-            AS BIGINT) AS total_est_tokens,
-       round(avg(CAST(length(text) AS BIGINT)), 6) AS avg_chars
-FROM documents GROUP BY 1, 2
+@register("corpus_stats", oracle=f"""
+WITH ag AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(ceil(CAST(length(text) AS BIGINT) / 4.0) AS BIGINT))
+              AS BIGINT) AS total_est_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, total_chars, total_est_tokens,
+       CAST({staged_ppm("total_chars", "n_docs", intdiv="//")}
+            AS DOUBLE) / 1000000.0 AS avg_chars
+FROM ag
 """)
 def corpus_stats(spark, sf_dir):
     """Corpus composition report per (source, language) — partial-
