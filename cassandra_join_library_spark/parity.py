@@ -75,6 +75,14 @@ def run_parity_gate(spark, sf_dir: str, names=None, workers: int = 6):
             import os
 
             con = duckdb.connect()
+            # unbounded DuckDB defaults to ~80% of box RAM PER
+            # connection; the sf1 graph twins drove one worker to
+            # 102 GB RSS and the kernel OOM-killed the whole gate.
+            # Opt-in cap (spills to temp instead of dying):
+            mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+            if mem:
+                con.execute(f"SET memory_limit='{mem}'")
+                con.execute("SET temp_directory='/tmp/duck_spill'")
             for t in tables:
                 src = f"{sf_dir}/{t}.parquet"
                 if os.path.isdir(src):
