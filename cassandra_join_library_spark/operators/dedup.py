@@ -811,6 +811,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 24,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    verify: bool = False,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs with PORTABLE hashing: 60-bit
     md5-prefix hashes (``conv(substr(md5(i || ':' || shingle), 1,
@@ -822,14 +823,21 @@ def minhash_lsh_pairs_portable(
 
     Bands of ``rows_per_band`` consecutive minhashes join directly on
     their value tuple (no second-level bucket hash needed — the tuple
-    IS the key).  Candidates are returned UNVERIFIED (doc_a < doc_b,
-    distinct); callers verify against exact Jaccard as needed.  Same
-    posting-list shape as the fast path: tall (doc, hash-index,
+    IS the key).  By default candidates are returned UNVERIFIED
+    (doc_a < doc_b, distinct); with ``verify=True`` each candidate is
+    checked against exact shingle-set Jaccard >= ``threshold`` (no
+    false positives — output is exactly {band-colliding pairs} ∩
+    {Jaccard >= t}, a deterministic set any SQL engine reproduces,
+    which is what makes the r>1 banding knob value-oracle-able).
+    Same posting-list shape as the fast path: tall (doc, hash-index,
     minhash) aggregate, band pivot, self-join on band key — never the
     n² pair space."""
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
     sh = shingles(df, id_col, text_col, n)
+    if verify:
+        # shingles feed both the band build and the verify join
+        sh = sh.localCheckpoint(eager=True)
     hash_structs = F.array(*[
         F.struct(
             F.lit(i).alias("i"),
@@ -858,11 +866,27 @@ def minhash_lsh_pairs_portable(
     cond = (F.col("a.band") == F.col("b.band"))
     for k in key:
         cond = cond & k
-    return (
+    cand = (
         a.join(b, cond & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"),
                 F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+    if not verify:
+        return cand
+    # exact-Jaccard verification of candidates only (same tail as
+    # minhash_lsh_pairs): candidate count is band-bounded, never n²
+    sets_a = sh.groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    sets_b = sets_a.select(F.col("doc").alias("doc_b_key"),
+                           F.col("set_a").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(sets_a.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(sets_b, F.col("doc_b") == F.col("doc_b_key"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -432,3 +432,43 @@ def logbin_quantiles(bins: DataFrame, q_pcts: "list[int]") -> DataFrame:
         F.expr("CASE WHEN bin >= 63 THEN 9223372036854775807L "
                "ELSE shiftleft(1L, CAST(bin AS INT)) - 1 END")
         .cast("bigint").alias("bin_hi"))
+
+
+def logbin_quantiles_grouped(bins: DataFrame,
+                             q_pcts: "list[int]") -> DataFrame:
+    """Per-group twin of :func:`logbin_quantiles` over a sharded bin
+    table (``shard_id``, ``bin``, ``cnt`` — the :func:`logbin_table`
+    ``shard=`` output, with ``shard_id`` carrying the GROUP key).
+
+    Same rank->bin bracket per group; the cumulative window is
+    partitioned by the group and still runs over <= 64 rows per
+    partition (sketch-state-sized, never data-sized).  Returns
+    (shard_id, q_pct, n, target_rank, bin, bin_lo, bin_hi)."""
+    cum = bins.select(
+        "shard_id", "bin", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("shard_id").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("cum"),
+    )
+    total = bins.groupBy("shard_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"))
+    qs = bins.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct bigint")
+    spec = total.crossJoin(F.broadcast(qs)).select(
+        "shard_id", "q_pct", "n",
+        F.expr("(q_pct * n + 99) DIV 100").cast("bigint")
+        .alias("target_rank"))
+    hit = (spec.join(cum.withColumnRenamed("shard_id", "sid"),
+                     (F.col("sid") == F.col("shard_id"))
+                     & (F.col("cum") >= F.col("target_rank")))
+           .groupBy("shard_id", "q_pct", "n", "target_rank")
+           .agg(F.min("bin").cast("bigint").alias("bin")))
+    # same top-bin guard as logbin_quantiles: shiftleft(1L, 63) wraps
+    return hit.select(
+        "shard_id", "q_pct", "n", "target_rank", "bin",
+        F.expr("shiftleft(1L, CAST(bin - 1 AS INT))").cast("bigint")
+        .alias("bin_lo"),
+        F.expr("CASE WHEN bin >= 63 THEN 9223372036854775807L "
+               "ELSE shiftleft(1L, CAST(bin AS INT)) - 1 END")
+        .cast("bigint").alias("bin_hi"))

@@ -22,6 +22,12 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+#: smallest |double| at which DuckDB's DECIMAL->DOUBLE double-rounding
+#: can disagree with Spark's correctly-rounded BigDecimal.doubleValue():
+#: the scaled integer exceeds 2^53 (max DECIMAL scale used by the repo
+#: parity conventions is 6).  Below this, floats must be bit-exact.
+_ULP_FLOOR = 2.0 ** 53 / 10 ** 6
+
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Canonical form for comparison: columns sorted by name, dtypes
@@ -119,6 +125,142 @@ def run_parity_gate(spark, sf_dir: str, names=None, workers: int = 6):
     return timings, failures
 
 
+# ---------------------------------------------------------------------------
+# Distributed compare — for results too large to collect.
+#
+# The pandas gate above tops out where a single-process toPandas()
+# does (the sf1 sweep's four output-explosion queries: theta_lt's
+# 745M-row pair space, join_full's 60M rows, the two interval joins).
+# This mode never collects: each engine reduces its own result to ONE
+# (row_count, hash_sum) pair — md5 of the canonicalized row, first 15
+# hex digits as a 60-bit integer, SUMmed (order-insensitive, exact in
+# DECIMAL(38,0) up to ~10^20 rows) — and the two scalars are compared.
+# Same md5/sum construction as the collect gate's value hash, computed
+# engine-side as a distributed aggregate.
+#
+# Canonicalization must be CROSS-ENGINE REPRODUCIBLE, so only types
+# with an identical text form everywhere are allowed by default
+# (integers, strings, booleans, dates); doubles need an explicit
+# per-column rule ("money2": fixed-point DECIMAL(18,2) text, exact
+# for parquet money columns).  Unknown types fail loudly rather than
+# hash engine-specific formatting.
+# ---------------------------------------------------------------------------
+
+#: per-query canonicalization overrides for distributed_compare:
+#: column -> rule (currently only "money2")
+DISTRIBUTED_CANON = {
+    "theta_lt": {"supplier_s_acctbal": "money2",
+                 "customer_c_acctbal": "money2"},
+}
+
+_SEP = "\x1f"   # unit separator (chr(31)): not in TPC-H-ish text
+_NULL = "\x01"  # NULL sentinel (chr(1)), distinct from empty string
+
+
+def _spark_hash_agg(df, overrides):
+    """Reduce a DataFrame to one (n, hsum) row engine-side."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    parts = []
+    for c in sorted(df.columns):
+        rule = overrides.get(c)
+        dt = dtypes[c]
+        if rule == "money2":
+            e = F.col(c).cast("decimal(18,2)").cast("string")
+        elif rule is not None:
+            raise ValueError(f"unknown canon rule {rule!r} for {c!r}")
+        elif dt in ("tinyint", "smallint", "int", "bigint", "boolean",
+                    "string"):
+            e = F.col(c).cast("string")
+        elif dt == "date":
+            e = F.date_format(F.col(c), "yyyy-MM-dd")
+        else:
+            raise ValueError(
+                f"column {c!r} has type {dt!r} with no cross-engine "
+                "canonical text form — add a DISTRIBUTED_CANON rule"
+            )
+        parts.append(F.coalesce(e, F.lit(_NULL)))
+    row = F.concat_ws(_SEP, *parts)
+    h = (F.conv(F.substring(F.md5(row), 1, 15), 16, 10)
+         .cast("decimal(38,0)"))
+    out = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(h).cast("decimal(38,0)").alias("hsum"),
+    ).collect()[0]
+    return int(out["n"]), (None if out["hsum"] is None else int(out["hsum"]))
+
+
+def _duck_hash_agg(con, oracle_sql: str, overrides):
+    """DuckDB twin of :func:`_spark_hash_agg` over an oracle query."""
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM ({oracle_sql}) t"
+    ).fetchall()
+    parts = []
+    for cname, ctype, *_ in sorted(desc, key=lambda r: r[0]):
+        rule = overrides.get(cname)
+        up = ctype.upper()
+        if rule == "money2":
+            e = f'CAST(CAST("{cname}" AS DECIMAL(18,2)) AS VARCHAR)'
+        elif rule is not None:
+            raise ValueError(f"unknown canon rule {rule!r} for {cname!r}")
+        elif up in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                    "BOOLEAN", "VARCHAR"):
+            e = f'CAST("{cname}" AS VARCHAR)'
+        elif up == "DATE":
+            e = f"strftime(\"{cname}\", '%Y-%m-%d')"
+        else:
+            raise ValueError(
+                f"oracle column {cname!r} has type {ctype!r} with no "
+                "cross-engine canonical text form — add a "
+                "DISTRIBUTED_CANON rule"
+            )
+        parts.append(f"coalesce({e}, chr(1))")
+    row = f"concat_ws(chr(31), {', '.join(parts)})"
+    n, hsum = con.execute(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"SUM(('0x' || substr(md5({row}), 1, 15))::BIGINT) AS hsum "
+        f"FROM ({oracle_sql}) t"
+    ).fetchone()
+    return int(n), (None if hsum is None else int(hsum))
+
+
+def distributed_compare(spark, sf_dir: str, name: str, con=None) -> dict:
+    """Compare one oracled query at a scale where collecting the
+    result is infeasible: both engines aggregate to (row_count,
+    hash_sum) and the scalars must match exactly.  Returns the
+    measurement dict; raises AssertionError on divergence."""
+    import os
+    import time
+
+    import duckdb
+
+    from .registry import all_oracles, all_queries
+
+    if con is None:
+        con = duckdb.connect()
+        mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+            con.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in TABLES:
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(src):
+                src = f"{src}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    overrides = DISTRIBUTED_CANON.get(name, {})
+    t0 = time.time()
+    sn, sh = _spark_hash_agg(all_queries()[name](spark, sf_dir), overrides)
+    t1 = time.time()
+    dn, dh = _duck_hash_agg(con, all_oracles()[name], overrides)
+    t2 = time.time()
+    assert sn == dn, f"{name}: row count {sn} (spark) != {dn} (duckdb)"
+    assert sh == dh, f"{name}: value hash-sum {sh} (spark) != {dh} (duckdb)"
+    return {"name": name, "rows": sn, "hash_sum": sh,
+            "spark_s": round(t1 - t0, 2), "duck_s": round(t2 - t1, 2)}
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     """Assert exact equality; raises AssertionError with a named,
     column-scoped message on the first divergence."""
@@ -131,23 +273,31 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
-            # "exact" = bit-exact OR within 2 ulp.  The ulp allowance
-            # exists for ONE documented reason (SCALE.md round-12
-            # sf1 sweep): DuckDB's DECIMAL -> DOUBLE cast is
-            # double-rounded (int64 -> double, then /10^scale), so
-            # once a money sum's scaled integer exceeds 2^53 its last
-            # ulp disagrees with Spark's correctly-rounded
-            # BigDecimal.doubleValue().  An ulp at the 17th
-            # significant digit carries no decimal information; both
-            # real float bugs this gate has caught (1e-6 mean shifts,
-            # +2 ppm integer drifts) sit orders of magnitude above it.
+            # Bit-exact by default.  A 2-ulp allowance applies ONLY to
+            # magnitudes >= _ULP_FLOOR — the one documented divergence
+            # (SCALE.md round-12 sf1 sweep): DuckDB's DECIMAL -> DOUBLE
+            # cast is double-rounded (int128 -> double, then /10^scale),
+            # so once a money sum's scaled integer exceeds 2^53 its
+            # last ulp disagrees with Spark's correctly-rounded
+            # BigDecimal.doubleValue().  With a max DECIMAL scale of 6
+            # under the repo parity conventions, that can only happen
+            # when |value| >= 2^53 / 10^6; every smaller float (ratios,
+            # means, estimates) stays bit-exact, so the gate's
+            # exactness guarantee is weakened only where the cast
+            # physically cannot round-trip.  Both real float bugs this
+            # gate has caught (1e-6 mean shifts, +2 ppm integer
+            # drifts) sit orders of magnitude above 2 ulp anyway.
             ok = [
                 (math.isnan(x) and math.isnan(y))
                 or x == y
-                or abs(x - y) <= 2 * math.ulp(max(abs(x), abs(y)))
+                or (max(abs(x), abs(y)) >= _ULP_FLOOR
+                    and abs(x - y) <= 2 * math.ulp(max(abs(x), abs(y))))
                 for x, y in zip(a[c].fillna(float("nan")), b[c].fillna(float("nan")))
             ]
-            assert all(ok), f"{name}: float column {c!r} differs (exact compare)"
+            assert all(ok), (
+                f"{name}: float column {c!r} differs (bit-exact below "
+                f"{_ULP_FLOOR:.4g}, beyond 2 ulp above it)"
+            )
         else:
             pd.testing.assert_series_equal(
                 a[c], b[c], check_names=False, check_dtype=False,

@@ -11,6 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.sketch import (
+    _HLL_NUM,
+    hll_register_table,
+    hll_registers,
+    hll_registers_sql as _hll_sql,
+    hll_rollup,
+    logbin_quantiles_grouped,
+    logbin_table,
+)
 from ..plans.executor import JoinExecutor
 from ..plans.table_info import TableInfo
 from ..registry import register
@@ -148,65 +157,176 @@ def percentiles_exact(spark, sf_dir):
     )
 
 
-@register("approx_distinct_parts")  # approximate (HLL) -> rows-only check
+@register("approx_distinct_parts", oracle=f"""
+WITH hll AS ({_hll_sql("lineitem", "l_returnflag", "l_partkey")}),
+exact AS (
+  SELECT l_returnflag AS grp,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+  FROM lineitem GROUP BY 1
+)
+SELECT hll.grp AS l_returnflag, n_buckets_hit, s2,
+       est_raw AS approx_parts, n_exact
+FROM hll JOIN exact ON exact.grp = hll.grp
+""")
 def approx_distinct_parts(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality
-    path; approximate by design, so no SQL oracle (exact twin:
-    agg_count_distinct)."""
+    """Approximate distinct parts per return flag via the PORTABLE
+    HyperLogLog (operators/sketch.py hll_registers: md5-derived 60-bit
+    hashes, 64 registers, exact-integer harmonic sum) — upgraded from
+    the rows-only ``approx_count_distinct`` internals in round 13 so
+    the ESTIMATE itself is value-graded; the exact distinct count
+    rides along as the audit column.  Same scale story as the native
+    HLL++: one (group, bucket) MAX aggregate, map-side combined,
+    constant 64-register state per group."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-    )
+    hll = hll_registers(l, "l_returnflag", "l_partkey")
+    exact = l.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"))
+    return (hll.join(exact, "grp")
+            .select(F.col("grp").alias("l_returnflag"), "n_buckets_hit",
+                    "s2", F.col("est_raw").alias("approx_parts"),
+                    "n_exact"))
 
 
-@register("approx_distinct_mergeable")  # sketch bytes -> rows-only check
+@register("approx_distinct_mergeable", oracle=f"""
+WITH hashed AS (
+  SELECT l_returnflag AS flag, date_trunc('month', l_shipdate) AS month,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM lineitem
+), ranked AS (
+  SELECT flag, month, h % 64 AS j,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS r
+  FROM hashed
+), monthly_regs AS (
+  SELECT flag, month, j, MAX(r) AS m_j FROM ranked GROUP BY 1, 2, 3
+), merged AS (
+  SELECT flag, j, MAX(m_j) AS m_j FROM monthly_regs GROUP BY 1, 2
+), global_regs AS (
+  SELECT flag, j, MAX(r) AS m_j FROM ranked GROUP BY 1, 2
+), months AS (
+  SELECT flag, CAST(COUNT(DISTINCT month) AS BIGINT) AS n_months
+  FROM monthly_regs GROUP BY 1
+), roll AS (
+  SELECT m.flag,
+         CAST(SUM(CAST(2 ** (55 - m.m_j) AS BIGINT))
+              + (64 - COUNT(*)) * {1 << 55} AS BIGINT) AS s2_merged
+  FROM merged m GROUP BY 1
+), roll_g AS (
+  SELECT g.flag,
+         CAST(SUM(CAST(2 ** (55 - g.m_j) AS BIGINT))
+              + (64 - COUNT(*)) * {1 << 55} AS BIGINT) AS s2_global
+  FROM global_regs g GROUP BY 1
+)
+SELECT roll.flag AS l_returnflag, n_months, s2_merged,
+       CAST({_HLL_NUM} / CAST(s2_merged AS DOUBLE) AS DOUBLE)
+         AS approx_parts,
+       s2_merged = s2_global AS merged_equal
+FROM roll
+JOIN roll_g ON roll_g.flag = roll.flag
+JOIN months ON months.flag = roll.flag
+""")
 def approx_distinct_mergeable(spark, sf_dir):
-    """Mergeable-sketch rollup: a Datasketches HLL sketch is built per
-    (returnflag, ship-month) cell with ``hll_sketch_agg``, then the
-    monthly sketches are UNIONED per flag with ``hll_union_agg`` and
-    estimated — distinct-count rollup WITHOUT rescanning raw data (the
-    same partial-reaggregation contract as events_rollup_daily, but
-    for a non-additive measure).  At 100 TB the fine-grained sketches
-    are small (lgK=12 -> ~2.5 KB each) and persistable; coarser
-    rollups are sketch unions, not scans.  Estimate accuracy vs exact
-    distinct is bounded in
-    tests/test_executor.py::test_hll_mergeable_rollup_accuracy."""
+    """Mergeable-sketch rollup, PORTABLE edition (round 13 — was
+    Datasketches ``hll_sketch_agg``/``hll_union_agg``, rows-only):
+    a 64-register portable-HLL table is built per (returnflag,
+    ship-month) cell, the monthly register tables are merged per flag
+    by per-bucket MAX, and the merged sketch is estimated — a
+    distinct-count rollup WITHOUT rescanning raw data (the same
+    partial-reaggregation contract as events_rollup_daily, for a
+    non-additive measure).  ``merged_equal`` grades the merge algebra:
+    the MAX-merged monthly sketches must equal the single global pass
+    bit-for-bit, the property that makes the rollup valid at 100 TB
+    where the monthly sketches are persisted and coarser rollups are
+    register merges, not scans."""
     l = _t(spark, sf_dir, "lineitem")
-    monthly = l.groupBy(
-        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
-    ).agg(F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"))
-    return (
-        monthly.groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_months"),
-        )
+    src = l.select(
+        F.struct(
+            F.col("l_returnflag").alias("flag"),
+            F.date_trunc("month", "l_shipdate").alias("month"),
+        ).alias("gm"),
+        "l_partkey",
     )
+    # monthly register table is sketch-state-sized (flags x months x
+    # <=64 rows) and feeds two consumers — materialize once
+    monthly = hll_register_table(src, "gm", "l_partkey") \
+        .localCheckpoint(eager=True)
+    merged_regs = (monthly
+                   .select(F.col("grp.flag").alias("grp"), "j", "m_j")
+                   .groupBy("grp", "j")
+                   .agg(F.max("m_j").cast("bigint").alias("m_j")))
+    months = (monthly.select(F.col("grp.flag").alias("grp"),
+                             F.col("grp.month").alias("month"))
+              .distinct().groupBy("grp")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_months")))
+    merged = hll_rollup(merged_regs).select(
+        "grp", F.col("s2").alias("s2_merged"),
+        F.col("est_raw").alias("approx_parts"))
+    glob = hll_rollup(hll_register_table(l, "l_returnflag", "l_partkey")
+                      ).select("grp", F.col("s2").alias("s2_global"))
+    return (merged.join(glob, "grp").join(months, "grp")
+            .select(F.col("grp").alias("l_returnflag"), "n_months",
+                    "s2_merged", "approx_parts",
+                    (F.col("s2_merged") == F.col("s2_global"))
+                    .alias("merged_equal")))
 
 
-@register("approx_percentiles")  # approximate (KLL/GK sketch) -> rows-only
+@register("approx_percentiles", oracle="""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS c
+  FROM lineitem
+), bins AS (
+  SELECT l_returnflag, CAST(length(bin(c)) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM bins
+), tot AS (
+  SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM bins GROUP BY 1
+), spec AS (
+  SELECT l_returnflag, q_pct, n,
+         CAST((q_pct * n + 99) // 100 AS BIGINT) AS target_rank
+  FROM tot, (SELECT unnest([25, 50, 75, 95]::BIGINT[]) AS q_pct)
+), hit AS (
+  SELECT s.l_returnflag, s.q_pct, s.n, s.target_rank,
+         CAST(MIN(c.bin) AS BIGINT) AS bin
+  FROM spec s JOIN cum c ON c.l_returnflag = s.l_returnflag
+                        AND c.cum >= s.target_rank
+  GROUP BY 1, 2, 3, 4
+)
+SELECT l_returnflag, q_pct, n, target_rank, bin,
+       CAST(1::BIGINT << CAST(bin - 1 AS INT) AS BIGINT) AS bin_lo,
+       CAST(CASE WHEN bin >= 63 THEN 9223372036854775807
+                 ELSE (1::BIGINT << CAST(bin AS INT)) - 1 END
+         AS BIGINT) AS bin_hi
+FROM hit
+""")
 def approx_percentiles(spark, sf_dir):
-    """approx_percentile (quantile sketch) per return flag — the
-    100 TB quantile path: the sketch merges associatively across
-    partitions (one partial-agg shuffle, constant-size state) where
-    exact percentiles need a full sort.  Approximate by design → no
-    SQL oracle (exact twin: percentiles_exact); max absolute rank
-    error vs the exact quantile is bounded in
-    tests/test_executor.py::test_approx_percentiles_within_accuracy.
-    The sketch returns an array; it is unpacked to one scalar column
-    per percentile so downstream consumers (and the driver's
-    row-canonicalizer, which cannot sort array cells) see a flat
-    schema."""
+    """Approximate P25/P50/P75/P95 of extended price per return flag
+    from the mergeable log-bin sketch (round 13 — was
+    ``percentile_approx``, whose GK internals are engine-specific and
+    rows-only): <= 64 rows of SUM-mergeable state per flag, each
+    quantile bracketed within one power of two.  The 100 TB quantile
+    path: one partial-agg shuffle with constant-size state where
+    exact percentiles (percentiles_exact, the exact twin) need a full
+    value-domain sort.  Prices are binned in exact DECIMAL-derived
+    integer cents so both engines bin identically."""
     l = _t(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx(
-        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+    cents = l.select(
+        F.col("l_returnflag"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+               " AS BIGINT)").alias("c"),
     )
-    return l.groupBy("l_returnflag").agg(
-        pcts[0].alias("p25"),
-        pcts[1].alias("p50"),
-        pcts[2].alias("p75"),
-        pcts[3].alias("p95"),
-    )
+    bins = logbin_table(cents, "c", shard=F.col("l_returnflag"))
+    q = logbin_quantiles_grouped(bins, [25, 50, 75, 95])
+    return q.withColumnRenamed("shard_id", "l_returnflag")
 
 
 _Q6ISH = """

@@ -507,30 +507,105 @@ def corpus_curation_report(spark, sf_dir):
     )
 
 
-# --- rows-only twin variants relocated out of the driver's first-50
-# grading window (their ORACLED twins dedup_minhash_lsh /
-# dedup_simhash_md5 hold the hash-verified slots; these document
-# the at-scale banding knob and the fast xxhash64 JVM path) ---
+# --- at-scale knob variants of the dedup pair generators.  Both were
+# rows-only until round 13; they now run the PORTABLE md5 hash paths
+# (operators/dedup.py minhash_lsh_pairs_portable / simhash_pairs
+# portable=True) so the knob semantics themselves — r=2 banding,
+# Hamming<=2 pigeonhole — carry full value oracles.  The xxhash64 JVM
+# fast paths remain the operators' defaults for production use. ---
 
 
-@register("dedup_minhash_lsh_r2")  # banded (r=2) recall < 1 -> rows-only
+@register("dedup_minhash_lsh_r2", oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), mh AS (
+  SELECT doc_id, t.i AS i,
+         MIN(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || shingle),
+              1, 15))::BIGINT) AS h
+  FROM sh, range(0, 24) t(i)
+  GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, i // 2 AS band,
+         MIN(CASE WHEN i % 2 = 0 THEN h END) AS h0,
+         MIN(CASE WHEN i % 2 = 1 THEN h END) AS h1
+  FROM mh GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.h0 = a.h0 AND b.h1 = a.h1
+              AND b.doc_id > a.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+FROM pairs p
+JOIN counts ca ON p.doc_a = ca.doc_id
+JOIN counts cb ON p.doc_b = cb.doc_id
+WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+""")
 def dedup_minhash_lsh_r2(spark, sf_dir):
     """MinHash-LSH with the AT-SCALE banding knob engaged: r=2 rows
     per band (b=12) keeps buckets sparse — candidate count per bucket
     shrinks quadratically in band-key selectivity, the setting a
     100 TB corpus actually runs.  Candidate recall at j=0.5 is
-    1-(1-j²)¹² ≈ 0.97 (not exact → rows-only check); every emitted
-    pair is still exact-verified, so output ⊆ the exact pair set —
-    subset + recall floor asserted in tests/test_dedup_edges.py."""
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                               n=5, num_hashes=24, rows_per_band=2,
-                               threshold=0.5)
+    1-(1-j²)¹² ≈ 0.97 by design, but the OUTPUT is the deterministic
+    set {band-colliding pairs} ∩ {Jaccard >= 0.5}: with the portable
+    md5 minhashes (round 13 — was xxhash64, rows-only) the oracle
+    reproduces the banding bit-for-bit and verifies candidates by
+    posting-list Jaccard restricted to candidate pairs.  Subset +
+    recall floor vs the exact pair set asserted in
+    tests/test_dedup_edges.py."""
+    return D.minhash_lsh_pairs_portable(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=5, num_hashes=24, rows_per_band=2, threshold=0.5, verify=True)
 
 
-@register("dedup_simhash")  # xxhash64-based — no portable SQL oracle
+@register("dedup_simhash", oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w
+), bitsum AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsum GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""")
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk join."""
-    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    """SimHash near-dup pairs at the TIGHT radius (Hamming <= 2, three
+    pigeonhole chunks — fewer, wider chunks than dedup_simhash_md5's
+    radius-3 knob, so band keys are more selective and buckets
+    sparser: the setting a larger corpus runs).  Portable 60-bit
+    md5-prefix fingerprints since round 13 (was xxhash64, rows-only),
+    so the radius-2 semantics carry a full value oracle; the oracle
+    recomputes fingerprints bit-by-bit and brute-forces pairs, while
+    the Spark side stays pigeonhole-banded — never O(n²)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                           max_hamming=2, portable=True)
 
 
 @register("text_word_entropy", oracle="""

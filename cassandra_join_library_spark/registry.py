@@ -158,7 +158,7 @@ _loaded = False
 #     r04-graded names (corpus_contamination_capped .. percentiles_exact),
 #     then the first 27 of the r05-graded block (dedup/similarity/
 #     text/multimodal heads through stream_tumbling).
-#   r13 POLICY (written now so the rotation outlives context cuts):
+#   r13 POLICY (written in r12 so the rotation outlives context cuts):
 #     never-graded oracled queries first (any round-12 additions
 #     registered after the locked front), then oldest-graded-first
 #     re-grades continuing the ledger sweep — next up is the rest of
@@ -166,9 +166,59 @@ _loaded = False
 #     events heads, profiling heads, string_similarity, explode_tokens,
 #     agg_cube) until the window holds 50.  First evidence outranks
 #     re-evidence; re-grades fill only leftover slots.
-#   banked (driver-green, regression pool): _ROUND11_FRONT,
-#     _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and _BANKED_ROUND6
-#     below, plus the r01/r05 heads that follow in registration order.
+#   round 13 (this order): _ROUND13_FRONT below — the 4 wave-31/32
+#     never-graded oracled queries first, then the 5 queries UPGRADED
+#     from rows-only to full value oracles this round (first VALUE
+#     evidence, outranking re-grades per the policy): the three r04
+#     sketch heads rebuilt on the portable-sketch family
+#     (approx_distinct_parts / approx_distinct_mergeable on portable
+#     HLL, approx_percentiles on the log-bin quantile sketch) and the
+#     two dedup knob variants moved to the portable md5 hash paths
+#     (dedup_minhash_lsh_r2 with verify, dedup_simhash at radius 2).
+#     Then 41 oldest-graded-first re-grades from the ledger (latest
+#     green round per name, registration order as tie-break): the 20
+#     remaining r05-graded names (agg_cube, the streaming batch
+#     twins, events heads, profiling heads, string_similarity,
+#     explode_tokens), then the first 21 of the r06-graded block
+#     (dedup_survivors .. mm_png_parse, registration order).
+#   r14 POLICY: never-graded oracled queries first (any round-13
+#     additions registered after the locked front), then continue the
+#     oldest-first sweep — the rest of the r06 block (text_gopher_rules
+#     onward through the curation/wave3/tpch2 tails and the
+#     band/interval joins), then the r07 block.  First evidence
+#     outranks re-evidence; re-grades fill only leftover slots.
+#   banked (driver-green, regression pool): _ROUND12_FRONT,
+#     _ROUND11_FRONT, _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and
+#     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
+#     registration order.
+_ROUND13_FRONT = [
+    # 4 never-graded oracled queries (wave 31/32, registered after the
+    # locked r12 front) — first driver evidence
+    "dedup_cross_snapshot_bloom", "bloom_store_fp_audit",
+    "tokenizer_fertility_drift", "tokenizer_oov_drift",
+    # 5 rows-only -> value-oracled upgrades (round 13) — first VALUE
+    # evidence (their only prior driver rows are r04/r05 no_oracle)
+    "approx_distinct_parts", "approx_distinct_mergeable",
+    "approx_percentiles", "dedup_minhash_lsh_r2", "dedup_simhash",
+    # 20 remaining r05-graded re-grades (oldest driver evidence),
+    # ledger order (registration order within the r05 cohort)
+    "agg_cube", "stream_stream_join", "stream_session", "stream_sliding",
+    "stream_static_enrich", "events_tumbling", "events_sliding",
+    "events_session", "events_enrich_join", "asof_purchase_click",
+    "events_retention_cohorts", "events_funnel", "events_rollup_daily",
+    "events_gap_fill", "events_scd2_history", "profile_orders",
+    "text_pii_flags", "text_repetition", "string_similarity",
+    "explode_tokens",
+    # first 21 of the r06-graded block, registration order
+    "dedup_survivors", "corpus_source_cap", "corpus_bm25_topk",
+    "embedding_label_centroids", "dedup_near_exact", "text_ngram_novelty",
+    "ann_hard_negatives", "stream_incremental_dedup", "corpus_global_index",
+    "dedup_multi_signal", "corpus_curation_report", "text_word_entropy",
+    "text_bigram_perplexity", "events_value_outliers",
+    "corpus_pmi_collocations", "corpus_snapshot_diff", "corpus_hybrid_rrf",
+    "text_pii_redact", "mm_bmp_parse", "mm_wav_parse", "mm_png_parse",
+]
+
 _ROUND12_FRONT = [
     # 7 never-graded oracled queries (wave 27-30, registered after the
     # locked r11 front) — first driver evidence
@@ -372,24 +422,23 @@ ROWS_ONLY = {
     },
     "stream_stateful_stats": {"superseded_by": "stream_stateful_stats_final"},
     "stream_sessionize_custom": {"superseded_by": "stream_sessionize_final"},
-    "approx_distinct_parts": {"superseded_by": "approx_distinct_kmv"},
-    "approx_distinct_mergeable": {"superseded_by": "approx_distinct_kmv"},
-    "approx_percentiles": {"superseded_by": "approx_percentiles_sampled"},
-    "dedup_minhash_lsh_r2": {"superseded_by": "dedup_minhash_lsh"},
-    "dedup_simhash": {"superseded_by": "dedup_simhash_md5"},
+    # round 13 removed five entries by giving the queries full value
+    # oracles: approx_distinct_parts / approx_distinct_mergeable
+    # (portable HLL), approx_percentiles (log-bin sketch),
+    # dedup_minhash_lsh_r2 / dedup_simhash (portable md5 hash paths).
 }
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND12_FRONT, then
-    the banked (already driver-green) _ROUND11_FRONT/_ROUND10_FRONT/
-    _ROUND9_FRONT/_ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the
-    rest of the oracled queries in registration order, then the
-    no-oracle queries last."""
-    seen = set(_ROUND12_FRONT)
-    front = _ROUND12_FRONT + [
-        n for n in _ROUND11_FRONT + _ROUND10_FRONT + _ROUND9_FRONT
-        + _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND13_FRONT, then
+    the banked (already driver-green) _ROUND12_FRONT/_ROUND11_FRONT/
+    _ROUND10_FRONT/_ROUND9_FRONT/_ROUND8_FRONT/_ROUND7_FRONT/
+    _BANKED_ROUND6, then the rest of the oracled queries in
+    registration order, then the no-oracle queries last."""
+    seen = set(_ROUND13_FRONT)
+    front = _ROUND13_FRONT + [
+        n for n in _ROUND12_FRONT + _ROUND11_FRONT + _ROUND10_FRONT
+        + _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]

@@ -101,6 +101,10 @@ ALLOW = {
         "bloom_store_fp_audit": "six 1-row audit-count broadcasts "
                                 "crossjoined into the single output "
                                 "row",
+        "approx_percentiles": "4-row q-spec broadcast + rank-hit "
+                              "theta join over the <= 64-row-per-"
+                              "flag log-bin sketch state (grouped "
+                              "twin of approx_quantile_logbins)",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
