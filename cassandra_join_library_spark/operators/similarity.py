@@ -611,6 +611,12 @@ def label_centroids(
     from .stats import _RDIV
 
     scale = 10 ** round_to
+    # the decimal scale must track round_to: a fixed decimal(27,6)
+    # would silently quantize round_to > 6 values at 6 dp while the
+    # *scale multiplier* still used 10^round_to (r12 advice)
+    if round_to > 18:
+        raise ValueError(f"round_to={round_to} exceeds decimal headroom")
+    dec = f"decimal({21 + round_to},{round_to})"
     el = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(_as_double(vec_col)).alias("pos", "val"),
@@ -619,7 +625,7 @@ def label_centroids(
         el.groupBy(F.col("label"), F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            (F.sum(F.round("val", round_to).cast("decimal(27,6)"))
+            (F.sum(F.round("val", round_to).cast(dec))
              * F.lit(scale)).cast("long").alias("_su"),
         )
     )

@@ -158,10 +158,14 @@ WITH el AS (
   SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 ), ag AS (
+  -- per-row exact integer micro-units summed in HUGEINT: the earlier
+  -- sum(DECIMAL)*1000000 overflowed DECIMAL width and went through
+  -- DOUBLE, exact only below 2^53 micro-units; this form is exact to
+  -- the same int64 bound as the Spark side (r12 advice)
   SELECT label, CAST(pos AS BIGINT) AS pos,
          CAST(count(*) AS BIGINT) AS n_vecs,
-         CAST(sum(CAST(round(val, 6) AS DECIMAL(27,6))) * 1000000
-              AS BIGINT) AS su
+         CAST(sum(CAST(CAST(round(val, 6) AS DECIMAL(18,6)) * 1000000
+                       AS BIGINT)) AS BIGINT) AS su
   FROM el GROUP BY 1, 2
 )
 SELECT label, pos, n_vecs,

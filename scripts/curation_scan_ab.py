@@ -58,9 +58,13 @@ def main() -> None:
                                        args.repeat)}
 
     def ck_docs(spark_, sf_dir):
+        # checkpoint the FULL documents schema, not a hand-picked
+        # projection: the patch is module-wide while active, so any
+        # benchmarked composite (or future addition to `names`) that
+        # reads source/n_chars through _docs would otherwise fail
+        # with a missing column (r12 advice)
         from cassandra_join_library_spark.sources.catalog import load_table
         return (load_table(spark_, sf_dir, "documents")
-                .select("doc_id", "text", "lang")
                 .localCheckpoint(eager=True))
 
     for mod in (corpus, curation):

@@ -119,9 +119,17 @@ def main() -> None:
             import os
             import time
 
+            # sort by the NUMERIC part index (lexicographic order
+            # only equals index order while the index width is
+            # constant); and note: mtimes are stamped from now(), so
+            # a regenerated dst is NOT monotone vs a previous
+            # generation — any streaming gate reading this path must
+            # start from a FRESH checkpoint after regeneration
+            # (r12 advice)
             parts = sorted(
-                f for f in os.listdir(f"{args.dst}/{t}.parquet")
-                if f.startswith("part-")
+                (f for f in os.listdir(f"{args.dst}/{t}.parquet")
+                 if f.startswith("part-")),
+                key=lambda f: int(f.split("-")[1]),
             )
             base = time.time() - 2 * len(parts)
             for i, f in enumerate(parts):
