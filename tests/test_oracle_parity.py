@@ -71,3 +71,18 @@ def test_rows_only_queries_run(name, heavy_results):
     cols, cnt = heavy_results(f"rows_only::{name}")
     assert cols, f"{name}: no columns"
     assert cnt >= 0
+
+
+def test_distributed_compare_agrees_with_collect_gate(spark, duck):
+    """The collect-free compare mode (parity.distributed_compare —
+    the sf1 evidence path for the four output-explosion queries) must
+    agree with the engines at a scale where we can ALSO see it work:
+    all four names, engine-side (row_count, md5-hash-sum) scalars
+    equal across Spark and DuckDB at sf0.01.  The sf1 runs themselves
+    are recorded in SCALE.md (round 13)."""
+    from cassandra_join_library_spark.parity import distributed_compare
+
+    for name in ("theta_lt", "join_full", "interval_join_shipdate",
+                 "interval_join_facade"):
+        out = distributed_compare(spark, SF_ORACLE, name, con=duck)
+        assert out["rows"] > 0 and out["hash_sum"] is not None
