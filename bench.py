@@ -89,6 +89,9 @@ HEADLINE = [
     # round-11 additions (r11 verdict ask #3)
     "dedup_cross_snapshot",  # incremental dedup vs a persisted fingerprint store
     "approx_quantile_logbins",  # mergeable 64-row quantile sketch + shard proof
+    # round-13 additions: the wave-31/32 heads joining the graded front
+    "dedup_cross_snapshot_bloom",  # bloom-store prefilter cut of the store join
+    "tokenizer_fertility_drift",   # tokenizer drift audit vs frozen merge table
 ]
 
 
