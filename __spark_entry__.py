@@ -6,8 +6,9 @@ SURVEY.md §2 plus the LLM-pipeline extensions, registered in
 :mod:`cassandra_join_library_spark.registry`; the driver compares each
 query against its DuckDB oracle at sf=0.01 (row count + schema +
 order-insensitive value hash).  Queries without an oracle entry are
-genuinely non-SQL-expressible (LSH candidate generation, stateful
-streaming, xxhash64-based sketches) and take the rows-only check.
+genuinely non-SQL-expressible (the 3 custom stateful-streaming
+operators, whose emission order depends on micro-batch arrival; each
+has a value-oracled FINAL-state twin) and take the rows-only check.
 """
 
 from __future__ import annotations

@@ -515,38 +515,32 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
     return sums.select("doc", fp.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, bits: int = 64,
-                  portable: bool = False) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
-
-    Pigeonhole banding: the fingerprint is split into
+def hamming_band_pairs(fps: DataFrame, bits: int,
+                       max_hamming: int) -> DataFrame:
+    """EXACT Hamming-radius pairs over a (doc, fp) fingerprint table
+    via pigeonhole banding: the fingerprint is split into
     ``max_hamming + 1`` chunks that PARTITION all ``bits`` bits (the
     first ``bits % n_chunks`` chunks take the extra bit when the
     division is uneven — every bit must belong to exactly one chunk or
     the pigeonhole guarantee breaks) — any pair within the radius must
     agree exactly on at least one chunk, so joining per-chunk finds
     ALL such pairs without a cross product (exact, not approximate).
-    ``portable=True`` uses the 60-bit md5-prefix fingerprint (see
-    :func:`simhash_fingerprints`) so a SQL oracle can verify the full
-    output."""
+    Shared by SimHash text near-dup (:func:`simhash_pairs`) and the
+    image perceptual-hash dedup (multimodal.bmp_ahash).  Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
     n_chunks = max_hamming + 1
-    if portable:
-        bits = 60
     base_w = bits // n_chunks
     widths = [base_w + (1 if c < bits % n_chunks else 0)
               for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits,
-                               portable=portable)
     chunks = fps.select(
-        "doc", "simhash",
+        "doc", "fp",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), offsets[c])
+                        F.shiftright(F.col("fp"), offsets[c])
                         .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("key"),
                     )
@@ -554,20 +548,46 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                 ]
             )
         ).alias("ck"),
-    ).select("doc", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ).select("doc", "fp", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    # rename per side instead of alias(): a self-join over an alias
+    # pair can resolve a.chunk == b.chunk to the SAME attribute id
+    # (Spark warns "trivially true equals") and silently drop the
+    # chunk key from the join — output stays exact (the hamming
+    # filter guarantees it) but candidates then collide across ALL
+    # chunks, n_chunks x the intended work
+    a = chunks.select(F.col("doc").alias("doc_a"),
+                      F.col("fp").alias("fp_a"), "chunk", "key")
+    b = chunks.select(F.col("doc").alias("doc_b"),
+                      F.col("fp").alias("fp_b"),
+                      F.col("chunk").alias("chunk_b"),
+                      F.col("key").alias("key_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("chunk") == F.col("chunk_b"))
+               & (F.col("key") == F.col("key_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
         .filter(ham <= max_hamming)
-        .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-            ham.cast("bigint").alias("hamming"),
-        )
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
         .distinct()
     )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, bits: int = 64,
+                  portable: bool = False) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via the
+    exact pigeonhole chunk join (:func:`hamming_band_pairs`).
+    ``portable=True`` uses the 60-bit md5-prefix fingerprint (see
+    :func:`simhash_fingerprints`) so a SQL oracle can verify the full
+    output."""
+    if portable:
+        bits = 60
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits,
+                               portable=portable)
+    return hamming_band_pairs(
+        fps.select("doc", F.col("simhash").alias("fp")),
+        bits=bits, max_hamming=max_hamming)
 
 
 def incremental_dedup(

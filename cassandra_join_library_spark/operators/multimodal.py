@@ -238,6 +238,107 @@ def parse_bmp_metadata(df: DataFrame, id_col: str,
     )
 
 
+def synthesize_bmp_pixels(df: DataFrame, id_col: str,
+                          n_groups: int = 200) -> DataFrame:
+    """Spec-conformant 8x8 24bpp BMP with a REAL pixel-data chunk
+    (:func:`synthesize_bmp` stops at the header): 246 bytes = 54-byte
+    header + 64 grayscale pixels (B=G=R=luma), rows already 4-byte
+    aligned (8 px x 3 B = 24).  Luma is a deterministic function of a
+    CONTENT GROUP so duplicate and near-duplicate images exist:
+
+      g = id % n_groups                    (the image's visual content)
+      v = (id // n_groups) % 3             (variant within the group)
+      luma(i) = (g*37 + i*29) % 160 + 40   (base image, i = 0..63)
+      v=1: pixel 0 luma += 56              (small retouch -> near-dup)
+      v=2: pixels 0..3 luma += 56 each     (heavier edit -> distinct)
+
+    The fixture for the perceptual-hash dedup path (:func:`bmp_ahash`
+    + dedup.hamming_band_pairs).  Returns (id, payload)."""
+    gid = F.col(id_col) % n_groups
+    var = (F.col(id_col) / n_groups).cast("bigint") % 3
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    def luma(i):
+        base = (gid * 37 + i * 29) % 160 + 40
+        bump = F.when(
+            ((var == 1) & (F.lit(i) == 0))
+            | ((var == 2) & (F.lit(i) < 4)), 56).otherwise(0)
+        return base + bump
+
+    header_hex = F.concat(
+        F.lit("424d"),          # 'BM'
+        le(F.lit(246), 4),      # file size: 54 + 192
+        F.lit("00000000"),      # reserved
+        le(F.lit(54), 4),       # pixel-data offset
+        le(F.lit(40), 4),       # BITMAPINFOHEADER size
+        le(F.lit(8), 4),        # width
+        le(F.lit(8), 4),        # height
+        le(F.lit(1), 2),        # planes
+        le(F.lit(24), 2),       # bits per pixel
+        F.lit("00" * 24),       # compression..palette (zeros)
+    )
+    pixels_hex = F.concat(*[
+        F.repeat(F.lpad(F.hex(luma(i)), 2, "0"), 3) for i in range(64)
+    ])
+    return df.select(
+        F.col(id_col),
+        F.unhex(F.concat(header_hex, pixels_hex)).alias("payload"),
+    )
+
+
+def bmp_ahash(df: DataFrame, id_col: str,
+              payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash of an 8x8 grayscale BMP payload, as
+    pure column expressions (map-only, zero codec libraries): read
+    the 64 luma bytes (blue channel, offset 54 + 3i) by hex-offset
+    arithmetic, then bit i = (64 * luma_i > sum of all lumas) — the
+    scale-free INTEGER form of "pixel brighter than the image mean",
+    so both engines compare exactly (no division, no float mean).
+    The packed fingerprint keeps bits 0..59 (pixels 0-59; all 64
+    lumas still vote in the mean) so it stays inside a signed BIGINT
+    with headroom — same 60-bit discipline as the portable SimHash.
+    Non-BMP / short payloads yield is_bmp=false and a NULL hash
+    (corrupt inputs are data, not exceptions).  Returns (id, is_bmp,
+    ahash)."""
+    # staged projections with array higher-order functions: the hex
+    # view and each luma are evaluated ONCE (a first cut inlined the
+    # 64-substring sum into all 60 bit terms — a ~4000-node expression
+    # tree, 9.8 MiB task binaries, 67 s for 500 rows)
+    staged = df.select(
+        F.col(id_col),
+        ((F.octet_length(payload_col) >= 246)
+         & (F.substring(F.hex(F.col(payload_col)), 1, 4) == F.lit("424D"))
+         ).alias("is_bmp"),
+        F.hex(F.col(payload_col)).alias("_hx"),
+    ).select(
+        id_col, "is_bmp",
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "cast(conv(substring(_hx, (54 + 3*i)*2 + 1, 2), 16, 10)"
+            " as bigint))"
+        ).alias("_lumas"),
+    ).select(
+        id_col, "is_bmp", "_lumas",
+        F.expr("aggregate(_lumas, 0L, (a, x) -> a + x)").alias("_total"),
+    )
+    fp = F.expr(
+        "aggregate(sequence(0, 59), 0L, (a, i) -> "
+        "a + IF(element_at(_lumas, i + 1) * 64 > _total, "
+        "shiftleft(1L, i), 0L))"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("is_bmp"),
+        F.when(F.col("is_bmp"), fp).alias("ahash"),
+    )
+
+
 def synthesize_wav(df: DataFrame, id_col: str) -> DataFrame:
     """Spec-conformant 44-byte WAV (RIFF/PCM) headers as binary
     payloads — the audio twin of :func:`synthesize_bmp`.  Sample rate

@@ -181,12 +181,15 @@ _loaded = False
 #     twins, events heads, profiling heads, string_similarity,
 #     explode_tokens), then the first 21 of the r06-graded block
 #     (dedup_survivors .. mm_png_parse, registration order).
-#   r14 POLICY: never-graded oracled queries first (any round-13
-#     additions registered after the locked front), then continue the
-#     oldest-first sweep — the rest of the r06 block (text_gopher_rules
-#     onward through the curation/wave3/tpch2 tails and the
-#     band/interval joins), then the r07 block.  First evidence
-#     outranks re-evidence; re-grades fill only leftover slots.
+#   round-13 additions: wave33 (mm_phash_dedup — image perceptual-hash
+#     dedup, oracled), registered AFTER the locked front, so it is the
+#     r14 never-graded pool.
+#   r14 POLICY: never-graded oracled queries first (the round-13
+#     additions above), then continue the oldest-first sweep — the
+#     rest of the r06 block (text_gopher_rules onward through the
+#     curation/wave3/tpch2 tails and the band/interval joins), then
+#     the r07 block.  First evidence outranks re-evidence; re-grades
+#     fill only leftover slots.
 #   banked (driver-green, regression pool): _ROUND12_FRONT,
 #     _ROUND11_FRONT, _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
@@ -514,6 +517,7 @@ def _load_all() -> None:
         wave30,
         wave31,
         wave32,
+        wave33,
     )
     _reorder()
     _loaded = True

@@ -187,7 +187,8 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     terminalreporter.write_line(
         f"WindowExec 'No Partition Defined' warnings (in-JVM counter): "
         f"{'counter unattached' if n is None else n} — registered-query "
-        f"plans are audit-clean 332/332; these come from test-only "
+        f"plans are audit-clean (scripts/audit_registry.py, full "
+        f"registry); these come from test-only "
         f"frames and allowed sketch-state windows."
     )
     # soft-assert vs the committed full-suite baseline (SCALE.md

@@ -1,0 +1,93 @@
+"""Wave-33 operator edges: image perceptual-hash dedup — BMP pixel
+round-trip, integer aHash semantics, corrupt-input behavior, and the
+exact pigeonhole radius cut."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from cassandra_join_library_spark.operators.dedup import hamming_band_pairs
+from cassandra_join_library_spark.operators.multimodal import (
+    bmp_ahash, synthesize_bmp_pixels,
+)
+from cassandra_join_library_spark.sources.catalog import local_frame
+
+
+def _ids(spark, ids):
+    return local_frame(spark, [Row(doc_id=i) for i in ids])
+
+
+def test_bmp_pixels_roundtrip_bytes(spark):
+    """The synthesized payload is a spec-conformant 246-byte BMP and
+    the decoded lumas equal the synthesis formula."""
+    out = synthesize_bmp_pixels(_ids(spark, [7]), "doc_id",
+                                n_groups=100).collect()[0]
+    payload = bytes(out["payload"])
+    assert len(payload) == 246
+    assert payload[:2] == b"BM"
+    assert int.from_bytes(payload[2:6], "little") == 246
+    assert int.from_bytes(payload[10:14], "little") == 54
+    assert int.from_bytes(payload[18:22], "little") == 8   # width
+    assert int.from_bytes(payload[22:26], "little") == 8   # height
+    g, v = 7 % 100, (7 // 100) % 3
+    for i in range(64):
+        expected = (g * 37 + i * 29) % 160 + 40
+        b, gr, r = payload[54 + 3 * i: 54 + 3 * i + 3]
+        assert b == gr == r == expected, i
+
+
+def test_ahash_matches_python_reference(spark):
+    """The integer aHash equals a driver-side reference for exact,
+    retouched, and heavily-edited variants."""
+    df = synthesize_bmp_pixels(_ids(spark, [3, 103, 203, 303]),
+                               "doc_id", n_groups=100)
+    got = {r["doc_id"]: r["ahash"]
+           for r in bmp_ahash(df, "doc_id").collect()}
+
+    def ref(doc_id):
+        g, v = doc_id % 100, (doc_id // 100) % 3
+        lum = [(g * 37 + i * 29) % 160 + 40
+               + (56 if (v == 1 and i == 0) or (v == 2 and i < 4) else 0)
+               for i in range(64)]
+        total = sum(lum)
+        return sum(1 << i for i in range(60) if lum[i] * 64 > total)
+
+    for doc_id, h in got.items():
+        assert h == ref(doc_id), doc_id
+    # ids 3 and 303 share g=3 with v=0 -> identical image, identical hash
+    assert got[3] == got[303]
+
+
+def test_ahash_corrupt_payload_flags_not_errors(spark):
+    """Non-BMP / truncated payloads yield is_bmp=false and NULL hash."""
+    rows = [Row(doc_id=1, payload=b"not a bitmap"),
+            Row(doc_id=2, payload=b"BM" + b"\x00" * 20)]
+    out = {r["doc_id"]: r for r in bmp_ahash(
+        local_frame(spark, rows), "doc_id").collect()}
+    for r in out.values():
+        assert r["is_bmp"] is False
+        assert r["ahash"] is None
+
+
+def test_hamming_band_pairs_exact_radius(spark):
+    """The pigeonhole join finds EVERY pair within the radius and
+    nothing outside it — checked against brute force on fingerprints
+    engineered to straddle the cut."""
+    fps = local_frame(spark, [
+        Row(doc=1, fp=0b111),        # hamming(1,2)=1, (1,3)=3
+        Row(doc=2, fp=0b110),
+        Row(doc=3, fp=0b1111000),
+        Row(doc=4, fp=0b1111000),    # exact dup of 3
+    ], "doc bigint, fp bigint")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in hamming_band_pairs(fps, bits=60,
+                                       max_hamming=2).collect()}
+    vals = {1: 0b111, 2: 0b110, 3: 0b1111000, 4: 0b1111000}
+    want = {}
+    for a in vals:
+        for b in vals:
+            if a < b:
+                h = bin(vals[a] ^ vals[b]).count("1")
+                if h <= 2:
+                    want[(a, b)] = h
+    assert got == want
