@@ -265,11 +265,15 @@ def synthesize_bmp_pixels(df: DataFrame, id_col: str,
         return F.concat(*parts)
 
     def luma(i):
+        # i is a static Python index — branch here, not in Column
+        # space (F.lit(i) == 0 constructs a literal '0 == 0' predicate
+        # Spark rightly warns about)
         base = (gid * 37 + i * 29) % 160 + 40
-        bump = F.when(
-            ((var == 1) & (F.lit(i) == 0))
-            | ((var == 2) & (F.lit(i) < 4)), 56).otherwise(0)
-        return base + bump
+        if i == 0:
+            return base + F.when(var >= 1, 56).otherwise(0)
+        if i < 4:
+            return base + F.when(var == 2, 56).otherwise(0)
+        return base
 
     header_hex = F.concat(
         F.lit("424d"),          # 'BM'
