@@ -91,3 +91,62 @@ def test_hamming_band_pairs_exact_radius(spark):
                 if h <= 2:
                     want[(a, b)] = h
     assert got == want
+
+
+def test_hamming_band_pairs_matches_bruteforce_property(spark):
+    """Property: on seeded random 60-bit fingerprints the pigeonhole
+    join equals brute force exactly, for several radii."""
+    import random
+
+    rng = random.Random(2026)
+    for max_h in (1, 2, 3):
+        base = [rng.getrandbits(60) for _ in range(12)]
+        # seed near-dups: perturb a few fingerprints by <= max_h bits
+        fps = list(base)
+        for i in range(0, 12, 3):
+            fp = base[i]
+            for _ in range(rng.randint(0, max_h)):
+                fp ^= 1 << rng.randrange(60)
+            fps.append(fp)
+        rows = [Row(doc=i, fp=v) for i, v in enumerate(fps)]
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in hamming_band_pairs(
+                   local_frame(spark, rows, "doc bigint, fp bigint"),
+                   bits=60, max_hamming=max_h).collect()}
+        want = {}
+        for a in range(len(fps)):
+            for b in range(a + 1, len(fps)):
+                h = bin(fps[a] ^ fps[b]).count("1")
+                if h <= max_h:
+                    want[(a, b)] = h
+        assert got == want, max_h
+
+
+def test_distributed_compare_detects_divergence(spark, duck):
+    """The collect-free comparator must be able to FAIL: against an
+    oracle with one extra row it must raise on the row count, and
+    against an oracle with one changed value (same row count) it must
+    raise on the hash sum — a comparator that cannot fail proves
+    nothing."""
+    from cassandra_join_library_spark.parity import (
+        _duck_hash_agg, _spark_hash_agg,
+    )
+    from cassandra_join_library_spark.registry import all_oracles, all_queries
+    from .conftest import SF_ORACLE
+
+    name = "join_full"
+    sn, sh = _spark_hash_agg(
+        all_queries()[name](spark, SF_ORACLE), {})
+    oracle = all_oracles()[name]
+    # same count, one value perturbed -> hash must differ
+    perturbed = oracle.replace(
+        "s.s_suppkey AS supplier_s_suppkey",
+        "s.s_suppkey + CASE WHEN s.s_suppkey = 1 THEN 1 ELSE 0 END"
+        " AS supplier_s_suppkey")
+    dn, dh = _duck_hash_agg(duck, perturbed, {})
+    assert dn == sn and dh != sh
+    # one extra row -> count must differ
+    wrapped = (f"SELECT * FROM ({oracle}) UNION ALL "
+               f"SELECT * FROM ({oracle}) LIMIT {sn + 1}")
+    dn2, _ = _duck_hash_agg(duck, wrapped, {})
+    assert dn2 == sn + 1 != sn
