@@ -181,9 +181,11 @@ _loaded = False
 #     twins, events heads, profiling heads, string_similarity,
 #     explode_tokens), then the first 21 of the r06-graded block
 #     (dedup_survivors .. mm_png_parse, registration order).
-#   round-13 additions: wave33 (mm_phash_dedup — image perceptual-hash
-#     dedup, oracled), registered AFTER the locked front, so it is the
-#     r14 never-graded pool.
+#   round-13 additions: wave33 (mm_phash_dedup + mm_phash_recall_audit
+#     — image perceptual-hash dedup and its measured-quality audit)
+#     and wave34 (bloom_store_rotation — generational rotation of the
+#     Bloom membership store), all oracled, registered AFTER the
+#     locked front, so these 3 are the r14 never-graded pool.
 #   r14 POLICY: never-graded oracled queries first (the round-13
 #     additions above), then continue the oldest-first sweep — the
 #     rest of the r06 block (text_gopher_rules onward through the
@@ -518,6 +520,7 @@ def _load_all() -> None:
         wave31,
         wave32,
         wave33,
+        wave34,
     )
     _reorder()
     _loaded = True

@@ -105,6 +105,11 @@ ALLOW = {
                               "theta join over the <= 64-row-per-"
                               "flag log-bin sketch state (grouped "
                               "twin of approx_quantile_logbins)",
+        "mm_phash_recall_audit": "two 1-row pair-count broadcasts "
+                                 "crossjoined into the single "
+                                 "audit row",
+        "bloom_store_rotation": "1-row flags aggregate crossjoined "
+                                "with the 1-row generation sizes",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
