@@ -92,6 +92,7 @@ HEADLINE = [
     # round-13 additions: the wave-31/32 heads joining the graded front
     "dedup_cross_snapshot_bloom",  # bloom-store prefilter cut of the store join
     "tokenizer_fertility_drift",   # tokenizer drift audit vs frozen merge table
+    "mm_phash_dedup",              # image perceptual-hash near-dup (band join)
 ]
 
 
