@@ -59,3 +59,35 @@ def test_logbin_quantile_exact_on_single_bin(spark):
     qs = {r["q_pct"]: r["bin"] for r in logbin_quantiles(
         logbin_table(df, "v"), [50, 99]).collect()}
     assert qs == {50: 4, 99: 4}
+
+
+def test_logbin_quantiles_grouped_bracket_property(spark):
+    """Grouped read-out: per group, the exact rank-ceil quantile must
+    lie inside the reported [bin_lo, bin_hi] bracket, and group totals
+    must match — the same contract logbin_quantiles carries, keyed."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+    from cassandra_join_library_spark.operators.sketch import (
+        logbin_quantiles_grouped, logbin_table,
+    )
+    from cassandra_join_library_spark.sources.catalog import local_frame
+    import pyspark.sql.functions as F
+
+    rng = random.Random(13)
+    data = {"a": [rng.randint(1, 10**9) for _ in range(137)],
+            "b": [rng.randint(1, 10**4) for _ in range(53)]}
+    rows = [Row(grp=g, v=v) for g, vals in data.items() for v in vals]
+    df = local_frame(spark, rows, "grp string, v bigint")
+    bins = logbin_table(df, "v", shard=F.col("grp"))
+    out = {(r["shard_id"], r["q_pct"]): r
+           for r in logbin_quantiles_grouped(bins, [25, 50, 99]).collect()}
+    for g, vals in data.items():
+        vals = sorted(vals)
+        n = len(vals)
+        for q in (25, 50, 99):
+            r = out[(g, q)]
+            assert r["n"] == n
+            exact = vals[max(1, math.ceil(q * n / 100)) - 1]
+            assert r["bin_lo"] <= exact <= r["bin_hi"], (g, q, r, exact)
