@@ -192,10 +192,58 @@ _loaded = False
 #     curation/wave3/tpch2 tails and the band/interval joins), then
 #     the r07 block.  First evidence outranks re-evidence; re-grades
 #     fill only leftover slots.
+#   round 14 (this order): _ROUND14_FRONT below — computed from the
+#     CORRECTNESS_r*.json ledger exactly per the r14 policy: the 3
+#     never-graded wave-33/34 queries first (mm_phash_dedup,
+#     mm_phash_recall_audit, bloom_store_rotation — first driver
+#     evidence), then 47 oldest-graded-first re-grades (latest green
+#     round per name, banked-list order as tie-break): the 29
+#     remaining r06-graded names (_BANKED_ROUND6 from
+#     text_gopher_rules through interval_join_facade — curation/wave3
+#     tails, the stream-final value-oracle twins, the TPC-H tails,
+#     corpus_e2e_pipeline, band/interval joins), then the first 18 of
+#     the r07-graded block (_ROUND7_FRONT order: null_handling
+#     through window_lag_lead).
+#   r15 POLICY: never-graded oracled queries first (any round-14
+#     additions registered after the locked front below), then
+#     continue the oldest-first sweep — the rest of the r07-graded
+#     block in _ROUND7_FRONT order (setop_union onward through the
+#     scalar tails, the round-6 operator additions, kmeans_clusters,
+#     and the wave-4 tail), then the r09 block (_ROUND9_FRONT order).
+#     First evidence outranks re-evidence;
+#     re-grades fill only leftover slots.
 #   banked (driver-green, regression pool): _ROUND12_FRONT,
 #     _ROUND11_FRONT, _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
 #     registration order.
+_ROUND14_FRONT = [
+    # 3 never-graded oracled queries (wave 33/34, registered after the
+    # locked r13 front) — first driver evidence
+    "mm_phash_dedup", "mm_phash_recall_audit", "bloom_store_rotation",
+    # 29 remaining r06-graded re-grades (oldest driver evidence),
+    # _BANKED_ROUND6 order from text_gopher_rules onward
+    "text_gopher_rules", "dedup_semantic", "ann_range_search",
+    "corpus_token_budget_plan", "corpus_curation_report_capped",
+    "text_c4_line_filter", "corpus_vocabulary", "dedup_tf_cosine",
+    "embedding_dim_stats", "embedding_quantize_int8",
+    "events_mad_outliers", "events_first_touch", "text_langid_confusion",
+    "approx_distinct_kmv", "approx_percentiles_sampled",
+    "stream_stateful_stats_final", "stream_sessionize_final",
+    "sql_q7_volume_shipping", "sql_q8_market_share",
+    "sql_q13_customer_distribution", "sql_q14_promo_revenue",
+    "sql_q15_top_supplier", "sql_q17_small_quantity",
+    "sql_q19_discounted_revenue", "sql_q22_global_sales_opportunity",
+    "corpus_e2e_pipeline", "band_join_acctbal", "interval_join_shipdate",
+    "interval_join_facade",
+    # first 18 of the r07-graded block, _ROUND7_FRONT order
+    "null_handling", "distinct_rows", "deterministic_sample",
+    "agg_collect_sorted", "unpivot_metrics", "scalar_conditional",
+    "scalar_date_arith", "scalar_string2", "agg_pricing_summary",
+    "agg_orders_by_month", "agg_count_distinct", "agg_rollup",
+    "topk_customers", "sort_global", "window_rank", "window_running_sum",
+    "window_range_30d", "window_lag_lead",
+]
+
 _ROUND13_FRONT = [
     # 4 never-graded oracled queries (wave 31/32, registered after the
     # locked r12 front) — first driver evidence
@@ -435,15 +483,16 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND13_FRONT, then
-    the banked (already driver-green) _ROUND12_FRONT/_ROUND11_FRONT/
-    _ROUND10_FRONT/_ROUND9_FRONT/_ROUND8_FRONT/_ROUND7_FRONT/
-    _BANKED_ROUND6, then the rest of the oracled queries in
-    registration order, then the no-oracle queries last."""
-    seen = set(_ROUND13_FRONT)
-    front = _ROUND13_FRONT + [
-        n for n in _ROUND12_FRONT + _ROUND11_FRONT + _ROUND10_FRONT
-        + _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND14_FRONT, then
+    the banked (already driver-green) _ROUND13_FRONT/_ROUND12_FRONT/
+    _ROUND11_FRONT/_ROUND10_FRONT/_ROUND9_FRONT/_ROUND8_FRONT/
+    _ROUND7_FRONT/_BANKED_ROUND6, then the rest of the oracled
+    queries in registration order, then the no-oracle queries last."""
+    seen = set(_ROUND14_FRONT)
+    front = _ROUND14_FRONT + [
+        n for n in _ROUND13_FRONT + _ROUND12_FRONT + _ROUND11_FRONT
+        + _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT
+        + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]
