@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..parity import MAX_PARITY_DECIMAL_SCALE
+
 
 def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -583,10 +585,16 @@ def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     label_col: str = "label",
-    round_to: int = 6,
+    round_to: int = MAX_PARITY_DECIMAL_SCALE,
 ) -> DataFrame:
     """Per-label embedding centroids (class means), one row per
     (label, dimension).
+
+    ``round_to`` supports up to 18 for standalone use, but ORACLE-GATED
+    queries must keep it <= ``parity.MAX_PARITY_DECIMAL_SCALE`` (the
+    default): the parity gate's bit-exact float floor (``_ULP_FLOOR``)
+    is derived from that scale, so a larger one would admit DuckDB's
+    DECIMAL->DOUBLE double-rounding below the floor.
 
     The offline half of centroid-based classification / clustering
     diagnostics: posexplode the vector, aggregate per (label, pos).

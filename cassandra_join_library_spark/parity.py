@@ -22,11 +22,21 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+#: maximum DECIMAL scale the repo parity conventions allow for
+#: round()/DECIMAL canonicalization in ORACLE-GATED queries.  Single
+#: definition — operators that expose a ``round_to`` knob
+#: (operators.similarity.label_centroids et al) import this as their
+#: default and must not exceed it in any registered query: _ULP_FLOOR
+#: below is derived from it, so a larger scale would let DuckDB's
+#: DECIMAL->DOUBLE double-rounding slip under the floor and fail the
+#: bit-exact compare.
+MAX_PARITY_DECIMAL_SCALE = 6
+
 #: smallest |double| at which DuckDB's DECIMAL->DOUBLE double-rounding
 #: can disagree with Spark's correctly-rounded BigDecimal.doubleValue():
-#: the scaled integer exceeds 2^53 (max DECIMAL scale used by the repo
-#: parity conventions is 6).  Below this, floats must be bit-exact.
-_ULP_FLOOR = 2.0 ** 53 / 10 ** 6
+#: the scaled integer exceeds 2^53 at the max parity DECIMAL scale.
+#: Below this, floats must be bit-exact.
+_ULP_FLOOR = 2.0 ** 53 / 10 ** MAX_PARITY_DECIMAL_SCALE
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -217,9 +227,13 @@ def _duck_hash_agg(con, oracle_sql: str, overrides):
             )
         parts.append(f"coalesce({e}, chr(1))")
     row = f"concat_ws(chr(31), {', '.join(parts)})"
+    # explicit HUGEINT accumulator: the Spark twin casts to
+    # DECIMAL(38,0); relying on DuckDB's implicit SUM(BIGINT)->HUGEINT
+    # promotion would make the twins' overflow semantics an accident
     n, hsum = con.execute(
         f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        f"SUM(('0x' || substr(md5({row}), 1, 15))::BIGINT) AS hsum "
+        f"SUM(CAST(('0x' || substr(md5({row}), 1, 15))::BIGINT "
+        f"AS HUGEINT)) AS hsum "
         f"FROM ({oracle_sql}) t"
     ).fetchone()
     return int(n), (None if hsum is None else int(hsum))
@@ -250,8 +264,17 @@ def distributed_compare(spark, sf_dir: str, name: str, con=None) -> dict:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     overrides = DISTRIBUTED_CANON.get(name, {})
+    sdf = all_queries()[name](spark, sf_dir)
+    # schema check BEFORE hashing: an oracle column-alias mismatch must
+    # surface as a named schema error, not an opaque hash-sum divergence
+    dcols = sorted(r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM ({all_oracles()[name]}) t"
+    ).fetchall())
+    assert sorted(sdf.columns) == dcols, (
+        f"{name}: columns {sorted(sdf.columns)} (spark) != {dcols} (duckdb)"
+    )
     t0 = time.time()
-    sn, sh = _spark_hash_agg(all_queries()[name](spark, sf_dir), overrides)
+    sn, sh = _spark_hash_agg(sdf, overrides)
     t1 = time.time()
     dn, dh = _duck_hash_agg(con, all_oracles()[name], overrides)
     t2 = time.time()

@@ -125,6 +125,9 @@ def pytest_collection_modifyitems(session, config, items):
     # trylast: run AFTER the builtin mark plugin applies -k/-m
     # deselection, so a filtered session that keeps no heavy_results
     # consumer (or no gate consumer) never starts the background work
+    # (public selected-item count for the terminal-summary soft-assert
+    # — no private terminalreporter attributes)
+    WINDOW_WARNINGS["selected"] = len(items)
     _start_heavy_sweep(items)
     if HEAVY_STATE:
         # stable-partition: run every non-consumer first and the
@@ -198,7 +201,7 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     # meaningful for full-suite sessions (filtered runs skip most
     # window-emitting work, so a low count proves nothing and a
     # threshold on it would misfire).
-    full_suite = terminalreporter._numcollected >= 400
+    full_suite = WINDOW_WARNINGS.get("selected", 0) >= 400
     if n is not None and full_suite and n > _WINWARN_BASELINE * 1.25:
         terminalreporter.write_line(
             f"WARNING: WindowExec warning count {n} exceeds 1.25x the "
