@@ -99,6 +99,7 @@ HEADLINE = [
 def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
+    conditions = _bench_conditions()  # BEFORE our own JVM exists
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
@@ -141,6 +142,10 @@ def main() -> None:
                 best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         total += timings[name]
+    try:
+        conditions["load1_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        conditions["load1_end"] = None
 
     out = {
         "metric": "headline_suite_seconds",
@@ -148,6 +153,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # bench-conditions stamp (r13 verdict ask #3): the r13 suite ran
+        # 1.37x r12 with zero plan changes — host noise that took three
+        # quiet-box re-runs to adjudicate.  Load average, free memory,
+        # and other-JVM presence at measurement time make the next noisy
+        # round self-documenting.
+        "conditions": conditions,
     }
 
     # Drift cohort: queries whose in-suite timings climbed round over
@@ -164,6 +175,12 @@ def main() -> None:
     # plus the two legacy drift names — so an uptick like r07's
     # corpus_e2e_pipeline +25% always ships with its isolated number
     # and the aging-vs-regression split is measured, not asserted.
+    #
+    # The isolated numbers go to BENCH_ISOLATED_LAST.json + stderr, NOT
+    # the stdout line: the driver keeps only the stdout TAIL (~2000
+    # chars), and r13's isolated_fresh_jvm field pushed the line past
+    # that window — BENCH_r13.json recorded parsed:null (r13 verdict
+    # ask #4).  The stdout line carries the contract fields only.
     if not only:
         cohort = _drift_cohort(timings, sf)
         isolated = {}
@@ -178,9 +195,74 @@ def main() -> None:
                 isolated[name] = json.loads(line)["queries"][name]
             except Exception:
                 isolated[name] = None  # bench must still print its line
-        out["isolated_fresh_jvm"] = isolated
+        detail = {"sf": sf, "isolated_fresh_jvm": isolated,
+                  "suite_at_time": {n: timings.get(n) for n in cohort}}
+        print(json.dumps(detail), file=sys.stderr)
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_ISOLATED_LAST.json"), "w") as fh:
+                json.dump(detail, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stderr copy above still lands
 
-    print(json.dumps(out))
+    _emit(out)
+
+
+def _emit(out: dict) -> None:
+    """Print the ONE stdout JSON line, enforcing the driver's tail
+    window: compact separators, and if the line still exceeds the
+    budget, demote ``conditions`` to stderr rather than lose the whole
+    record to a truncated parse (the r13 failure mode)."""
+    budget = 1900  # driver keeps ~2000 chars of stdout tail
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget and "conditions" in out:
+        print(json.dumps({"conditions": out.pop("conditions")}),
+              file=sys.stderr)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        print(f"WARNING: bench stdout line is {len(line)} chars — the "
+              f"driver's tail window may truncate it; shrink HEADLINE "
+              f"or move fields to BENCH_ISOLATED_LAST.json",
+              file=sys.stderr)
+    print(line)
+
+
+def _bench_conditions() -> dict:
+    """Host-noise snapshot taken BEFORE the JVM spins up: 1-minute load
+    average, available memory, and whether other JVMs are live on the
+    box (the did-another-JVM-run-recently flag — concurrent JVMs were
+    the r13 OOM-cascade and the prime suite-noise suspect)."""
+    cond: dict = {}
+    try:
+        cond["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        cond["load1"] = None
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(
+                line.split(":", 1) for line in fh if ":" in line
+            )
+        cond["mem_avail_gb"] = round(
+            int(mem["MemAvailable"].strip().split()[0]) / 1048576, 1)
+    except (OSError, KeyError, ValueError):
+        cond["mem_avail_gb"] = None
+    njvm = 0
+    try:
+        import glob as _glob
+
+        for comm in _glob.glob("/proc/[0-9]*/comm"):
+            try:
+                with open(comm) as fh:
+                    if fh.read().strip() == "java":
+                        njvm += 1
+            except OSError:
+                continue
+    except OSError:
+        pass
+    cond["other_jvms"] = njvm  # taken pre-spin-up: ANY java here is not ours
+    return cond
 
 
 def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
@@ -205,7 +287,20 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
         # {...}} — the timings live under "parsed" there, at top level
         # when reading our own output
         if "parsed" in prev_doc and "queries" not in prev_doc:
-            prev_doc = prev_doc["parsed"] or {}
+            # isolated_fresh_jvm numbers are fresh-JVM, not in-suite —
+            # they'd register as false movers; drop that suffix
+            tail = prev_doc.get("tail", "").split('"isolated_fresh_jvm"')[0]
+            prev_doc = prev_doc["parsed"] or {
+                # parsed:null (the r13 truncated-tail record): recover
+                # what timings survive in the tail fragment — partial
+                # drift coverage beats none.  sf comes from the
+                # wrapper's own record, NOT the current run — the
+                # cross-sf guard below must still work
+                "sf": prev_doc.get("sf", sf),
+                "queries": {m.group(1): float(m.group(2)) for m in
+                            re.finditer(r'"(\w+)": ([\d.]+)[,}]', tail)
+                            if m.group(1) not in ("value", "sf")},
+            }
         if prev_doc.get("sf") != sf:
             return cohort  # cross-sf ratios are meaningless
         prev = prev_doc.get("queries", {})
@@ -218,9 +313,12 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
             continue
         ratio = now / before
         if ratio > 1.2 or ratio < 1 / 1.2:
-            movers.append((abs(ratio - 1.0), name))
+            # upward movers (possible regressions) outrank downward
+            # ones (noise receding, e.g. vs the inflated r13 suite)
+            # for the capped slots
+            movers.append((ratio > 1.0, abs(ratio - 1.0), name))
     movers.sort(reverse=True)
-    cohort += [n for _, n in movers[:8] if n not in cohort]
+    cohort += [n for *_, n in movers[:8] if n not in cohort]
     return cohort
 
 
