@@ -37,6 +37,27 @@ from ..registry import register
 from ..sources.catalog import load_table
 
 
+def _phash_fingerprints(spark, sf_dir):
+    """(doc, fp) aHash fingerprint table over the synthesized BMP
+    corpus — shared by both queries, the stratum self-check script
+    (scripts/phash_stratum_check.py), and the pinned exactness test.
+
+    Materialized (localCheckpoint) before any self-join: with the
+    synth+decode expression tree left in the lineage, join planning
+    re-derives the whole byte pipeline on both sides (153 s for 500
+    rows); cut, it's 1.5 s.  Unlike the text simhash (whose
+    fingerprints come out of a groupBy, a natural materialization
+    point), this pipeline is map-only end to end, so the cut must be
+    explicit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = M.synthesize_bmp_pixels(docs, "doc_id", n_groups=100)
+    fps = M.bmp_ahash(imgs, "doc_id")
+    return (fps.filter(F.col("is_bmp"))
+            .select(F.col("doc_id").alias("doc"),
+                    F.col("ahash").alias("fp"))
+            .localCheckpoint(eager=True))
+
+
 @register("mm_phash_dedup", oracle="""
 WITH src AS (
   SELECT doc_id, doc_id % 100 AS g, (doc_id // 100) % 3 AS v
@@ -85,20 +106,7 @@ def mm_phash_dedup(spark, sf_dir):
     retouches (Hamming 1-2); heavier 4-pixel edits fall outside the
     radius and must NOT pair — the oracle brute-forces the full pair
     space to grade exactly that cut."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = M.synthesize_bmp_pixels(docs, "doc_id", n_groups=100)
-    fps = M.bmp_ahash(imgs, "doc_id")
-    # materialize the fingerprint table (8 bytes/image — sketch-sized
-    # state) before the self-join: with the synth+decode expression
-    # tree left in the lineage, join planning re-derives the whole
-    # byte pipeline on both sides (153 s for 500 rows); cut, it's
-    # 1.5 s.  Same discipline as bloom_prefilter_join's words table.
-    # Unlike the text simhash (whose fingerprints come out of a
-    # groupBy, a natural materialization point), this pipeline is
-    # map-only end to end, so the cut must be explicit.
-    fps = (fps.filter(F.col("is_bmp"))
-           .select(F.col("doc_id").alias("doc"), F.col("ahash").alias("fp"))
-           .localCheckpoint(eager=True))
+    fps = _phash_fingerprints(spark, sf_dir)
     return D.hamming_band_pairs(fps, bits=60, max_hamming=2)
 
 
@@ -165,14 +173,10 @@ def mm_phash_recall_audit(spark, sf_dir):
     ann_*_recall_audit: the compression trade is graded, never
     presumed.  Truth side is formula-bounded (group-sized join, never
     the image pair space); predicted side is the banded join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = M.synthesize_bmp_pixels(docs, "doc_id", n_groups=100)
-    fps = M.bmp_ahash(imgs, "doc_id")
-    fps = (fps.filter(F.col("is_bmp"))
-           .select(F.col("doc_id").alias("doc"), F.col("ahash").alias("fp"))
-           .localCheckpoint(eager=True))
+    fps = _phash_fingerprints(spark, sf_dir)
     pred = D.hamming_band_pairs(fps, bits=60, max_hamming=2) \
         .select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     lab = docs.select(
         "doc_id", (F.col("doc_id") % 100).alias("g"),
         ((F.col("doc_id") / 100).cast("bigint") % 3).alias("v"))

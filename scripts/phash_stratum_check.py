@@ -1,0 +1,66 @@
+"""sf1 exactness self-check for the pHash banded join (r13 verdict
+ask #2).
+
+The mm_phash_dedup oracle brute-forces the FULL pair space in DuckDB —
+O(n^2), infeasible at sf1 (50k images -> 1.25G pairs).  This script
+closes that asymmetry engine-side: pick a bounded doc_id stratum
+(default ``doc_id % 25 == 7`` -> 2k images at sf1 -> 2M brute pairs),
+brute-force every within-stratum pair, and assert the PRODUCTION
+banded join's output restricted to the stratum equals the brute set
+exactly (pigeonhole banding is exact — any divergence is a bug).
+
+The stratum-by-residue choice is load-bearing: content groups are
+``doc_id % 100``, so a modulus-25 residue keeps whole groups aligned
+inside the stratum and the planted duplicate/retouch pairs land
+within it — the check exercises real collisions, not an empty set.
+
+Usage:
+    PYTHONPATH=. python scripts/phash_stratum_check.py \
+        [--sf-dir /root/repo/.scratch/sf1] [--modulus 25] [--residue 7]
+
+Prints one JSON line for the SCALE.md row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from cassandra_join_library_spark import get_spark
+from cassandra_join_library_spark.operators.dedup import (
+    hamming_band_selfcheck,
+)
+from cassandra_join_library_spark.queries.wave33 import _phash_fingerprints
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
+    p.add_argument("--modulus", type=int, default=25)
+    p.add_argument("--residue", type=int, default=7)
+    args = p.parse_args()
+
+    spark = get_spark(app_name="phash-stratum-check")
+    t0 = time.time()
+    fps = _phash_fingerprints(spark, args.sf_dir)
+    t1 = time.time()
+    out = hamming_band_selfcheck(
+        fps, bits=60, max_hamming=2,
+        stratum=(F.col("doc") % args.modulus == args.residue),
+    )
+    out.update({
+        "sf_dir": args.sf_dir,
+        "modulus": args.modulus,
+        "residue": args.residue,
+        "corpus_docs": fps.count(),
+        "fingerprint_s": round(t1 - t0, 2),
+        "check_s": round(time.time() - t1, 2),
+    })
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,3 +150,29 @@ def test_distributed_compare_detects_divergence(spark, duck):
                f"SELECT * FROM ({oracle}) LIMIT {sn + 1}")
     dn2, _ = _duck_hash_agg(duck, wrapped, {})
     assert dn2 == sn + 1 != sn
+
+
+def test_phash_stratum_selfcheck_pins_script(spark):
+    """Pin the sf1 stratum self-check's machinery at sf0.01: the same
+    shared fingerprint builder + hamming_band_selfcheck the script
+    (scripts/phash_stratum_check.py) runs at sf1 must find a NON-EMPTY
+    brute set (a stratum that misses every planted duplicate would
+    vacuously pass) and zero missing/extra pairs.  Modulus 5 keeps
+    whole content groups (doc_id % 100) aligned inside the stratum,
+    exactly the residue trick the sf1 run relies on."""
+    from cassandra_join_library_spark.operators.dedup import (
+        hamming_band_selfcheck,
+    )
+    from cassandra_join_library_spark.queries.wave33 import (
+        _phash_fingerprints,
+    )
+    from .conftest import SF_ORACLE
+
+    fps = _phash_fingerprints(spark, SF_ORACLE)
+    out = hamming_band_selfcheck(
+        fps, bits=60, max_hamming=2,
+        stratum=(F.col("doc") % 5 == 2))
+    assert out["missing"] == 0 and out["extra"] == 0
+    assert out["brute_pairs"] > 0, "vacuous stratum — no planted pairs"
+    assert out["brute_pairs"] == out["banded_pairs_in_stratum"]
+    assert out["stratum_docs"] > 0
