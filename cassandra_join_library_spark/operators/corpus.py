@@ -156,6 +156,38 @@ def quality_quantile_filter(
     )
 
 
+def bench_shingle_index(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bench_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """The benchmark side's (shingle, bdoc) posting index, distinct,
+    optionally stop-shingle capped — THE store a decontamination
+    screen persists once per benchmark suite.  Shared by
+    :func:`contamination_overlap` (its join side) and the Bloom-store
+    screening queries (which build the benchmark's Bloom words table
+    over this index's distinct shingles), so the cap semantics can
+    never drift between the exact join and the filter built to prune
+    it."""
+    bench_sh = (
+        shingles(bench, id_col, text_col, n=n)
+        .select(F.col("shingle"), F.col("doc").alias("bdoc"))
+        .distinct()
+    )
+    if max_bench_doc_freq is not None:
+        bench_sh = (
+            bench_sh.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .filter(F.col("_df") <= max_bench_doc_freq)
+            .drop("_df")
+        )
+    return bench_sh
+
+
 def contamination_overlap(
     df: DataFrame,
     id_col: str,
@@ -164,6 +196,9 @@ def contamination_overlap(
     n: int = 3,
     threshold: float = 0.5,
     max_bench_doc_freq: "int | None" = None,
+    bench_bloom: "DataFrame | None" = None,
+    bloom_bits: "int | None" = None,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of a document's distinct
     word n-grams that appear in a benchmark/eval set.
@@ -183,6 +218,22 @@ def contamination_overlap(
     are non-discriminative for contamination anyway.  The per-doc
     denominator (``n_shingles``) is NOT capped: only matching is —
     capping the denominator would inflate ratios of generic docs.
+
+    ``bench_bloom``: optionally, the benchmark's persisted Bloom
+    filter as a (w, word) table (operators/bloom.py
+    ``bloom_words_table``, built once over the CAPPED bench shingle
+    store and stored next to it).  When given, the corpus side of the
+    ``hits`` join is pre-pruned MAP-SIDE through ``bloom_pass_keys``:
+    shingles failing the probe are provably absent from the benchmark
+    (no false negatives) and never shuffle into the join.  This is
+    the 100 TB screening shape — the benchmark is fixed and tiny, the
+    snapshot is the 100 TB side, and a healthy snapshot's shingles
+    are overwhelmingly benchmark-absent, so the exact join moves only
+    the (overlap + measured fp) fraction.  Output is bit-identical
+    with or without the filter; the totals denominator reads the
+    UNPRUNED shingle table (pruning it would deflate n_shingles).
+    ``bloom_bits`` must equal the build's num_bits (see
+    ``bloom_pass_keys`` on why there is no default).
     """
     # (doc, shingle), distinct — persisted: hits AND totals both read
     # it, and without the cache the expensive corpus-wide gram
@@ -190,28 +241,27 @@ def contamination_overlap(
     # sibling posting-list operator persists its shingles)
     doc_sh = shingles(df, id_col, text_col, n=n).persist()
     doc_sh.count()
-    bench_sh = (
-        shingles(bench, id_col, text_col, n=n)
-        .select(F.col("shingle"), F.col("doc").alias("bdoc"))
-        .distinct()
-    )
-    if max_bench_doc_freq is not None:
-        bench_sh = (
-            bench_sh.withColumn(
-                "_df",
-                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+    bench_sh = bench_shingle_index(bench, id_col, text_col, n=n,
+                                   max_bench_doc_freq=max_bench_doc_freq)
+    probe = doc_sh
+    if bench_bloom is not None:
+        from .bloom import bloom_pass_keys
+
+        if bloom_bits is None:
+            raise ValueError(
+                "bench_bloom requires bloom_bits — pass the exact "
+                "num_bits the words table was built with"
             )
-            .filter(F.col("_df") <= max_bench_doc_freq)
-            .drop("_df")
-        )
+        probe = bloom_pass_keys(doc_sh, "shingle", bench_bloom,
+                                bloom_bits, bloom_hashes)
     hits = (
-        doc_sh.join(
+        probe.join(
             bench_sh,
-            (doc_sh["shingle"] == bench_sh["shingle"])
-            & (doc_sh["doc"] != bench_sh["bdoc"]),
+            (probe["shingle"] == bench_sh["shingle"])
+            & (probe["doc"] != bench_sh["bdoc"]),
         )
-        .groupBy(doc_sh["doc"])
-        .agg(F.count_distinct(doc_sh["shingle"]).cast("bigint").alias("n_overlap"))
+        .groupBy(probe["doc"])
+        .agg(F.count_distinct(probe["shingle"]).cast("bigint").alias("n_overlap"))
     )
     totals = doc_sh.groupBy("doc").agg(
         F.count("*").cast("bigint").alias("n_shingles")

@@ -1,0 +1,264 @@
+"""Round-14 wave: benchmark-contamination screening through the
+benchmark's persisted Bloom store (r13 verdict ask #6) — the missing
+sibling of the cross-snapshot dedup/rotation family.
+
+The production shape at 100 TB: the benchmark/eval suite is tiny and
+FIXED — its capped shingle index (operators/corpus.py
+``bench_shingle_index``) and a portable Bloom words table over it are
+built once and persisted; every new training-corpus snapshot is then
+screened by probing its shingles against the broadcast Bloom
+MAP-SIDE, and only the pass fraction (true overlap + measured false
+positives — a sliver of a healthy crawl) ever shuffles into the exact
+inverted-index join.
+
+- ``corpus_contamination_bloom``: the wave-27-style new-snapshot half
+  (doc_id % 2 = 1) decontaminated against the benchmark subset
+  (doc_id % 20 = 0, stop-shingle capped) THROUGH the Bloom.  Bloom
+  filters have no false negatives, so the oracle is literally the
+  exact contamination SQL — the filter only removes shuffle volume,
+  exactly the ``dedup_cross_snapshot_bloom`` contract.
+- ``contamination_bloom_cut_audit``: the measured other half of the
+  trade, in the ``bloom_store_fp_audit`` family: the Bloom is built
+  portably (md5-seeded positions, fixed 2^20 bits so DuckDB
+  reproduces the exact bit content), every distinct snapshot shingle
+  probes it, and the graded outputs are the screen's shuffle cut in
+  row space (cut_row_ppm — the number that decides whether the
+  screen pays for itself), the false-positive rate among
+  benchmark-absent shingles (fp_ppm — what sizes num_bits), and
+  no_false_negatives (the theorem, checked).
+
+Extension surface (SURVEY.md §2.6); exact-value DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..operators.bloom import bloom_pass_keys, bloom_words_table
+from ..registry import register
+from ..sources.catalog import load_table
+from .wave31 import _sized_bits
+
+#: audit sizing: fixed 2^20 bits / k=5 (the bloom_store_fp_audit
+#: convention) so the DuckDB oracle replicates the exact bit content
+#: and fp_ppm visibly degrades as the benchmark index outgrows it
+_NUM_BITS = 1 << 20
+_K = 5
+
+#: 3-gram shingle CTEs over the snapshot split: the corpus side is
+#: the NEW snapshot (odd doc_ids), the benchmark is the fixed
+#: doc_id % 20 = 0 subset of the full table, stop-shingle capped at
+#: bench-doc-frequency 1 (the corpus_contamination_capped knob)
+_SCREEN_CTE = """
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM w WHERE len(w) >= 3
+), newg AS (
+  SELECT doc_id, shingle FROM g WHERE doc_id % 2 = 1
+), b0 AS (
+  SELECT DISTINCT shingle, doc_id AS bdoc FROM g WHERE doc_id % 20 = 0
+), b AS (
+  SELECT shingle, bdoc FROM (
+    SELECT shingle, bdoc, COUNT(*) OVER (PARTITION BY shingle) AS bdf
+    FROM b0
+  ) WHERE bdf <= 1
+)"""
+
+
+@register("corpus_contamination_bloom", oracle=f"""
+WITH {_SCREEN_CTE},
+hits AS (
+  SELECT newg.doc_id,
+         CAST(count(DISTINCT newg.shingle) AS BIGINT) AS n_overlap
+  FROM newg JOIN b ON newg.shingle = b.shingle
+                  AND newg.doc_id <> b.bdoc
+  GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM newg GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 6)
+         AS overlap_ratio,
+       coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles >= 0.5
+         AS is_contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+""")
+def corpus_contamination_bloom(spark, sf_dir):
+    """Benchmark decontamination of a new snapshot THROUGH the
+    benchmark's persisted Bloom store: identical output to the exact
+    capped screen (the oracle IS the exact contamination SQL — no
+    false negatives), but snapshot shingles failing the broadcast
+    Bloom probe never shuffle into the inverted-index join.  The
+    words table is built over the CAPPED bench index (the store the
+    screen persists; ``bench_shingle_index`` keeps the cap semantics
+    shared with the exact join) and sized at build time
+    (``_sized_bits`` — the benchmark cardinality is known when its
+    store is written).  At 100 TB the benchmark is constant-size, the
+    snapshot is the big side, and the screen's cost is one map-only
+    probe pass + a join over the pass sliver —
+    ``contamination_bloom_cut_audit`` measures that sliver."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    # the persisted store: capped bench index -> distinct shingles ->
+    # words table.  consumers: count (sizing) + words build
+    store = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
+                                   max_bench_doc_freq=1)
+             .select("shingle").distinct()
+             .localCheckpoint(eager=True))
+    bits = _sized_bits(store.count())
+    words = bloom_words_table(store, "shingle", bits, _K)
+    return C.contamination_overlap(
+        new, "doc_id", "text", bench, n=3, max_bench_doc_freq=1,
+        bench_bloom=words, bloom_bits=bits, bloom_hashes=_K)
+
+
+@register("contamination_bloom_cut_audit", oracle=f"""
+WITH {_SCREEN_CTE},
+store AS (SELECT DISTINCT shingle FROM b),
+seeds AS (SELECT unnest([{", ".join(str(i) for i in range(_K))}]) AS i),
+spos AS (
+  SELECT s.shingle,
+         ('0x' || substr(md5(i::VARCHAR || ':' || s.shingle), 1, 15))
+           ::BIGINT % {_NUM_BITS} AS pos
+  FROM store s, seeds
+), bloom AS (
+  SELECT CAST(pos // 64 AS BIGINT) AS w,
+         CAST(bit_or(CASE WHEN pos % 64 = 63
+                          THEN (-9223372036854775807)::BIGINT - 1
+                          ELSE 1::BIGINT << CAST(pos % 64 AS INT) END)
+              AS BIGINT) AS word
+  FROM spos GROUP BY 1
+), probe_keys AS (
+  SELECT DISTINCT shingle FROM newg
+), ppos AS (
+  SELECT p.shingle,
+         ('0x' || substr(md5(i::VARCHAR || ':' || p.shingle), 1, 15))
+           ::BIGINT % {_NUM_BITS} AS pos
+  FROM probe_keys p, seeds
+), bhits AS (
+  SELECT p.shingle, COUNT(*) AS nhit
+  FROM ppos p JOIN bloom bl ON CAST(p.pos // 64 AS BIGINT) = bl.w
+   AND ((CASE WHEN p.pos % 64 = 63
+              THEN (-9223372036854775807)::BIGINT - 1
+              ELSE 1::BIGINT << CAST(p.pos % 64 AS INT) END)
+        & bl.word) != 0
+  GROUP BY 1
+), pass AS (
+  SELECT shingle FROM bhits WHERE nhit = {_K}
+), truth AS (
+  SELECT shingle FROM probe_keys INTERSECT SELECT shingle FROM store
+), rows_all AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM newg
+), rows_pass AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_pass
+  FROM newg JOIN pass USING (shingle)
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM store) AS BIGINT) AS n_bench_shingles,
+  CAST((SELECT COUNT(*) FROM probe_keys) AS BIGINT) AS n_probes,
+  CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_pass,
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_member,
+  (SELECT n_rows FROM rows_all) AS n_rows,
+  (SELECT n_rows_pass FROM rows_pass) AS n_rows_pass,
+  CAST(((SELECT n_rows FROM rows_all)
+        - (SELECT n_rows_pass FROM rows_pass)) * 1000000
+       // (SELECT n_rows FROM rows_all) AS BIGINT) AS cut_row_ppm,
+  CAST(((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truth))
+       * 1000000
+       // GREATEST((SELECT COUNT(*) FROM probe_keys)
+                   - (SELECT COUNT(*) FROM truth), 1)
+    AS BIGINT) AS fp_ppm,
+  (SELECT COUNT(*) FROM truth t JOIN pass p USING (shingle))
+    = (SELECT COUNT(*) FROM truth) AS no_false_negatives
+""")
+def contamination_bloom_cut_audit(spark, sf_dir):
+    """One-row audit of the benchmark-screening Bloom: the capped
+    bench index's portable (w, word) table is probed by every
+    distinct new-snapshot shingle, and the graded outputs quantify
+    the trade ``corpus_contamination_bloom`` rides — cut_row_ppm
+    (fraction of the snapshot's (doc, shingle) join input removed
+    map-side: the shuffle the screen saves), fp_ppm (benchmark-absent
+    shingles that still pass — what sizes num_bits for a real
+    benchmark suite), and no_false_negatives (checked, not assumed).
+    Fixed 2^20 bits / k=5 so DuckDB rebuilds the exact bit content;
+    as the benchmark index outgrows the fixed filter the degradation
+    shows up HERE as fp_ppm drift, never as a silent wrong answer in
+    the screen itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    from ..operators.dedup import shingles
+
+    # checkpoint budget: the snapshot-sized frames live once each —
+    # rows (doc, shingle) and its distinct-shingle projection; the
+    # store and words are benchmark-sized (bounded by definition)
+    # consumers: rows count, row-level pass join
+    rows = shingles(new, "doc_id", "text", 3).localCheckpoint(eager=True)
+    # consumers: probe, flags join
+    news = rows.select("shingle").distinct().localCheckpoint(eager=True)
+    # consumers: words build, flags join, n_bench_shingles count
+    store = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
+                                   max_bench_doc_freq=1)
+             .select("shingle").distinct()
+             .localCheckpoint(eager=True))
+    # <= 16 K rows, broadcast-probed k times: checkpoint is cheap
+    words = bloom_words_table(store, "shingle", _NUM_BITS, _K)\
+        .localCheckpoint(eager=True)
+    passing = (bloom_pass_keys(news, "shingle", words, _NUM_BITS, _K)
+               .localCheckpoint(eager=True))
+
+    # ONE flags pass for the distinct-shingle counts (the wave-31
+    # pattern; sort-merge — all three sides are snapshot-sized)
+    flags = (
+        news.hint("merge")
+        .join(store.withColumn("in_store", F.lit(1)).hint("merge"),
+              "shingle", "left")
+        .join(passing.select("shingle")
+              .withColumn("passed", F.lit(1)).hint("merge"),
+              "shingle", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(F.coalesce(F.col("passed"), F.lit(0)))
+            .cast("bigint").alias("n_pass"),
+            F.sum(F.coalesce(F.col("in_store"), F.lit(0)))
+            .cast("bigint").alias("n_member"),
+            F.sum(F.coalesce(F.col("in_store"), F.lit(0))
+                  * F.coalesce(F.col("passed"), F.lit(0)))
+            .cast("bigint").alias("n_member_pass"),
+        ))
+    # row-level cut: the snapshot's (doc, shingle) rows that survive
+    # the map-side probe — what actually reaches the exact join
+    rstats = (
+        rows.hint("merge")
+        .join(passing.select("shingle")
+              .withColumn("passed", F.lit(1)).hint("merge"),
+              "shingle", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("passed"), F.lit(0)))
+            .cast("bigint").alias("n_rows_pass"),
+        ))
+    nbs = store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_shingles"))
+    return (nbs.crossJoin(F.broadcast(flags))
+            .crossJoin(F.broadcast(rstats))
+            .select(
+                "n_bench_shingles", "n_probes", "n_pass", "n_member",
+                "n_rows", "n_rows_pass",
+                F.expr("(n_rows - n_rows_pass) * 1000000 DIV n_rows")
+                .cast("bigint").alias("cut_row_ppm"),
+                F.expr("(n_pass - n_member) * 1000000 DIV "
+                       "greatest(n_probes - n_member, 1)")
+                .cast("bigint").alias("fp_ppm"),
+                (F.col("n_member_pass") == F.col("n_member"))
+                .alias("no_false_negatives"),
+            ))

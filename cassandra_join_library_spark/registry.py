@@ -204,8 +204,13 @@ _loaded = False
 #     corpus_e2e_pipeline, band/interval joins), then the first 18 of
 #     the r07-graded block (_ROUND7_FRONT order: null_handling
 #     through window_lag_lead).
-#   r15 POLICY: never-graded oracled queries first (any round-14
-#     additions registered after the locked front below), then
+#   round-14 additions: wave35 (corpus_contamination_bloom +
+#     contamination_bloom_cut_audit — benchmark-leak screening through
+#     the benchmark's persisted Bloom store, and its measured
+#     shuffle-cut / fp audit), oracled, registered AFTER the locked
+#     front, so these 2 are the r15 never-graded pool.
+#   r15 POLICY: never-graded oracled queries first (the round-14
+#     additions above), then
 #     continue the oldest-first sweep — the rest of the r07-graded
 #     block in _ROUND7_FRONT order (setop_union onward through the
 #     scalar tails, the round-6 operator additions, kmeans_clusters,
@@ -570,6 +575,7 @@ def _load_all() -> None:
         wave32,
         wave33,
         wave34,
+        wave35,
     )
     _reorder()
     _loaded = True

@@ -110,6 +110,9 @@ ALLOW = {
                                  "audit row",
         "bloom_store_rotation": "1-row flags aggregate crossjoined "
                                 "with the 1-row generation sizes",
+        "contamination_bloom_cut_audit": "three 1-row stat aggregates "
+                                         "crossjoined into the single "
+                                         "audit row",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),
