@@ -196,6 +196,7 @@ def contamination_overlap(
     n: int = 3,
     threshold: float = 0.5,
     max_bench_doc_freq: "int | None" = None,
+    bench_index: "DataFrame | None" = None,
     bench_bloom: "DataFrame | None" = None,
     bloom_bits: "int | None" = None,
     bloom_hashes: int = 5,
@@ -219,39 +220,63 @@ def contamination_overlap(
     denominator (``n_shingles``) is NOT capped: only matching is —
     capping the denominator would inflate ratios of generic docs.
 
+    ``bench_index``: optionally, the PREBUILT (shingle, bdoc) posting
+    index from :func:`bench_shingle_index` — the store a screening
+    pipeline persists once per benchmark suite.  When given, the
+    bench side is not rebuilt here (``max_bench_doc_freq`` is ignored
+    in its favor — the cap was applied when the index was built).
+
     ``bench_bloom``: optionally, the benchmark's persisted Bloom
     filter as a (w, word) table (operators/bloom.py
-    ``bloom_words_table``, built once over the CAPPED bench shingle
-    store and stored next to it).  When given, the corpus side of the
-    ``hits`` join is pre-pruned MAP-SIDE through ``bloom_pass_keys``:
-    shingles failing the probe are provably absent from the benchmark
-    (no false negatives) and never shuffle into the join.  This is
-    the 100 TB screening shape — the benchmark is fixed and tiny, the
-    snapshot is the 100 TB side, and a healthy snapshot's shingles
-    are overwhelmingly benchmark-absent, so the exact join moves only
-    the (overlap + measured fp) fraction.  Output is bit-identical
-    with or without the filter; the totals denominator reads the
-    UNPRUNED shingle table (pruning it would deflate n_shingles).
-    ``bloom_bits`` must equal the build's num_bits (see
-    ``bloom_pass_keys`` on why there is no default).
+    ``bloom_words_table``, built over the SAME index's distinct
+    shingles).  When given, the corpus side of the ``hits`` join is
+    pre-pruned MAP-SIDE through ``bloom_pass_keys``: shingles failing
+    the probe are provably absent from the benchmark (no false
+    negatives) and never shuffle into the join.  This is the 100 TB
+    screening shape — the benchmark is fixed and tiny, the snapshot
+    is the 100 TB side, and a healthy snapshot's shingles are
+    overwhelmingly benchmark-absent, so the exact join moves only the
+    (overlap + measured fp) fraction.  Output is bit-identical with
+    or without the filter; the totals denominator reads the UNPRUNED
+    shingle table (pruning it would deflate n_shingles).
+
+    ``bench_bloom`` REQUIRES ``bench_index``: the filter and the
+    store it was built over must travel together — a Bloom built over
+    a DIFFERENTLY-CAPPED index than the join side would prune
+    shingles the exact join should match (silent false negatives,
+    exactly the failure ``bloom_bits`` being mandatory guards against
+    in the size dimension).  ``bloom_bits`` must equal the build's
+    num_bits (see ``bloom_pass_keys`` on why there is no default).
     """
+    # argument validation FIRST — before the corpus-wide shingle
+    # transform is persisted (an error after that pass wastes the
+    # whole job and leaks the pinned frame)
+    if bench_bloom is not None:
+        if bench_index is None:
+            raise ValueError(
+                "bench_bloom requires bench_index — pass the exact "
+                "bench_shingle_index the words table was built over, "
+                "or a differently-capped rebuild here would make the "
+                "filter prune shingles the exact join must match"
+            )
+        if bloom_bits is None:
+            raise ValueError(
+                "bench_bloom requires bloom_bits — pass the exact "
+                "num_bits the words table was built with"
+            )
     # (doc, shingle), distinct — persisted: hits AND totals both read
     # it, and without the cache the expensive corpus-wide gram
     # transform executes twice per action (the same reason every
     # sibling posting-list operator persists its shingles)
     doc_sh = shingles(df, id_col, text_col, n=n).persist()
     doc_sh.count()
-    bench_sh = bench_shingle_index(bench, id_col, text_col, n=n,
-                                   max_bench_doc_freq=max_bench_doc_freq)
+    bench_sh = bench_index if bench_index is not None else \
+        bench_shingle_index(bench, id_col, text_col, n=n,
+                            max_bench_doc_freq=max_bench_doc_freq)
     probe = doc_sh
     if bench_bloom is not None:
         from .bloom import bloom_pass_keys
 
-        if bloom_bits is None:
-            raise ValueError(
-                "bench_bloom requires bloom_bits — pass the exact "
-                "num_bits the words table was built with"
-            )
         probe = bloom_pass_keys(doc_sh, "shingle", bench_bloom,
                                 bloom_bits, bloom_hashes)
     hits = (

@@ -108,17 +108,22 @@ def corpus_contamination_bloom(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
-    # the persisted store: capped bench index -> distinct shingles ->
-    # words table.  consumers: count (sizing) + words build
-    store = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
-                                   max_bench_doc_freq=1)
-             .select("shingle").distinct()
-             .localCheckpoint(eager=True))
+    # the persisted store, built ONCE (benchmark-sized — bounded by
+    # definition): the capped index feeds both the words table and the
+    # exact join side, so the cap semantics physically cannot diverge
+    # between the filter and the join it prunes.
+    # consumers: distinct (sizing + words build), exact hits join
+    idx = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
+                                 max_bench_doc_freq=1)
+           .localCheckpoint(eager=True))
+    # consumers: count (sizing) + words build
+    store = idx.select("shingle").distinct().localCheckpoint(eager=True)
     bits = _sized_bits(store.count())
     words = bloom_words_table(store, "shingle", bits, _K)
     return C.contamination_overlap(
-        new, "doc_id", "text", bench, n=3, max_bench_doc_freq=1,
-        bench_bloom=words, bloom_bits=bits, bloom_hashes=_K)
+        new, "doc_id", "text", bench, n=3,
+        bench_index=idx, bench_bloom=words,
+        bloom_bits=bits, bloom_hashes=_K)
 
 
 @register("contamination_bloom_cut_audit", oracle=f"""

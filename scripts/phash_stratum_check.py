@@ -51,6 +51,13 @@ def main() -> None:
         fps, bits=60, max_hamming=2,
         stratum=(F.col("doc") % args.modulus == args.residue),
     )
+    # a stratum that captures no planted pair passes missing==extra==0
+    # vacuously — refuse to print a green-looking row for it (pick a
+    # modulus whose residues keep whole doc_id%100 content groups)
+    assert out["brute_pairs"] > 0, (
+        f"vacuous stratum (0 brute pairs): modulus {args.modulus} / "
+        f"residue {args.residue} captured no planted duplicates"
+    )
     out.update({
         "sf_dir": args.sf_dir,
         "modulus": args.modulus,

@@ -18,8 +18,6 @@ from cassandra_join_library_spark.sources.catalog import (
     load_table, local_frame,
 )
 
-from .conftest import SF_ORACLE
-
 SF_TINY = "/root/testdata/sf0.001"
 
 
@@ -84,14 +82,36 @@ def test_cut_audit_invariants(spark):
     assert row["n_rows_pass"] < row["n_rows"]
 
 
-def test_contamination_overlap_bloom_requires_bits(spark):
-    """bench_bloom without bloom_bits must raise — a defaulted size
-    that differs from the build would probe the wrong words and
-    produce silent false negatives."""
+def test_contamination_overlap_bloom_guards(spark):
+    """Both silent-false-negative guards must fire, and BEFORE any
+    corpus-wide work: bench_bloom without the index it was built over
+    (a differently-capped rebuild would let the filter prune shingles
+    the exact join must match), and bench_bloom without bloom_bits
+    (a defaulted size would probe the wrong words)."""
     docs = load_table(spark, SF_TINY, "documents").limit(10)
-    store = bench_shingle_index(docs, "doc_id", "text", n=3) \
-        .select("shingle").distinct()
+    idx = bench_shingle_index(docs, "doc_id", "text", n=3)
+    store = idx.select("shingle").distinct()
     words = bloom_words_table(store, "shingle", 1 << 16, 5)
+    with pytest.raises(ValueError, match="bench_index"):
+        contamination_overlap(docs, "doc_id", "text", docs, n=3,
+                              bench_bloom=words, bloom_bits=1 << 16)
     with pytest.raises(ValueError, match="bloom_bits"):
         contamination_overlap(docs, "doc_id", "text", docs, n=3,
-                              bench_bloom=words)
+                              bench_index=idx, bench_bloom=words)
+
+
+def test_contamination_overlap_prebuilt_index_matches_rebuild(spark):
+    """Passing the prebuilt capped index must give the same answer as
+    letting contamination_overlap rebuild it — the single-build path
+    corpus_contamination_bloom rides."""
+    docs = load_table(spark, SF_TINY, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    idx = bench_shingle_index(bench, "doc_id", "text", n=3,
+                              max_bench_doc_freq=1)
+    via_rebuild = contamination_overlap(
+        new, "doc_id", "text", bench, n=3, max_bench_doc_freq=1)
+    via_index = contamination_overlap(
+        new, "doc_id", "text", bench, n=3, bench_index=idx)
+    assert {tuple(r) for r in via_rebuild.collect()} \
+        == {tuple(r) for r in via_index.collect()}
