@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_cross_snapshot_bloom",  # bloom-store prefilter cut of the store join
     "tokenizer_fertility_drift",   # tokenizer drift audit vs frozen merge table
     "mm_phash_dedup",              # image perceptual-hash near-dup (band join)
+    # round-14 addition: the wave-35 head
+    "corpus_contamination_bloom",  # benchmark-leak screen through the bench bloom
 ]
 
 
