@@ -1,0 +1,113 @@
+"""Pins for bench.py's driver-contract emission (r13 verdict asks
+#3/#4): the stdout line must stay inside the driver's ~2000-char tail
+window (the r13 parsed:null failure mode), carry the conditions
+stamp, and the drift cohort must recover timings from a truncated
+prior record without poisoning itself with fresh-JVM isolated
+numbers or a wrong scale factor.
+
+Pure-Python: no SparkSession — these run in milliseconds."""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import json
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _capture_emit(bench, out):
+    buf, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(err):
+        bench._emit(out)
+    lines = buf.getvalue().strip().splitlines()
+    return lines, err.getvalue()
+
+
+def test_emit_single_parseable_line_with_conditions(bench):
+    out = {"metric": "headline_suite_seconds", "value": 1.0,
+           "unit": "sec", "queries": {"q": 1.0}, "sf": 0.1,
+           "conditions": {"load1": 1.0}}
+    lines, err = _capture_emit(bench, dict(out))
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["conditions"] == {"load1": 1.0}
+    assert len(lines[0]) <= 1900 and not err
+
+
+def test_emit_demotes_conditions_before_truncation(bench):
+    """Over budget: conditions go to stderr, the contract fields stay
+    on ONE stdout line that still parses — never a truncated record."""
+    out = {"metric": "m", "value": 1.0, "unit": "sec",
+           "queries": {f"query_name_{i:03d}": 1.234 for i in range(80)},
+           "sf": 0.1, "conditions": {"load1": 1.0, "mem_avail_gb": 99.9}}
+    lines, err = _capture_emit(bench, dict(out))
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert "conditions" not in parsed
+    assert len(parsed["queries"]) == 80  # contract fields intact
+    assert json.loads(err.strip().splitlines()[0])["conditions"][
+        "mem_avail_gb"] == 99.9
+
+
+def test_emit_current_headline_fits_budget(bench):
+    """The REAL headline suite (worst-case name lengths, realistic
+    values + conditions) must fit the budget with room — if this
+    fails, shrink HEADLINE or move fields before the driver records
+    another parsed:null."""
+    out = {"metric": "headline_suite_seconds", "value": 123.456,
+           "unit": "sec",
+           "queries": {name: 99.999 for name in bench.HEADLINE},
+           "sf": 0.1,
+           "conditions": {"load1": 99.99, "mem_avail_gb": 999.9,
+                          "other_jvms": 99, "load1_end": 99.99}}
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"headline stdout line {len(line)} chars — over the driver "
+        f"tail budget; shrink HEADLINE or demote fields"
+    )
+
+
+def test_drift_cohort_recovers_truncated_record(bench, tmp_path,
+                                                monkeypatch):
+    """A driver record with parsed:null (the r13 shape) still feeds
+    the cohort: timings regex-recovered from the tail, wrapper sf
+    respected, isolated_fresh_jvm suffix dropped."""
+    rec = {
+        "n": 99, "rc": 0, "sf": 0.1, "parsed": None,
+        "tail": ('ric": "headline_suite_seconds", "value": 9.9, '
+                 '"queries": {"alpha": 1.0, "beta": 2.0}, "sf": 0.1, '
+                 '"isolated_fresh_jvm": {"alpha": 7.0}'),
+    }
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda _: str(tmp_path))
+    # beta moved 2.0 -> 0.5 (down), alpha 1.0 -> 1.5 (up): both are
+    # movers; the isolated 7.0 for alpha must NOT be the baseline
+    # (it would flag alpha as a huge downward mover instead)
+    cohort = bench._drift_cohort({"alpha": 1.5, "beta": 0.5}, 0.1)
+    assert "alpha" in cohort and "beta" in cohort
+    # upward mover outranks downward in the capped ordering
+    assert cohort.index("alpha") < cohort.index("beta")
+    # wrong current sf -> cross-sf guard holds (legacy two only)
+    assert bench._drift_cohort({"alpha": 99.0}, 0.01) == [
+        "join_composite", "bloom_prefilter_join"]
+
+
+def test_bench_conditions_keys(bench):
+    cond = bench._bench_conditions()
+    assert set(cond) == {"load1", "mem_avail_gb", "other_jvms"}
+    assert cond["other_jvms"] >= 0
