@@ -385,3 +385,25 @@ def test_registry_integrity():
             assert meta.get("reason"), (
                 f"ROWS_ONLY[{n!r}] has neither superseded_by nor reason"
             )
+
+
+def test_front_matches_policy():
+    """The locked `_ROUND14_FRONT` must equal what the mechanical
+    rotation policy (scripts/compute_front.py) derives from the
+    correctness ledger — never-graded first, then oldest-latest-green
+    with banked-list tie-break.  The exclude names are this round's
+    post-lock wave-35 additions (invisible at lock time; they head
+    the r15 pool).  A future front hand-edited against the policy
+    fails here instead of surprising the judge."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).parent.parent))
+    from scripts.compute_front import compute_front
+
+    from cassandra_join_library_spark import registry
+
+    got = [n for n, _ in compute_front(
+        14, exclude=frozenset({"corpus_contamination_bloom",
+                               "contamination_bloom_cut_audit"}))]
+    assert got == registry._ROUND14_FRONT
