@@ -1,21 +1,27 @@
-"""sf1 exactness self-check for the pHash banded join (r13 verdict
-ask #2).
+"""sf1 exactness self-check for the Hamming-banded pair joins (r13
+verdict ask #2).
 
-The mm_phash_dedup oracle brute-forces the FULL pair space in DuckDB —
-O(n^2), infeasible at sf1 (50k images -> 1.25G pairs).  This script
-closes that asymmetry engine-side: pick a bounded doc_id stratum
-(default ``doc_id % 25 == 7`` -> 2k images at sf1 -> 2M brute pairs),
-brute-force every within-stratum pair, and assert the PRODUCTION
-banded join's output restricted to the stratum equals the brute set
-exactly (pigeonhole banding is exact — any divergence is a bug).
+The mm_phash_dedup / dedup_simhash oracles brute-force the FULL pair
+space in DuckDB — O(n^2), infeasible at sf1 (50k docs -> 1.25G
+pairs).  This script closes that asymmetry engine-side: pick a
+bounded doc_id stratum (default ``doc_id % 25 == 7`` -> 2k docs at
+sf1 -> 2M brute pairs), brute-force every within-stratum pair, and
+assert the PRODUCTION banded join's output restricted to the stratum
+equals the brute set exactly (pigeonhole banding is exact — any
+divergence is a bug).
 
-The stratum-by-residue choice is load-bearing: content groups are
+``--family phash`` (default) checks the image aHash fingerprints; the
+stratum-by-residue choice is load-bearing there: content groups are
 ``doc_id % 100``, so a modulus-25 residue keeps whole groups aligned
 inside the stratum and the planted duplicate/retouch pairs land
-within it — the check exercises real collisions, not an empty set.
+within it.  ``--family simhash`` checks the text path
+(dedup_simhash's portable 60-bit fingerprints, radius 2) — pair
+density comes from the corpus itself, so the non-vacuous guard below
+may require a wider stratum (smaller modulus).
 
 Usage:
     PYTHONPATH=. python scripts/phash_stratum_check.py \
+        [--family phash|simhash] \
         [--sf-dir /root/repo/.scratch/sf1] [--modulus 25] [--residue 7]
 
 Prints one JSON line for the SCALE.md row.
@@ -33,19 +39,42 @@ from cassandra_join_library_spark import get_spark
 from cassandra_join_library_spark.operators.dedup import (
     hamming_band_selfcheck,
 )
-from cassandra_join_library_spark.queries.wave33 import _phash_fingerprints
+
+
+def _fingerprints(family: str, spark, sf_dir: str):
+    if family == "phash":
+        from cassandra_join_library_spark.queries.wave33 import (
+            _phash_fingerprints,
+        )
+
+        return _phash_fingerprints(spark, sf_dir)
+    # text simhash: the exact fingerprints dedup_simhash bands
+    # (portable 60-bit md5 path), materialized like every posting-
+    # family input before the self-join
+    from cassandra_join_library_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+    from cassandra_join_library_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (simhash_fingerprints(docs, "doc_id", "text",
+                                 bits=60, portable=True)
+            .select(F.col("doc"), F.col("simhash").alias("fp"))
+            .localCheckpoint(eager=True))
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--family", choices=("phash", "simhash"),
+                   default="phash")
     p.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
     p.add_argument("--modulus", type=int, default=25)
     p.add_argument("--residue", type=int, default=7)
     args = p.parse_args()
 
-    spark = get_spark(app_name="phash-stratum-check")
+    spark = get_spark(app_name=f"{args.family}-stratum-check")
     t0 = time.time()
-    fps = _phash_fingerprints(spark, args.sf_dir)
+    fps = _fingerprints(args.family, spark, args.sf_dir)
     t1 = time.time()
     out = hamming_band_selfcheck(
         fps, bits=60, max_hamming=2,
@@ -59,6 +88,7 @@ def main() -> None:
         f"residue {args.residue} captured no planted duplicates"
     )
     out.update({
+        "family": args.family,
         "sf_dir": args.sf_dir,
         "modulus": args.modulus,
         "residue": args.residue,
