@@ -186,7 +186,20 @@ def main() -> None:
     if not only:
         cohort = _drift_cohort(timings, sf)
         isolated = {}
+        truncated = False
+        # cumulative child budget: 10 fresh-JVM children at ~2 min each
+        # would stack 20 min onto the suite and risk the caller's
+        # timeout (each child pays full JVM spin-up + warm-ups); the
+        # movers are ordered most-suspicious-first, so a cut tail loses
+        # the least-interesting rows
+        deadline = time.time() + 12 * 60
         for name in cohort:
+            if time.time() > deadline:
+                truncated = True
+                print(f"drift cohort truncated at child budget: "
+                      f"skipped {cohort[cohort.index(name):]}",
+                      file=sys.stderr)
+                break
             try:
                 child = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -198,7 +211,8 @@ def main() -> None:
             except Exception:
                 isolated[name] = None  # bench must still print its line
         detail = {"sf": sf, "isolated_fresh_jvm": isolated,
-                  "suite_at_time": {n: timings.get(n) for n in cohort}}
+                  "suite_at_time": {n: timings.get(n) for n in cohort},
+                  "cohort_truncated": truncated}
         print(json.dumps(detail), file=sys.stderr)
         try:
             with open(os.path.join(
