@@ -194,7 +194,11 @@ def main() -> None:
         # the least-interesting rows
         deadline = time.time() + 12 * 60
         for name in cohort:
-            if time.time() > deadline:
+            # the per-child timeout shrinks to the remaining budget —
+            # a launch-time-only check would let one hung child
+            # stretch the block to deadline + 600 s
+            remaining = deadline - time.time()
+            if remaining < 60:
                 truncated = True
                 print(f"drift cohort truncated at child budget: "
                       f"skipped {cohort[cohort.index(name):]}",
@@ -204,7 +208,8 @@ def main() -> None:
                 child = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env={**os.environ, "SPARK_GRAFT_ONLY": name},
-                    capture_output=True, text=True, timeout=600,
+                    capture_output=True, text=True,
+                    timeout=min(600, remaining),
                 )
                 line = child.stdout.strip().splitlines()[-1]
                 isolated[name] = json.loads(line)["queries"][name]
@@ -312,9 +317,13 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
                 # drift coverage beats none.  sf comes from the
                 # wrapper's own record, NOT the current run — the
                 # cross-sf guard below must still work
-                "sf": prev_doc.get("sf", sf),
+                # no default: a wrapper without sf must FAIL the
+                # cross-sf guard below, not inherit this run's sf
+                "sf": prev_doc.get("sf"),
+                # \s* accepts both the legacy spaced format (r13's
+                # record) and _emit's compact separators
                 "queries": {m.group(1): float(m.group(2)) for m in
-                            re.finditer(r'"(\w+)": ([\d.]+)[,}]', tail)
+                            re.finditer(r'"(\w+)":\s*([\d.]+)[,}]', tail)
                             if m.group(1) not in ("value", "sf")},
             }
         if prev_doc.get("sf") != sf:

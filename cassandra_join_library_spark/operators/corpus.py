@@ -23,6 +23,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..parity import MAX_PARITY_DECIMAL_SCALE
+
 from .dedup import shingles
 
 # Knuth multiplicative-hash constant.  The id is reduced mod 2^31-1
@@ -992,7 +994,7 @@ def token_budget_plan(
     text_col: str,
     source_col: str,
     budget_tokens: int,
-    round_to: int = 6,
+    round_to: int = MAX_PARITY_DECIMAL_SCALE,
 ) -> DataFrame:
     """Token-budget mixture planning: given a global training-token
     budget and a target weight per source, compute each source's token

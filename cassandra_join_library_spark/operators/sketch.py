@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..parity import MAX_PARITY_DECIMAL_SCALE
+
 # 2^60 — the hash space of a 15-hex-digit md5 prefix (fits BIGINT)
 HASH_SPACE = 1 << 60
 
@@ -100,7 +102,7 @@ def sampled_percentiles(
     id_col: str,
     rate: int = 8,
     percentiles: "tuple[float, ...]" = (0.5, 0.9, 0.99),
-    round_to: int = 6,
+    round_to: int = MAX_PARITY_DECIMAL_SCALE,
 ) -> DataFrame:
     """Per-group approximate percentiles from a deterministic
     hash-Bernoulli sample.

@@ -264,6 +264,11 @@ def distributed_compare(spark, sf_dir: str, name: str, con=None) -> dict:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     overrides = DISTRIBUTED_CANON.get(name, {})
+    # t0 BEFORE query construction: eager-checkpoint queries do most
+    # of their engine work in the builder, and excluding it would
+    # under-report spark_s in SCALE rows (the DESCRIBE below is
+    # plan-only on the duck side — negligible inside the window)
+    t0 = time.time()
     sdf = all_queries()[name](spark, sf_dir)
     # schema check BEFORE hashing: an oracle column-alias mismatch must
     # surface as a named schema error, not an opaque hash-sum divergence
@@ -273,7 +278,6 @@ def distributed_compare(spark, sf_dir: str, name: str, con=None) -> dict:
     assert sorted(sdf.columns) == dcols, (
         f"{name}: columns {sorted(sdf.columns)} (spark) != {dcols} (duckdb)"
     )
-    t0 = time.time()
     sn, sh = _spark_hash_agg(sdf, overrides)
     t1 = time.time()
     dn, dh = _duck_hash_agg(con, all_oracles()[name], overrides)

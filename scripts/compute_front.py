@@ -73,10 +73,15 @@ def compute_front(round_n: int, window: int = 50,
 
     # banked-list position = graded-cohort tie-break; highest round
     # first so the most recent statement of an order wins (names
-    # repeat across lists; first-seen below keeps the newest)
+    # repeat across lists; first-seen below keeps the newest).
+    # Lists for round_n or later are EXCLUDED — including the round's
+    # own front would make the derivation self-fulfilling (a permuted
+    # hand-edit of _ROUND{N}_FRONT would reproduce itself and the pin
+    # test would pass vacuously)
     rounds = sorted(
         (int(m.group(1)), a) for a in dir(R)
-        if (m := re.fullmatch(r"_ROUND(\d+)_FRONT", a)))
+        if (m := re.fullmatch(r"_ROUND(\d+)_FRONT", a))
+        and int(m.group(1)) < round_n)
     banked_lists = [getattr(R, a) for _, a in reversed(rounds)]
     banked_lists.append(R._BANKED_ROUND6)
     pos: "dict[str, int]" = {}
