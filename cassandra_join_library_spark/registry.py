@@ -26,6 +26,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: Dict[str, QueryFn] = {}
 _ORACLES: Dict[str, str] = {}
+# Raw registration order, appended in register() BEFORE _reorder()
+# permutes _QUERIES — so scripts/compute_front.py can pin the
+# never-graded segment's ordering non-circularly (reading it back
+# from the reordered dict would let a permuted hand-edit of a
+# _ROUND*_FRONT reproduce itself through the pin test).
+_REG_ORDER: "list[str]" = []
 
 
 def register(name: str, oracle: Optional[str] = None):
@@ -55,6 +61,7 @@ def register(name: str, oracle: Optional[str] = None):
             return fn(spark, sf_dir)
 
         _QUERIES[name] = wrapped
+        _REG_ORDER.append(name)
         if oracle is not None:
             _ORACLES[name] = oracle
         return wrapped
@@ -217,10 +224,58 @@ _loaded = False
 #     and the wave-4 tail), then the r09 block (_ROUND9_FRONT order).
 #     First evidence outranks re-evidence;
 #     re-grades fill only leftover slots.
+#   round 15 (this order): _ROUND15_FRONT below — computed by
+#     `scripts/compute_front.py --round 15` exactly per the r15
+#     policy: the 2 never-graded wave-35 queries first
+#     (corpus_contamination_bloom, contamination_bloom_cut_audit —
+#     first driver evidence), then 48 oldest-graded-first re-grades
+#     (latest green round per name, banked-list order as tie-break):
+#     the 32 remaining r07-graded names (_ROUND7_FRONT from
+#     setop_union through events_inactivity_gaps — setops, scalars,
+#     CDC/stream-upsert, BPE, graph/profile heads, kmeans, the
+#     wave-4 tail), then the first 16 of the r09-graded block
+#     (_ROUND9_FRONT order: graph_bfs_hops through events_ewma_exact).
+#   r16 POLICY: never-graded oracled queries first (any round-15
+#     additions registered after the locked front), then continue the
+#     oldest-first sweep — the rest of the r09-graded block in
+#     _ROUND9_FRONT order (dedup_spark_minhash_crossval onward), then
+#     the r10 block (_ROUND10_FRONT order) until the window holds 50.
+#     First evidence outranks re-evidence; re-grades fill only
+#     leftover slots.  Mechanical read-out:
+#     `PYTHONPATH=. python scripts/compute_front.py --round 16`
+#     (run at lock time, before any new wave registers).
 #   banked (driver-green, regression pool): _ROUND12_FRONT,
 #     _ROUND11_FRONT, _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
 #     registration order.
+_ROUND15_FRONT = [
+    # 2 never-graded oracled queries (wave 35, registered after the
+    # locked r14 front) — first driver evidence
+    "corpus_contamination_bloom", "contamination_bloom_cut_audit",
+    # 32 remaining r07-graded re-grades (oldest driver evidence),
+    # _ROUND7_FRONT order from setop_union onward
+    "setop_union", "setop_intersect", "setop_except", "scalar_string",
+    "scalar_datetime", "scalar_math", "scalar_json", "cdc_merge_upsert",
+    "stream_upsert_foreachbatch", "corpus_bpe_merges", "corpus_bpe_encode",
+    "embedding_gram_matrix", "corpus_cluster_balance",
+    "asof_click_next_purchase_tol", "privacy_k_anonymity",
+    "ivm_orders_by_month_refresh", "graph_pagerank_copurchase",
+    "profile_key_skew", "profile_fk_integrity", "kmeans_clusters",
+    "graph_triangle_count", "graph_degree_distribution",
+    "mm_image_patch_plan", "mm_audio_frame_plan", "text_code_detect",
+    "corpus_length_histogram", "corpus_mixture_temperature",
+    "window_cume_percent", "asof_nearest_event", "dedup_prefix_key",
+    "ann_mutual_knn", "events_inactivity_gaps",
+    # first 16 of the r09-graded block, _ROUND9_FRONT order
+    "graph_bfs_hops", "privacy_l_diversity", "mm_wav_pcm_stats",
+    "text_cdc_chunks", "corpus_vocab_coverage", "profile_snapshot_drift",
+    "layout_zonemap_skipping", "corpus_leakage_safe_split",
+    "events_markov_transitions", "embedding_standardize",
+    "text_readability_score", "events_rfm_scores", "corpus_chunk_overlap",
+    "text_line_dedup_within_doc", "events_linear_attribution",
+    "events_ewma_exact",
+]
+
 _ROUND14_FRONT = [
     # 3 never-graded oracled queries (wave 33/34, registered after the
     # locked r13 front) — first driver evidence
@@ -488,16 +543,17 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND14_FRONT, then
-    the banked (already driver-green) _ROUND13_FRONT/_ROUND12_FRONT/
-    _ROUND11_FRONT/_ROUND10_FRONT/_ROUND9_FRONT/_ROUND8_FRONT/
-    _ROUND7_FRONT/_BANKED_ROUND6, then the rest of the oracled
-    queries in registration order, then the no-oracle queries last."""
-    seen = set(_ROUND14_FRONT)
-    front = _ROUND14_FRONT + [
-        n for n in _ROUND13_FRONT + _ROUND12_FRONT + _ROUND11_FRONT
-        + _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT
-        + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND15_FRONT, then
+    the banked (already driver-green) _ROUND14_FRONT/_ROUND13_FRONT/
+    _ROUND12_FRONT/_ROUND11_FRONT/_ROUND10_FRONT/_ROUND9_FRONT/
+    _ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the rest of the
+    oracled queries in registration order, then the no-oracle queries
+    last."""
+    seen = set(_ROUND15_FRONT)
+    front = _ROUND15_FRONT + [
+        n for n in _ROUND14_FRONT + _ROUND13_FRONT + _ROUND12_FRONT
+        + _ROUND11_FRONT + _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT
+        + _ROUND7_FRONT + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]

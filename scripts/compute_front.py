@@ -47,15 +47,15 @@ def compute_front(round_n: int, window: int = 50,
     the lock)."""
     import cassandra_join_library_spark.registry as R
 
-    # registration order = import order BEFORE the rotation reorder
+    # registration order = import order BEFORE the rotation reorder.
+    # _load_all applies _reorder, which permutes _QUERIES — so the raw
+    # order is recorded separately in register() (_REG_ORDER) before
+    # the permutation.  Reading list(_QUERIES) here would be circular
+    # for the never-graded segment: a permuted hand-edit of the very
+    # _ROUND{N}_FRONT being verified would reproduce itself and the
+    # pin test would pass vacuously.
     R._load_all()
-    # _load_all applies _reorder; recover raw registration order by
-    # re-importing is invasive — instead use the banked-list order
-    # convention plus current dict order for unlisted names, which is
-    # exactly the tie-break rule (registry order only matters for
-    # ties, and every tied cohort is covered by a banked list or by
-    # post-front registration order, which _reorder preserves).
-    reg_order = list(R._QUERIES)
+    reg_order = list(R._REG_ORDER)
     oracled = set(R._ORACLES)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

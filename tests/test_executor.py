@@ -388,13 +388,14 @@ def test_registry_integrity():
 
 
 def test_front_matches_policy():
-    """The locked `_ROUND14_FRONT` must equal what the mechanical
+    """The locked `_ROUND15_FRONT` must equal what the mechanical
     rotation policy (scripts/compute_front.py) derives from the
     correctness ledger — never-graded first, then oldest-latest-green
-    with banked-list tie-break.  The exclude names are this round's
-    post-lock wave-35 additions (invisible at lock time; they head
-    the r15 pool).  A future front hand-edited against the policy
-    fails here instead of surprising the judge."""
+    with banked-list tie-break.  The r15 exclude names are this
+    round's post-lock wave-36 additions (invisible at lock time; they
+    head the r16 pool); the r14 retro-check excludes the wave-35 pair
+    for the same reason.  A future front hand-edited against the
+    policy fails here instead of surprising the judge."""
     import sys
 
     sys.path.insert(0, str(__import__("pathlib").Path(
@@ -403,7 +404,15 @@ def test_front_matches_policy():
 
     from cassandra_join_library_spark import registry
 
-    got = [n for n, _ in compute_front(
+    got15 = [n for n, _ in compute_front(
+        15, exclude=frozenset({"mm_audio_fingerprint_dedup",
+                               "mm_audio_fp_recall_audit"}))]
+    assert got15 == registry._ROUND15_FRONT
+
+    # retro-check: the r14 lock still reproduces from the ledger
+    got14 = [n for n, _ in compute_front(
         14, exclude=frozenset({"corpus_contamination_bloom",
-                               "contamination_bloom_cut_audit"}))]
-    assert got == registry._ROUND14_FRONT
+                               "contamination_bloom_cut_audit",
+                               "mm_audio_fingerprint_dedup",
+                               "mm_audio_fp_recall_audit"}))]
+    assert got14 == registry._ROUND14_FRONT
