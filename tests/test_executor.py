@@ -337,12 +337,13 @@ def test_registry_integrity():
         f"oracle-less queries occupy gradable driver slots: {unoracled}"
     )
 
-    seen = set(registry._ROUND14_FRONT)
-    declared = registry._ROUND14_FRONT + [
-        n for n in (registry._ROUND13_FRONT + registry._ROUND12_FRONT
-                    + registry._ROUND11_FRONT + registry._ROUND10_FRONT
-                    + registry._ROUND9_FRONT + registry._ROUND8_FRONT
-                    + registry._ROUND7_FRONT + registry._BANKED_ROUND6)
+    seen = set(registry._ROUND15_FRONT)
+    declared = registry._ROUND15_FRONT + [
+        n for n in (registry._ROUND14_FRONT + registry._ROUND13_FRONT
+                    + registry._ROUND12_FRONT + registry._ROUND11_FRONT
+                    + registry._ROUND10_FRONT + registry._ROUND9_FRONT
+                    + registry._ROUND8_FRONT + registry._ROUND7_FRONT
+                    + registry._BANKED_ROUND6)
         if n not in seen and not seen.add(n)
     ]
     assert window == declared[:50], (
