@@ -24,6 +24,10 @@ from cassandra_join_library_spark import get_spark
 from cassandra_join_library_spark.registry import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Where prior-round BENCH_r*.json records live (module-level so tests
+# can point the drift cohort at a fixture dir without monkeypatching
+# the process-global os.path module).
+_BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
 
 HEADLINE = [
     # reference-surface core
@@ -296,9 +300,7 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
     import glob
 
     cohort = ["join_composite", "bloom_prefilter_join"]
-    benches = sorted(glob.glob(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_r*.json")))
+    benches = sorted(glob.glob(os.path.join(_BENCH_DIR, "BENCH_r*.json")))
     if not benches:
         return cohort
     try:
@@ -308,9 +310,18 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
         # {...}} — the timings live under "parsed" there, at top level
         # when reading our own output
         if "parsed" in prev_doc and "queries" not in prev_doc:
-            # isolated_fresh_jvm numbers are fresh-JVM, not in-suite —
-            # they'd register as false movers; drop that suffix
-            tail = prev_doc.get("tail", "").split('"isolated_fresh_jvm"')[0]
+            # The driver-captured tail can hold the stderr drift-detail
+            # line (which LEADS with isolated_fresh_jvm / suite_at_time
+            # numbers) BEFORE the stdout record — recover only from the
+            # stdout record: the substring after the LAST '"metric":'
+            # marker, falling back to the last line when truncation ate
+            # the marker (the r13 shape).  Then drop any trailing
+            # isolated_fresh_jvm suffix: those numbers are fresh-JVM,
+            # not in-suite — they'd register as false movers.
+            raw = prev_doc.get("tail", "")
+            cut = raw.rfind('"metric":')
+            tail = raw[cut:] if cut != -1 else raw.rsplit("\n", 1)[-1]
+            tail = tail.split('"isolated_fresh_jvm"')[0]
             prev_doc = prev_doc["parsed"] or {
                 # parsed:null (the r13 truncated-tail record): recover
                 # what timings survive in the tail fragment — partial

@@ -176,7 +176,8 @@ SELECT
   (SELECT n_rows_pass FROM rows_pass) AS n_rows_pass,
   CAST(((SELECT n_rows FROM rows_all)
         - (SELECT n_rows_pass FROM rows_pass)) * 1000000
-       // (SELECT n_rows FROM rows_all) AS BIGINT) AS cut_row_ppm,
+       // GREATEST((SELECT n_rows FROM rows_all), 1)
+    AS BIGINT) AS cut_row_ppm,
   CAST(((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truth))
        * 1000000
        // GREATEST((SELECT COUNT(*) FROM probe_keys)
@@ -259,7 +260,11 @@ def contamination_bloom_cut_audit(spark, sf_dir):
             .select(
                 "n_bench_shingles", "n_probes", "n_pass", "n_member",
                 "n_rows", "n_rows_pass",
-                F.expr("(n_rows - n_rows_pass) * 1000000 DIV n_rows")
+                # greatest(...,1) mirrors fp_ppm: a 0-row snapshot
+                # reports cut_row_ppm=0 on BOTH engines instead of
+                # Spark's non-ANSI NULL vs DuckDB's div-by-zero error
+                F.expr("(n_rows - n_rows_pass) * 1000000 DIV "
+                       "greatest(n_rows, 1)")
                 .cast("bigint").alias("cut_row_ppm"),
                 F.expr("(n_pass - n_member) * 1000000 DIV "
                        "greatest(n_probes - n_member, 1)")

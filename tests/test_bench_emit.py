@@ -93,8 +93,10 @@ def test_drift_cohort_recovers_truncated_record(bench, tmp_path,
                  '"isolated_fresh_jvm": {"alpha": 7.0}'),
     }
     (tmp_path / "BENCH_r99.json").write_text(json.dumps(rec))
-    monkeypatch.setattr(bench.os.path, "dirname",
-                        lambda _: str(tmp_path))
+    # module-level constant, NOT bench.os.path.dirname — that is the
+    # process-global os.path module, and patching it would silently
+    # rewrite dirname for everything else during the test
+    monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
     # beta moved 2.0 -> 0.5 (down), alpha 1.0 -> 1.5 (up): both are
     # movers; the isolated 7.0 for alpha must NOT be the baseline
     # (it would flag alpha as a huge downward mover instead)
@@ -105,6 +107,29 @@ def test_drift_cohort_recovers_truncated_record(bench, tmp_path,
     # wrong current sf -> cross-sf guard holds (legacy two only)
     assert bench._drift_cohort({"alpha": 99.0}, 0.01) == [
         "join_composite", "bloom_prefilter_join"]
+
+
+def test_drift_cohort_skips_leading_stderr_detail(bench, tmp_path,
+                                                  monkeypatch):
+    """The r14-shape tail: the stderr drift-detail line (leading with
+    isolated_fresh_jvm numbers) precedes the stdout record.  Recovery
+    must take the substring after the LAST '\"metric\":' — splitting at
+    the FIRST isolated_fresh_jvm key would discard the real queries
+    fragment and regex-recover the isolated numbers as baselines."""
+    rec = {
+        "n": 99, "rc": 0, "sf": 0.1, "parsed": None,
+        "tail": ('{"drift_cohort": ["alpha"], "isolated_fresh_jvm": '
+                 '{"alpha": 7.0}, "suite_at_time": {"alpha": 6.5}, '
+                 '"cohort_truncated": false}\n'
+                 '{"metric":"headline_suite_seconds","value":9.9,'
+                 '"queries":{"alpha":1.0,"beta":2.0},"sf":0.1}'),
+    }
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
+    # with the 7.0/6.5 stderr numbers as baseline, alpha 1.4 would be
+    # a huge DOWNWARD mover; against the true 1.0 it is an upward one
+    cohort = bench._drift_cohort({"alpha": 1.4, "beta": 2.0}, 0.1)
+    assert "alpha" in cohort and "beta" not in cohort
 
 
 def test_bench_conditions_keys(bench):
