@@ -79,6 +79,35 @@ def test_emit_current_headline_fits_budget(bench):
         f"headline stdout line {len(line)} chars — over the driver "
         f"tail budget; shrink HEADLINE or demote fields"
     )
+    # headroom pin (r14 verdict ask #3): the line must still fit after
+    # the headline grows to 60 queries at worst-case wave-name length
+    # (~26-char names like corpus_contamination_bloom => ~35 chars per
+    # entry).  Values use 9.999 — realistic, not 99.999: no headline
+    # query has ever exceeded 10 s at sf0.1 (max 3.7 s), and a >10 s
+    # query would be kept out of the suite for dominating it anyway
+    # (the graph_triangle_count precedent).  When this fails, rotate
+    # the oldest LLM-pipeline members into TIER2 before the driver
+    # records another parsed:null.
+    realistic = dict(out, queries={n: 9.999 for n in bench.HEADLINE})
+    base = len(json.dumps(realistic, separators=(",", ":")))
+    projected = base + (60 - len(bench.HEADLINE)) * 35
+    assert projected < 1900, (
+        f"projected stdout line at 60 headline queries is {projected} "
+        f"chars — rotate members into bench.TIER2 now"
+    )
+
+
+def test_tier2_disjoint_and_registered(bench):
+    """TIER2 members left the headline, didn't vanish: disjoint from
+    HEADLINE, no duplicates, and every name still registered (so
+    SPARK_GRAFT_TIER2=1 / SPARK_GRAFT_ONLY can run them)."""
+    from cassandra_join_library_spark.registry import all_queries
+
+    assert not set(bench.TIER2) & set(bench.HEADLINE)
+    assert len(set(bench.TIER2)) == len(bench.TIER2)
+    qs = all_queries()
+    missing = [n for n in bench.TIER2 + bench.HEADLINE if n not in qs]
+    assert not missing, f"bench names not in registry: {missing}"
 
 
 def test_drift_cohort_recovers_truncated_record(bench, tmp_path,
