@@ -91,6 +91,8 @@ HEADLINE = [
     "mm_phash_dedup",              # image perceptual-hash near-dup (band join)
     # round-14 addition: the wave-35 head
     "corpus_contamination_bloom",  # benchmark-leak screen through the bench bloom
+    # round-15 addition: the wave-36 head
+    "mm_audio_fingerprint_dedup",  # audio energy-diff fingerprint near-dup (band join)
 ]
 
 # Second bench tier (r14 verdict ask #3): the oldest LLM-pipeline

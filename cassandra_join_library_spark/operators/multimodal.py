@@ -463,6 +463,151 @@ def synthesize_wav_pcm(df: DataFrame, id_col: str,
     )
 
 
+def synthesize_wav_pcm_groups(df: DataFrame, id_col: str,
+                              n_samples: int = 122,
+                              n_groups: int = 100) -> DataFrame:
+    """Spec-conformant mono 16-bit PCM WAV whose data chunk is a
+    deterministic function of a CONTENT GROUP, so duplicate and
+    near-duplicate audio clips exist (the audio twin of
+    :func:`synthesize_bmp_pixels`):
+
+      g = id % n_groups                      (the clip's content)
+      v = (id // n_groups) % 3               (variant within group)
+      s(i) = md5("g_i")[:4] % 160 - 80       (base clip, signed:
+                                              hex-prefix of the md5 of
+                                              the "g_i" string — any
+                                              SQL engine replays it)
+      v=1: samples 14,15 += 40               (one-frame re-encode
+                                              wobble -> near-dup)
+      v=2: samples 40,41,60,61,80,81,100,101 += 40
+                                             (four-frame edit ->
+                                              distinct clip)
+
+    The base MUST be hash-derived: linear-congruential formulas
+    (``(g*37 + i*29) % 160`` and every LCG tried) leave the energy
+    sequence quasi-periodic, collapsing the 100 group fingerprints
+    onto ~70 distinct values with thousands of cross-group
+    Hamming-0 collisions; the md5 base yields 100 distinct masters.
+    With 2-sample frames the v=1 bump perturbs ONE frame energy (can
+    flip at most the two fingerprint bits that compare it), while the
+    v=2 bump perturbs four frames spread across the clip (up to eight
+    bits).  Whether a touched comparison actually flips depends on
+    the neighboring energies, so the v=2 edit lands outside Hamming
+    radius 2 for only ~half the groups — realistic fingerprint
+    behavior, and exactly what the recall/precision audit measures
+    instead of assuming.  The fixture for the audio-fingerprint dedup
+    path (:func:`pcm_energy_diff_fingerprint` +
+    dedup.hamming_band_pairs).  Returns (id, payload)."""
+    rate, ch = 16000, 1
+    data_size = n_samples * 2
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    base = ("(conv(substring(md5(concat(cast(g AS string), '_', "
+            "cast(i AS string))), 1, 4), 16, 10) % 160 - 80)")
+    bump = ("(CASE WHEN v = 1 AND i IN (14, 15) THEN 40 "
+            " WHEN v = 2 AND i IN (40, 41, 60, 61, 80, 81, 100, 101) "
+            " THEN 40 ELSE 0 END)")
+    # signed sample -> unsigned 16-bit two's-complement image; the
+    # sample range (-80..119) keeps s + 65536 positive, so one mod
+    # suffices
+    u16 = f"(({base} + {bump}) + 65536) % 65536"
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {n}), i -> concat("
+        "  lpad(hex(({v}) % 256), 2, '0'),"
+        "  lpad(hex(({v}) div 256), 2, '0'))), '')".format(
+            n=n_samples - 1, v=u16)
+    )
+    header_hex = F.concat(
+        F.lit("52494646"), le(F.lit(36 + data_size), 4),
+        F.lit("57415645"), F.lit("666d7420"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(F.lit(ch), 2), le(F.lit(rate), 4),
+        le(F.lit(rate * ch * 2), 4), le(F.lit(ch * 2), 2),
+        le(F.lit(16), 2), F.lit("64617461"), le(F.lit(data_size), 4),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (F.col(id_col) % n_groups).alias("g"),
+            ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
+        )
+        .select(
+            F.col(id_col),
+            F.unhex(F.concat(header_hex, pcm_hex)).alias("payload"),
+        )
+    )
+
+
+def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
+                                payload_col: str = "payload",
+                                bits: int = 60) -> DataFrame:
+    """Acoustic fingerprint straight from the WAV bytes: the clip is
+    cut into 2-sample frames, per-frame energy is ``s0² + s1²``, and
+    fingerprint bit ``b`` is 1 iff ``energy(b+1) > energy(b)`` — the
+    energy-difference sign fingerprint of Haitsma & Kalker ("A Highly
+    Robust Audio Fingerprint System", ISMIR 2002), minus the
+    filterbank: amplitude wobble that doesn't reorder neighboring
+    frame energies leaves the fingerprint untouched, so re-encodes
+    land within a small Hamming radius of their master.
+
+    60 bits (61 frames, 122 samples) keeps the fingerprint inside a
+    signed 64-bit integer for any SQL oracle, matching the portable
+    SimHash/aHash width so :func:`..operators.dedup.hamming_band_pairs`
+    and ``hamming_band_selfcheck`` apply unchanged.  Decode is the
+    same array-first hex-offset arithmetic as :func:`pcm_stats` —
+    map-only per clip, embarrassingly parallel at 100 TB; clips too
+    short for the requested width are dropped (the oracle mirrors the
+    same bound).  Returns (id, fp)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    n_frames = bits + 1
+    with_n = df.select(
+        F.col(id_col), hx.alias("h"),
+        (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
+    ).filter(F.col("n_samples") >= 2 * n_frames)
+    # stage arrays one hop at a time (samples -> energies -> fold):
+    # inlining the decode into the energy map re-evaluates the
+    # conv/substring pair per use — the pcm_stats lesson
+    s_i = (
+        "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
+        " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
+    )
+    signed = (f"CAST({s_i} AS BIGINT) - "
+              f"(CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)")
+    staged = with_n.select(
+        F.col(id_col),
+        F.expr(f"transform(sequence(0, {2 * n_frames - 1}), "
+               f"i -> {signed})").alias("sm"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "transform(sequence(0, {last}), f -> "
+            " element_at(sm, 2*f + 1) * element_at(sm, 2*f + 1)"
+            " + element_at(sm, 2*f + 2) * element_at(sm, 2*f + 2))"
+            .format(last=n_frames - 1)).alias("en"),
+    )
+    fp = (
+        "aggregate(sequence(0, {last}), 0L, (acc, b) -> acc + "
+        " (CASE WHEN element_at(en, b + 2) > element_at(en, b + 1) "
+        "  THEN shiftleft(1L, b) ELSE 0L END))".format(last=bits - 1)
+    )
+    return staged.select(F.col(id_col), F.expr(fp).alias("fp"))
+
+
 def pcm_stats(df: DataFrame, id_col: str,
               payload_col: str = "payload") -> DataFrame:
     """Integer DSP over the WAV data chunk, straight from the bytes:

@@ -235,8 +235,13 @@ _loaded = False
 #     CDC/stream-upsert, BPE, graph/profile heads, kmeans, the
 #     wave-4 tail), then the first 16 of the r09-graded block
 #     (_ROUND9_FRONT order: graph_bfs_hops through events_ewma_exact).
-#   r16 POLICY: never-graded oracled queries first (any round-15
-#     additions registered after the locked front), then continue the
+#   round-15 additions: wave36 (mm_audio_fingerprint_dedup +
+#     mm_audio_fp_recall_audit — audio-fingerprint dedup through the
+#     shared Hamming-band machinery, and its measured recall/precision
+#     audit), oracled, registered AFTER the locked front, so these 2
+#     are the r16 never-graded pool.
+#   r16 POLICY: never-graded oracled queries first (the round-15
+#     additions above), then continue the
 #     oldest-first sweep — the rest of the r09-graded block in
 #     _ROUND9_FRONT order (dedup_spark_minhash_crossval onward), then
 #     the r10 block (_ROUND10_FRONT order) until the window holds 50.
@@ -632,6 +637,7 @@ def _load_all() -> None:
         wave33,
         wave34,
         wave35,
+        wave36,
     )
     _reorder()
     _loaded = True

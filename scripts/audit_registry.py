@@ -113,6 +113,9 @@ ALLOW = {
         "contamination_bloom_cut_audit": "three 1-row stat aggregates "
                                          "crossjoined into the single "
                                          "audit row",
+        "mm_audio_fp_recall_audit": "two 1-row pair-count broadcasts "
+                                    "crossjoined into the single "
+                                    "audit row",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),

@@ -14,14 +14,17 @@ divergence is a bug).
 stratum-by-residue choice is load-bearing there: content groups are
 ``doc_id % 100``, so a modulus-25 residue keeps whole groups aligned
 inside the stratum and the planted duplicate/retouch pairs land
-within it.  ``--family simhash`` checks the text path
-(dedup_simhash's portable 60-bit fingerprints, radius 2) — pair
-density comes from the corpus itself, so the non-vacuous guard below
-may require a wider stratum (smaller modulus).
+within it.  ``--family audio`` checks the WAV energy-difference
+fingerprints (queries/wave36.py) — same ``doc_id % 100`` content
+groups, so the same residue trick applies.  ``--family simhash``
+checks the text path (dedup_simhash's portable 60-bit fingerprints,
+radius 2) — pair density comes from the corpus itself, so the
+non-vacuous guard below may require a wider stratum (smaller
+modulus).
 
 Usage:
     PYTHONPATH=. python scripts/phash_stratum_check.py \
-        [--family phash|simhash] \
+        [--family phash|audio|simhash] \
         [--sf-dir /root/repo/.scratch/sf1] [--modulus 25] [--residue 7]
 
 Prints one JSON line for the SCALE.md row.
@@ -48,6 +51,12 @@ def _fingerprints(family: str, spark, sf_dir: str):
         )
 
         return _phash_fingerprints(spark, sf_dir)
+    if family == "audio":
+        from cassandra_join_library_spark.queries.wave36 import (
+            _audio_fingerprints,
+        )
+
+        return _audio_fingerprints(spark, sf_dir)
     # text simhash: the exact fingerprints dedup_simhash bands
     # (portable 60-bit md5 path), materialized like every posting-
     # family input before the self-join
@@ -65,7 +74,7 @@ def _fingerprints(family: str, spark, sf_dir: str):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=("phash", "simhash"),
+    p.add_argument("--family", choices=("phash", "audio", "simhash"),
                    default="phash")
     p.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
     p.add_argument("--modulus", type=int, default=25)
