@@ -517,10 +517,13 @@ def synthesize_wav_pcm_groups(df: DataFrame, id_col: str,
     # sample range (-80..119) keeps s + 65536 positive, so one mod
     # suffices
     u16 = f"(({base} + {bump}) + 65536) % 65536"
+    # nested transforms: the inner array evaluates the md5 ONCE per
+    # sample; inlining u16 into both concat halves would hash twice
     pcm_hex = F.expr(
-        "array_join(transform(sequence(0, {n}), i -> concat("
-        "  lpad(hex(({v}) % 256), 2, '0'),"
-        "  lpad(hex(({v}) div 256), 2, '0'))), '')".format(
+        "array_join(transform("
+        "  transform(sequence(0, {n}), i -> {v}), u -> concat("
+        "  lpad(hex(u % 256), 2, '0'),"
+        "  lpad(hex(u div 256), 2, '0'))), '')".format(
             n=n_samples - 1, v=u16)
     )
     header_hex = F.concat(
@@ -530,17 +533,24 @@ def synthesize_wav_pcm_groups(df: DataFrame, id_col: str,
         le(F.lit(rate * ch * 2), 4), le(F.lit(ch * 2), 2),
         le(F.lit(16), 2), F.lit("64617461"), le(F.lit(data_size), 4),
     )
-    return (
-        df.select(
-            F.col(id_col),
-            (F.col(id_col) % n_groups).alias("g"),
-            ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
-        )
-        .select(
-            F.col(id_col),
-            F.unhex(F.concat(header_hex, pcm_hex)).alias("payload"),
-        )
+    # payload content depends only on (g, v) — n_groups*3 distinct
+    # byte strings.  Build them ONCE and broadcast-join back to the
+    # docs instead of running the md5 chain per doc: the synthesis is
+    # fixture plumbing (real corpora read real bytes), so its cost
+    # must not drown the per-clip decode+fingerprint the query
+    # actually measures (5k docs: 7 s inline -> ~0.5 s joined).
+    keyed = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_groups).alias("g"),
+        ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
     )
+    payloads = (
+        keyed.select("g", "v").distinct()
+        .select("g", "v",
+                F.unhex(F.concat(header_hex, pcm_hex)).alias("payload"))
+    )
+    return (keyed.join(F.broadcast(payloads), ["g", "v"])
+            .select(F.col(id_col), "payload"))
 
 
 def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
@@ -579,31 +589,43 @@ def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
         F.col(id_col), hx.alias("h"),
         (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
     ).filter(F.col("n_samples") >= 2 * n_frames)
-    # stage arrays one hop at a time (samples -> energies -> fold):
-    # inlining the decode into the energy map re-evaluates the
-    # conv/substring pair per use — the pcm_stats lesson
+    # decode the sample ARRAY once, then fingerprint in ONE fold over
+    # it.  A staged energies array read back with two element_at per
+    # bit looks cheaper but is not: CollapseProject inlines the array
+    # expression into EVERY reference, so the decode re-runs per read
+    # (measured 8-21 s for 5k clips; this single-pass fold is ~1 s).
+    # The fold state is (i, part, prev, fp): at even sample index
+    # stash s², at odd index complete frame energy e = part + s²,
+    # emit bit b = (i-3)/2 comparing e against the previous frame's
+    # energy, and carry e forward.
+    # nested transforms: the inner array runs the conv/substring pair
+    # ONCE per sample; inlining s_i into both halves of the sign
+    # correction would decode twice
     s_i = (
         "(conv(substring(h, 89 + 4*i, 2), 16, 10) + "
         " 256 * conv(substring(h, 91 + 4*i, 2), 16, 10))"
     )
-    signed = (f"CAST({s_i} AS BIGINT) - "
-              f"(CASE WHEN {s_i} >= 32768 THEN 65536 ELSE 0 END)")
     staged = with_n.select(
         F.col(id_col),
-        F.expr(f"transform(sequence(0, {2 * n_frames - 1}), "
-               f"i -> {signed})").alias("sm"),
-    ).select(
-        F.col(id_col),
         F.expr(
-            "transform(sequence(0, {last}), f -> "
-            " element_at(sm, 2*f + 1) * element_at(sm, 2*f + 1)"
-            " + element_at(sm, 2*f + 2) * element_at(sm, 2*f + 2))"
-            .format(last=n_frames - 1)).alias("en"),
+            "transform(transform(sequence(0, {n}), i -> "
+            "CAST({s} AS BIGINT)), u -> "
+            "u - (CASE WHEN u >= 32768 THEN 65536 ELSE 0 END))"
+            .format(n=2 * n_frames - 1, s=s_i)).alias("sm"),
     )
     fp = (
-        "aggregate(sequence(0, {last}), 0L, (acc, b) -> acc + "
-        " (CASE WHEN element_at(en, b + 2) > element_at(en, b + 1) "
-        "  THEN shiftleft(1L, b) ELSE 0L END))".format(last=bits - 1)
+        "aggregate(sm, "
+        " named_struct('i', 0L, 'part', 0L, 'prev', 0L, 'fp', 0L), "
+        " (acc, v) -> CASE WHEN acc.i % 2 = 0 "
+        "  THEN named_struct('i', acc.i + 1, 'part', v * v, "
+        "       'prev', acc.prev, 'fp', acc.fp) "
+        "  ELSE named_struct('i', acc.i + 1, 'part', 0L, "
+        "       'prev', acc.part + v * v, "
+        "       'fp', acc.fp + (CASE WHEN acc.i >= 3 "
+        "         AND acc.part + v * v > acc.prev "
+        "         THEN shiftleft(1L, cast((acc.i - 3) DIV 2 AS INT)) "
+        "         ELSE 0L END)) END, "
+        " acc -> acc.fp)"
     )
     return staged.select(F.col(id_col), F.expr(fp).alias("fp"))
 

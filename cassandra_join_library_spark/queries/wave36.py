@@ -63,8 +63,17 @@ def _audio_fingerprints(spark, sf_dir):
     Materialized (localCheckpoint) before any self-join: the
     synth+decode expression tree left in the lineage would be
     re-derived on both sides of the band join (the wave-33 lesson:
-    153 s for 500 rows uncut, 1.5 s cut)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    153 s for 500 rows uncut, 1.5 s cut).
+
+    Repartitioned BEFORE the per-clip decode: the sf fixtures are one
+    small parquet file -> one input split, and the hex-offset decode
+    is the CPU cost the query measures (~2 ms/clip) — on one task it
+    serializes (10.6 s for 5k clips; ~1.5 s spread over the cores).
+    A real audio corpus gets this parallelism from its file splits;
+    the explicit repartition stands in for exactly that."""
+    sc = spark.sparkContext
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
+            .repartition(sc.defaultParallelism))
     wav = M.synthesize_wav_pcm_groups(docs, "doc_id")
     fps = M.pcm_energy_diff_fingerprint(wav, "doc_id")
     return (fps.select(F.col("doc_id").alias("doc"), "fp")
