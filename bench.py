@@ -130,7 +130,10 @@ def main() -> None:
     # scale measurements of non-headline queries (any registered name
     # is accepted)
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    tier2 = os.environ.get("SPARK_GRAFT_TIER2")
+    # explicit falsy values mean OFF — SPARK_GRAFT_TIER2=0 must not
+    # silently record a tier-2 run as the round's headline
+    tier2 = os.environ.get("SPARK_GRAFT_TIER2", "").lower() not in (
+        "", "0", "false", "no")
     if only:
         headline = [q for q in only.split(",") if q in queries]
     elif tier2:
@@ -245,8 +248,7 @@ def main() -> None:
         print(json.dumps(detail), file=sys.stderr)
         try:
             with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_ISOLATED_LAST.json"), "w") as fh:
+                    _BENCH_DIR, "BENCH_ISOLATED_LAST.json"), "w") as fh:
                 json.dump(detail, fh, indent=1)
                 fh.write("\n")
         except OSError:
@@ -340,7 +342,11 @@ def _drift_cohort(timings: "dict[str, float]", sf: float) -> "list[str]":
             # not in-suite — they'd register as false movers.
             raw = prev_doc.get("tail", "")
             cut = raw.rfind('"metric":')
-            tail = raw[cut:] if cut != -1 else raw.rsplit("\n", 1)[-1]
+            # strip trailing newlines before the last-line fallback:
+            # the r13-shape record ends with its own newline, and a
+            # bare rsplit would return the empty string after it
+            tail = (raw[cut:] if cut != -1
+                    else raw.rstrip("\n").rsplit("\n", 1)[-1])
             tail = tail.split('"isolated_fresh_jvm"')[0]
             prev_doc = prev_doc["parsed"] or {
                 # parsed:null (the r13 truncated-tail record): recover

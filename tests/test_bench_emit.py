@@ -117,9 +117,12 @@ def test_drift_cohort_recovers_truncated_record(bench, tmp_path,
     respected, isolated_fresh_jvm suffix dropped."""
     rec = {
         "n": 99, "rc": 0, "sf": 0.1, "parsed": None,
+        # trailing newline is the REAL r13 shape (the record ends with
+        # its own newline) — a bare rsplit('\n') fallback would
+        # recover an empty string and zero timings
         "tail": ('ric": "headline_suite_seconds", "value": 9.9, '
                  '"queries": {"alpha": 1.0, "beta": 2.0}, "sf": 0.1, '
-                 '"isolated_fresh_jvm": {"alpha": 7.0}'),
+                 '"isolated_fresh_jvm": {"alpha": 7.0}\n'),
     }
     (tmp_path / "BENCH_r99.json").write_text(json.dumps(rec))
     # module-level constant, NOT bench.os.path.dirname — that is the
