@@ -117,6 +117,12 @@ TIER2 = [
 ]
 
 
+def _tier2_enabled(raw: "str | None") -> bool:
+    """Explicit falsy values mean OFF — SPARK_GRAFT_TIER2=0 must not
+    silently record a tier-2 run as the round's headline."""
+    return (raw or "").lower() not in ("", "0", "false", "no")
+
+
 def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
@@ -130,10 +136,7 @@ def main() -> None:
     # scale measurements of non-headline queries (any registered name
     # is accepted)
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    # explicit falsy values mean OFF — SPARK_GRAFT_TIER2=0 must not
-    # silently record a tier-2 run as the round's headline
-    tier2 = os.environ.get("SPARK_GRAFT_TIER2", "").lower() not in (
-        "", "0", "false", "no")
+    tier2 = _tier2_enabled(os.environ.get("SPARK_GRAFT_TIER2"))
     if only:
         headline = [q for q in only.split(",") if q in queries]
     elif tier2:

@@ -164,6 +164,16 @@ def test_drift_cohort_skips_leading_stderr_detail(bench, tmp_path,
     assert "alpha" in cohort and "beta" not in cohort
 
 
+def test_tier2_env_parsing(bench):
+    """SPARK_GRAFT_TIER2=0/false/no/unset means headline mode; only
+    affirmative values flip the suite to TIER2 (review finding: raw
+    truthiness made '0' enable tier-2)."""
+    for off in (None, "", "0", "false", "False", "no"):
+        assert not bench._tier2_enabled(off), off
+    for on in ("1", "true", "yes", "anything"):
+        assert bench._tier2_enabled(on), on
+
+
 def test_bench_conditions_keys(bench):
     cond = bench._bench_conditions()
     assert set(cond) == {"load1", "mem_avail_gb", "other_jvms"}
