@@ -254,8 +254,11 @@ def synthesize_bmp_pixels(df: DataFrame, id_col: str,
 
     The fixture for the perceptual-hash dedup path (:func:`bmp_ahash`
     + dedup.hamming_band_pairs).  Returns (id, payload)."""
-    gid = F.col(id_col) % n_groups
-    var = (F.col(id_col) / n_groups).cast("bigint") % 3
+    # gid/var read the projected _g/_v columns: the payload build runs
+    # over the DISTINCT (g, v) table (see below), where id_col does
+    # not exist
+    gid = F.col("_g")
+    var = F.col("_v")
 
     def le(x, nbytes):
         parts = [
@@ -290,10 +293,25 @@ def synthesize_bmp_pixels(df: DataFrame, id_col: str,
     pixels_hex = F.concat(*[
         F.repeat(F.lpad(F.hex(luma(i)), 2, "0"), 3) for i in range(64)
     ])
-    return df.select(
+    # payload content depends only on (g, v) — n_groups*3 distinct
+    # byte strings.  Build them once and broadcast-join back instead
+    # of running the 64-pixel hex build per doc (the fixture-synthesis
+    # dedup that cut the WAV twin's build 7 s -> ~0.5 s at sf0.1;
+    # real corpora read real bytes, so synthesis cost must not drown
+    # the per-image decode+hash the queries measure).
+    keyed = df.select(
         F.col(id_col),
-        F.unhex(F.concat(header_hex, pixels_hex)).alias("payload"),
+        (F.col(id_col) % n_groups).alias("_g"),
+        ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("_v"),
     )
+    payloads = (
+        keyed.select("_g", "_v").distinct()
+        .select(
+            "_g", "_v",
+            F.unhex(F.concat(header_hex, pixels_hex)).alias("payload"))
+    )
+    return (keyed.join(F.broadcast(payloads), ["_g", "_v"])
+            .select(F.col(id_col), "payload"))
 
 
 def bmp_ahash(df: DataFrame, id_col: str,

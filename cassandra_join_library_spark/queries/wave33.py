@@ -48,8 +48,16 @@ def _phash_fingerprints(spark, sf_dir):
     rows); cut, it's 1.5 s.  Unlike the text simhash (whose
     fingerprints come out of a groupBy, a natural materialization
     point), this pipeline is map-only end to end, so the cut must be
-    explicit."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    explicit.
+
+    Repartitioned BEFORE the per-image decode (the round-15 lesson
+    from the audio twin): the sf fixtures are one small parquet file
+    -> one input split, which serializes the CPU-bound decode+hash on
+    a single task; a real image corpus gets the parallelism from its
+    file splits — the explicit repartition stands in for that."""
+    sc = spark.sparkContext
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
+            .repartition(sc.defaultParallelism))
     imgs = M.synthesize_bmp_pixels(docs, "doc_id", n_groups=100)
     fps = M.bmp_ahash(imgs, "doc_id")
     return (fps.filter(F.col("is_bmp"))
