@@ -33,6 +33,31 @@ DECODED_SCHEMA = StructType([
 ])
 
 
+def _group_variant_payloads(df: DataFrame, id_col: str, n_groups: int,
+                            payload: "F.Column") -> DataFrame:
+    """Shared fixture-synthesis dedup for the content-group
+    synthesizers (BMP pixels, WAV PCM): payload content depends only
+    on (g = id % n_groups, v = (id // n_groups) % 3), so build the
+    ``n_groups * 3`` distinct byte strings once and broadcast-join
+    them back instead of running the byte build per doc (measured
+    7 s -> ~0.5 s for 5k docs at sf0.1).  ``payload`` is a Column
+    over the (g, v) key frame.  Synthesis is fixture plumbing — real
+    corpora read real bytes — so its cost must not drown the
+    per-item decode+fingerprint the queries measure.
+    Returns (id, payload)."""
+    keyed = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_groups).alias("g"),
+        ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
+    )
+    payloads = (
+        keyed.select("g", "v").distinct()
+        .select("g", "v", payload.alias("payload"))
+    )
+    return (keyed.join(F.broadcast(payloads), ["g", "v"])
+            .select(F.col(id_col), "payload"))
+
+
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stand-in payload: UTF-8 bytes of the text column as the opaque
     ``payload`` binary (in production this column arrives from the
@@ -254,11 +279,11 @@ def synthesize_bmp_pixels(df: DataFrame, id_col: str,
 
     The fixture for the perceptual-hash dedup path (:func:`bmp_ahash`
     + dedup.hamming_band_pairs).  Returns (id, payload)."""
-    # gid/var read the projected _g/_v columns: the payload build runs
-    # over the DISTINCT (g, v) table (see below), where id_col does
-    # not exist
-    gid = F.col("_g")
-    var = F.col("_v")
+    # gid/var read the projected g/v columns: the payload build runs
+    # over the DISTINCT (g, v) table (_group_variant_payloads), where
+    # id_col does not exist
+    gid = F.col("g")
+    var = F.col("v")
 
     def le(x, nbytes):
         parts = [
@@ -293,25 +318,8 @@ def synthesize_bmp_pixels(df: DataFrame, id_col: str,
     pixels_hex = F.concat(*[
         F.repeat(F.lpad(F.hex(luma(i)), 2, "0"), 3) for i in range(64)
     ])
-    # payload content depends only on (g, v) — n_groups*3 distinct
-    # byte strings.  Build them once and broadcast-join back instead
-    # of running the 64-pixel hex build per doc (the fixture-synthesis
-    # dedup that cut the WAV twin's build 7 s -> ~0.5 s at sf0.1;
-    # real corpora read real bytes, so synthesis cost must not drown
-    # the per-image decode+hash the queries measure).
-    keyed = df.select(
-        F.col(id_col),
-        (F.col(id_col) % n_groups).alias("_g"),
-        ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("_v"),
-    )
-    payloads = (
-        keyed.select("_g", "_v").distinct()
-        .select(
-            "_g", "_v",
-            F.unhex(F.concat(header_hex, pixels_hex)).alias("payload"))
-    )
-    return (keyed.join(F.broadcast(payloads), ["_g", "_v"])
-            .select(F.col(id_col), "payload"))
+    return _group_variant_payloads(
+        df, id_col, n_groups, F.unhex(F.concat(header_hex, pixels_hex)))
 
 
 def bmp_ahash(df: DataFrame, id_col: str,
@@ -551,24 +559,8 @@ def synthesize_wav_pcm_groups(df: DataFrame, id_col: str,
         le(F.lit(rate * ch * 2), 4), le(F.lit(ch * 2), 2),
         le(F.lit(16), 2), F.lit("64617461"), le(F.lit(data_size), 4),
     )
-    # payload content depends only on (g, v) — n_groups*3 distinct
-    # byte strings.  Build them ONCE and broadcast-join back to the
-    # docs instead of running the md5 chain per doc: the synthesis is
-    # fixture plumbing (real corpora read real bytes), so its cost
-    # must not drown the per-clip decode+fingerprint the query
-    # actually measures (5k docs: 7 s inline -> ~0.5 s joined).
-    keyed = df.select(
-        F.col(id_col),
-        (F.col(id_col) % n_groups).alias("g"),
-        ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
-    )
-    payloads = (
-        keyed.select("g", "v").distinct()
-        .select("g", "v",
-                F.unhex(F.concat(header_hex, pcm_hex)).alias("payload"))
-    )
-    return (keyed.join(F.broadcast(payloads), ["g", "v"])
-            .select(F.col(id_col), "payload"))
+    return _group_variant_payloads(
+        df, id_col, n_groups, F.unhex(F.concat(header_hex, pcm_hex)))
 
 
 def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
