@@ -240,19 +240,63 @@ _loaded = False
 #     shared Hamming-band machinery, and its measured recall/precision
 #     audit), oracled, registered AFTER the locked front, so these 2
 #     are the r16 never-graded pool.
-#   r16 POLICY: never-graded oracled queries first (the round-15
-#     additions above), then continue the
-#     oldest-first sweep — the rest of the r09-graded block in
-#     _ROUND9_FRONT order (dedup_spark_minhash_crossval onward), then
-#     the r10 block (_ROUND10_FRONT order) until the window holds 50.
-#     First evidence outranks re-evidence; re-grades fill only
-#     leftover slots.  Mechanical read-out:
-#     `PYTHONPATH=. python scripts/compute_front.py --round 16`
-#     (run at lock time, before any new wave registers).
+#   round 16 (this order): _ROUND16_FRONT below — computed by
+#     `scripts/compute_front.py --round 16` at lock time, exactly per
+#     the r16 policy: the 2 never-graded wave-36 queries first
+#     (mm_audio_fingerprint_dedup, mm_audio_fp_recall_audit — first
+#     driver evidence), then the 34 remaining r09-graded names
+#     (_ROUND9_FRONT[16:], asof_interpolate_value through
+#     profile_order_reconciliation — the prior policy prose named a
+#     nonexistent "dedup_spark_minhash_crossval" as the drain start;
+#     the mechanical read-out is authoritative), then the first 14 of
+#     the r10-graded block (_ROUND10_FRONT order, events_cohort_ltv
+#     through stats_mode_per_group).
+#   r17 POLICY: never-graded oracled queries first (any round-16
+#     post-lock additions), then continue the oldest-first sweep —
+#     the rest of the r10 block (_ROUND10_FRONT order), then the r11
+#     block (_ROUND11_FRONT order — the relational §2 core comes due
+#     here) until the window holds 50.  First evidence outranks
+#     re-evidence; re-grades fill only leftover slots.  Mechanical
+#     read-out: `PYTHONPATH=. python scripts/compute_front.py
+#     --round 17` (run at lock time, before any new wave registers).
 #   banked (driver-green, regression pool): _ROUND12_FRONT,
 #     _ROUND11_FRONT, _ROUND10_FRONT, _ROUND9_FRONT, _ROUND7_FRONT and
 #     _BANKED_ROUND6 below, plus the r01/r05 heads that follow in
 #     registration order.
+# Names registered AFTER the r16 lock (the r17 never-graded pool);
+# the pin test excludes these when reproducing the r16/r15/r14 fronts
+# from the ledger (they were invisible at those lock times).
+_POST_LOCK_R16: "tuple[str, ...]" = ()
+
+_ROUND16_FRONT = [
+    # 2 never-graded oracled queries (wave 36, registered after the
+    # locked r15 front) — first driver evidence
+    "mm_audio_fingerprint_dedup", "mm_audio_fp_recall_audit",
+    # 34 remaining r09-graded re-grades (oldest driver evidence),
+    # _ROUND9_FRONT order from asof_interpolate_value onward
+    "asof_interpolate_value", "corpus_rendezvous_shards",
+    "profile_bucket_checksums", "events_open_order_concurrency",
+    "events_seasonal_outliers", "graph_kcore_profile",
+    "graph_edge_jaccard", "privacy_t_closeness", "stats_chi_square_cells",
+    "stats_autocorr_daily", "stats_ols_by_brand", "profile_benford_prices",
+    "skyline_pareto_parts", "events_user_lifecycle",
+    "events_ab_conversion_z", "profile_fd_violations",
+    "dedup_threshold_sweep", "events_cusum_drift", "graph_assortativity",
+    "stats_phi_features", "events_scd2_pit_join", "stats_ks_priority_price",
+    "corpus_gini_doclen", "events_interarrival_hist",
+    "dedup_cluster_size_histogram", "basket_association_pairs",
+    "events_interval_coverage", "corpus_quota_apportion",
+    "graph_local_clustering", "stats_weighted_median_brand",
+    "stats_corr_lineitem", "events_path_trigrams", "er_blocking_components",
+    "profile_order_reconciliation",
+    # first 14 of the r10-graded block, _ROUND10_FRONT order
+    "events_cohort_ltv", "text_rake_keywords", "corpus_zipf_audit",
+    "graph_rich_club", "events_did_readout", "privacy_generalize_to_k",
+    "mm_pcm_silence_runs", "ivm_join_refresh", "orders_nearest_price_topk",
+    "corpus_class_balance_downsample", "events_props_json_extract",
+    "dedup_lsh_recall_audit", "graph_two_hop_reach", "stats_mode_per_group",
+]
+
 _ROUND15_FRONT = [
     # 2 never-graded oracled queries (wave 35, registered after the
     # locked r14 front) — first driver evidence
@@ -548,17 +592,17 @@ ROWS_ONLY = {
 
 
 def _reorder() -> None:
-    """Rebuild _QUERIES in graded-window order: _ROUND15_FRONT, then
-    the banked (already driver-green) _ROUND14_FRONT/_ROUND13_FRONT/
-    _ROUND12_FRONT/_ROUND11_FRONT/_ROUND10_FRONT/_ROUND9_FRONT/
-    _ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the rest of the
-    oracled queries in registration order, then the no-oracle queries
-    last."""
-    seen = set(_ROUND15_FRONT)
-    front = _ROUND15_FRONT + [
-        n for n in _ROUND14_FRONT + _ROUND13_FRONT + _ROUND12_FRONT
-        + _ROUND11_FRONT + _ROUND10_FRONT + _ROUND9_FRONT + _ROUND8_FRONT
-        + _ROUND7_FRONT + _BANKED_ROUND6
+    """Rebuild _QUERIES in graded-window order: _ROUND16_FRONT, then
+    the banked (already driver-green) _ROUND15_FRONT/_ROUND14_FRONT/
+    _ROUND13_FRONT/_ROUND12_FRONT/_ROUND11_FRONT/_ROUND10_FRONT/
+    _ROUND9_FRONT/_ROUND8_FRONT/_ROUND7_FRONT/_BANKED_ROUND6, then the
+    rest of the oracled queries in registration order, then the
+    no-oracle queries last."""
+    seen = set(_ROUND16_FRONT)
+    front = _ROUND16_FRONT + [
+        n for n in _ROUND15_FRONT + _ROUND14_FRONT + _ROUND13_FRONT
+        + _ROUND12_FRONT + _ROUND11_FRONT + _ROUND10_FRONT + _ROUND9_FRONT
+        + _ROUND8_FRONT + _ROUND7_FRONT + _BANKED_ROUND6
         if n not in seen and not seen.add(n)
     ]
     missing = [n for n in front if n not in _QUERIES]

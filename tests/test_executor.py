@@ -337,13 +337,13 @@ def test_registry_integrity():
         f"oracle-less queries occupy gradable driver slots: {unoracled}"
     )
 
-    seen = set(registry._ROUND15_FRONT)
-    declared = registry._ROUND15_FRONT + [
-        n for n in (registry._ROUND14_FRONT + registry._ROUND13_FRONT
-                    + registry._ROUND12_FRONT + registry._ROUND11_FRONT
-                    + registry._ROUND10_FRONT + registry._ROUND9_FRONT
-                    + registry._ROUND8_FRONT + registry._ROUND7_FRONT
-                    + registry._BANKED_ROUND6)
+    seen = set(registry._ROUND16_FRONT)
+    declared = registry._ROUND16_FRONT + [
+        n for n in (registry._ROUND15_FRONT + registry._ROUND14_FRONT
+                    + registry._ROUND13_FRONT + registry._ROUND12_FRONT
+                    + registry._ROUND11_FRONT + registry._ROUND10_FRONT
+                    + registry._ROUND9_FRONT + registry._ROUND8_FRONT
+                    + registry._ROUND7_FRONT + registry._BANKED_ROUND6)
         if n not in seen and not seen.add(n)
     ]
     assert window == declared[:50], (
@@ -389,14 +389,15 @@ def test_registry_integrity():
 
 
 def test_front_matches_policy():
-    """The locked `_ROUND15_FRONT` must equal what the mechanical
+    """The locked `_ROUND16_FRONT` must equal what the mechanical
     rotation policy (scripts/compute_front.py) derives from the
     correctness ledger — never-graded first, then oldest-latest-green
-    with banked-list tie-break.  The r15 exclude names are this
-    round's post-lock wave-36 additions (invisible at lock time; they
-    head the r16 pool); the r14 retro-check excludes the wave-35 pair
-    for the same reason.  A future front hand-edited against the
-    policy fails here instead of surprising the judge."""
+    with banked-list tie-break.  The r16 exclude names are any
+    post-lock round-16 additions (invisible at lock time; they head
+    the r17 pool); the r15/r14 retro-checks exclude each round's own
+    post-lock additions for the same reason.  A future front
+    hand-edited against the policy fails here instead of surprising
+    the judge."""
     import sys
 
     sys.path.insert(0, str(__import__("pathlib").Path(
@@ -405,9 +406,16 @@ def test_front_matches_policy():
 
     from cassandra_join_library_spark import registry
 
+    # Names registered AFTER the r16 lock (the r17 never-graded pool).
+    post_lock_r16 = frozenset(getattr(registry, "_POST_LOCK_R16", ()))
+    got16 = [n for n, _ in compute_front(16, exclude=post_lock_r16)]
+    assert got16 == registry._ROUND16_FRONT
+
+    # retro-check: the r15 lock still reproduces from the ledger
     got15 = [n for n, _ in compute_front(
         15, exclude=frozenset({"mm_audio_fingerprint_dedup",
-                               "mm_audio_fp_recall_audit"}))]
+                               "mm_audio_fp_recall_audit"})
+        | post_lock_r16)]
     assert got15 == registry._ROUND15_FRONT
 
     # retro-check: the r14 lock still reproduces from the ledger
@@ -415,5 +423,6 @@ def test_front_matches_policy():
         14, exclude=frozenset({"corpus_contamination_bloom",
                                "contamination_bloom_cut_audit",
                                "mm_audio_fingerprint_dedup",
-                               "mm_audio_fp_recall_audit"}))]
+                               "mm_audio_fp_recall_audit"})
+        | post_lock_r16)]
     assert got14 == registry._ROUND14_FRONT
