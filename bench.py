@@ -118,9 +118,11 @@ TIER2 = [
 
 
 def _tier2_enabled(raw: "str | None") -> bool:
-    """Explicit falsy values mean OFF — SPARK_GRAFT_TIER2=0 must not
-    silently record a tier-2 run as the round's headline."""
-    return (raw or "").lower() not in ("", "0", "false", "no")
+    """Explicit truthy allowlist — anything else (including 'off',
+    typos, or empty) means OFF, so SPARK_GRAFT_TIER2=off can never
+    silently record a tier-2 run as the round's headline (r15 ADVICE:
+    the old falsy-blocklist treated 'off' as ON)."""
+    return (raw or "").lower() in ("1", "true", "yes", "on")
 
 
 def main() -> None:
@@ -137,6 +139,14 @@ def main() -> None:
     # is accepted)
     only = os.environ.get("SPARK_GRAFT_ONLY")
     tier2 = _tier2_enabled(os.environ.get("SPARK_GRAFT_TIER2"))
+    if only and tier2:
+        # the only-list wins; say so loudly so an ad-hoc run is never
+        # misattributed as the tier-2 sweep (r15 ADVICE)
+        print("WARNING: SPARK_GRAFT_ONLY and SPARK_GRAFT_TIER2 are both "
+              "set — the only-list wins and the tier-2 request is "
+              "ignored (metric will be headline_suite_seconds)",
+              file=sys.stderr)
+        tier2 = False
     if only:
         headline = [q for q in only.split(",") if q in queries]
     elif tier2:
@@ -250,14 +260,26 @@ def main() -> None:
                   "cohort_truncated": truncated}
         print(json.dumps(detail), file=sys.stderr)
         try:
-            with open(os.path.join(
-                    _BENCH_DIR, "BENCH_ISOLATED_LAST.json"), "w") as fh:
+            with open(_isolated_path(sf), "w") as fh:
                 json.dump(detail, fh, indent=1)
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: stderr copy above still lands
 
     _emit(out)
+
+
+def _isolated_path(sf: float) -> str:
+    """Where the drift-cohort detail lands.  Only the canonical sf0.1
+    run may overwrite the committed repo-root BENCH_ISOLATED_LAST.json
+    — any other scale (sf0.01 iteration runs, ad-hoc probes) writes to
+    .scratch/ so the committed reference keeps meaning 'the last sf0.1
+    cohort' (r15 verdict ask #5)."""
+    if abs(sf - 0.1) < 1e-9:
+        return os.path.join(_BENCH_DIR, "BENCH_ISOLATED_LAST.json")
+    scratch = os.path.join(_BENCH_DIR, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    return os.path.join(scratch, "BENCH_ISOLATED_LAST.json")
 
 
 def _emit(out: dict) -> None:

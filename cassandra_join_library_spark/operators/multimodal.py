@@ -581,8 +581,12 @@ def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
     and ``hamming_band_selfcheck`` apply unchanged.  Decode is the
     same array-first hex-offset arithmetic as :func:`pcm_stats` —
     map-only per clip, embarrassingly parallel at 100 TB; clips too
-    short for the requested width are dropped (the oracle mirrors the
-    same bound).  Returns (id, fp)."""
+    short for the requested width are dropped, as is anything that is
+    not RIFF/WAVE — the same magic gate as :func:`parse_wav_metadata`,
+    so a mixed-modality corpus can't get garbage audio fingerprints
+    from payloads whose bytes 40-43 merely happen to decode to a large
+    'data size' (any oracle over a mixed corpus must mirror both
+    bounds).  Returns (id, fp)."""
     hx = F.hex(F.col(payload_col))
 
     def le_at(byte_off, nbytes):
@@ -594,8 +598,13 @@ def pcm_energy_diff_fingerprint(df: DataFrame, id_col: str,
             total = total + b * (256 ** i)
         return total
 
+    is_wav = (
+        (F.octet_length(payload_col) >= 44)
+        & (F.substring(hx, 1, 8) == F.lit("52494646"))
+        & (F.substring(hx, 17, 8) == F.lit("57415645"))
+    )
     n_frames = bits + 1
-    with_n = df.select(
+    with_n = df.filter(is_wav).select(
         F.col(id_col), hx.alias("h"),
         (le_at(41, 4) / 2).cast("bigint").alias("n_samples"),
     ).filter(F.col("n_samples") >= 2 * n_frames)

@@ -165,13 +165,28 @@ def test_drift_cohort_skips_leading_stderr_detail(bench, tmp_path,
 
 
 def test_tier2_env_parsing(bench):
-    """SPARK_GRAFT_TIER2=0/false/no/unset means headline mode; only
-    affirmative values flip the suite to TIER2 (review finding: raw
-    truthiness made '0' enable tier-2)."""
-    for off in (None, "", "0", "false", "False", "no"):
+    """Only allowlisted affirmative values flip the suite to TIER2;
+    everything else — including 'off', typos, and arbitrary strings —
+    means headline mode (r15 ADVICE: the old falsy-blocklist treated
+    'off' and 'anything' as ON)."""
+    for off in (None, "", "0", "false", "False", "no", "off", "OFF",
+                "anything", "disable"):
         assert not bench._tier2_enabled(off), off
-    for on in ("1", "true", "yes", "anything"):
+    for on in ("1", "true", "TRUE", "yes", "on", "ON"):
         assert bench._tier2_enabled(on), on
+
+
+def test_isolated_path_sf_pin(bench, tmp_path, monkeypatch):
+    """Only the canonical sf0.1 run may target the committed repo-root
+    BENCH_ISOLATED_LAST.json; any other sf is diverted to .scratch/ so
+    iteration runs can't clobber the reference (r15 verdict ask #5)."""
+    monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
+    assert bench._isolated_path(0.1) == str(
+        tmp_path / "BENCH_ISOLATED_LAST.json")
+    for sf in (0.01, 0.001, 1.0, -1.0):
+        p = bench._isolated_path(sf)
+        assert p == str(tmp_path / ".scratch" / "BENCH_ISOLATED_LAST.json")
+    assert (tmp_path / ".scratch").is_dir()
 
 
 def test_bench_conditions_keys(bench):

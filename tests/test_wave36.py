@@ -92,6 +92,25 @@ def test_fingerprint_drops_short_payloads(spark):
     assert out[0]["fp"] == _ref_fp(2)
 
 
+def test_fingerprint_drops_non_wav_payloads(spark):
+    """Payloads without RIFF/WAVE magic are dropped even when their
+    bytes 40-43 happen to decode to a huge 'data size' — a mixed
+    modality corpus must not get garbage audio fingerprints from
+    images or arbitrary binaries (r15 ADVICE: the magic gate mirrors
+    parse_wav_metadata)."""
+    from pyspark.sql import functions as F
+
+    # 300 bytes of 0xFF: bytes 40-43 read as data_size 0xFFFFFFFF,
+    # far beyond the 122-sample bound — only the magic gate drops it
+    fake = _ids(spark, [7]).select(
+        "doc_id", F.unhex(F.lit("FF" * 300)).alias("payload"))
+    ok = synthesize_wav_pcm_groups(_ids(spark, [2]), "doc_id")
+    out = pcm_energy_diff_fingerprint(
+        fake.unionByName(ok), "doc_id").collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["fp"] == _ref_fp(2)
+
+
 def test_audio_stratum_selfcheck_pins_script(spark):
     """Pin the sf1 stratum self-check's machinery at sf0.01 for the
     audio family: the shared fingerprint builder +
