@@ -1227,3 +1227,158 @@ def parse_mp4_metadata(df: DataFrame, id_col: str,
                                   b=u32("_c + 20")))
               .cast("bigint")).alias("duration_ms"),
     )
+
+
+_MP4_MDAT = 1835295092   # u32('mdat')
+
+
+def synthesize_mp4_keyframes(df: DataFrame, id_col: str,
+                             n_groups: int = 100,
+                             n_frames: int = 4) -> DataFrame:
+    """ISO-BMFF (MP4) streams whose `mdat` carries REAL keyframe
+    pixels: a variable-size `ftyp` (0-2 extra compatible brands), an
+    optional variable-size `free` box, then `mdat` holding
+    ``n_frames`` consecutive 8x8 grayscale keyframes (64 luma bytes
+    each) — so a reader must actually CHAIN box sizes to find the
+    frame data (the fixed-offset shortcut lands in the wrong box for
+    2/3 of the corpus).  Content comes from the same group/variant
+    model as the image fixture (synthesize_bmp_pixels), extended with
+    a frame axis so video-level semantics exist:
+
+      g = id % n_groups                (the clip's visual content)
+      v = (id // n_groups) % 3         (variant within the group)
+      luma(f, i) = (g*37 + f*53 + i*29) % 160 + 40
+      v=1: frame 0 pixel 0 luma += 56  (single-frame retouch -> near-dup)
+      v=2: pixels 0..3 of EVERY frame += 56   (re-grade -> distinct)
+
+    Box layout varies by group (brands g%3, free present iff g%2=0
+    with g*7+v mod 16 payload bytes) so the walk is exercised across
+    the corpus while payload content stays a pure function of (g, v)
+    — which keeps the _group_variant_payloads fixture dedup
+    applicable.  Returns (id, payload).
+
+    Reference parity: the reference library has no multimodal surface
+    at all (cassandra_joinlib/ is row-dict join machinery); this is
+    part of the LLM-pipeline extension family (SURVEY.md north star),
+    video completing the image (wave 33) / audio (wave 36) trio."""
+    gid = F.col("g")
+    var = F.col("v")
+
+    def be(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes - 1, -1, -1)
+        ]
+        return F.concat(*parts)
+
+    def luma(f, i):
+        base = (gid * 37 + f * 53 + i * 29) % 160 + 40
+        if i == 0:
+            return base + F.when(
+                (var == 1) & F.lit(f == 0), 56
+            ).otherwise(F.when(var == 2, 56).otherwise(0))
+        if i < 4:
+            return base + F.when(var == 2, 56).otherwise(0)
+        return base
+
+    n_compat = gid % 3
+    has_free = gid % 2 == 0
+    free_len = (gid * 7 + var) % 16
+    ftyp = F.concat(
+        be(F.lit(16) + 4 * n_compat, 4), F.lit("66747970"),   # 'ftyp'
+        F.lit("69736f6d"), F.lit("00000200"),                 # isom, minor
+        F.expr("repeat('69736f6d', g % 3)"),
+    )
+    free = F.when(has_free, F.concat(
+        be(free_len + 8, 4), F.lit("66726565"),               # 'free'
+        F.expr("repeat('00', (g * 7 + v) % 16)"),
+    )).otherwise(F.lit(""))
+    frames_hex = F.concat(*[
+        F.lpad(F.hex(luma(f, i)), 2, "0")
+        for f in range(n_frames) for i in range(64)
+    ])
+    mdat = F.concat(
+        be(F.lit(8 + 64 * n_frames), 4), F.lit("6d646174"),   # 'mdat'
+        frames_hex,
+    )
+    return _group_variant_payloads(
+        df, id_col, n_groups, F.unhex(F.concat(ftyp, free, mdat)))
+
+
+def mp4_keyframe_ahash(df: DataFrame, id_col: str,
+                       payload_col: str = "payload",
+                       n_frames: int = 4) -> DataFrame:
+    """Per-keyframe perceptual average-hash straight from the MP4
+    bytes: chain u32-BE box sizes at the top level until `mdat` (the
+    same fold-walk as parse_mp4_metadata — fixed offsets would be
+    wrong for any stream with a different ftyp/free prefix), then for
+    each of the ``n_frames`` 64-byte keyframes compute the scale-free
+    integer aHash of bmp_ahash (bit i = 64*luma_i > sum of the
+    frame's lumas, bits 0..59 packed in a signed BIGINT).  Non-MP4
+    payloads (no ftyp magic / no mdat within the walk budget / short
+    data) are dropped, mirroring the audio path's RIFF gate: corrupt
+    inputs are data, not exceptions, and a mixed-modality corpus must
+    not grow garbage video fingerprints.  Map-only per clip —
+    embarrassingly parallel at 100 TB; 8 bytes per (clip, frame).
+    Returns (id, frame, fp)."""
+    hx = F.hex(F.col(payload_col))
+
+    def u32(off: str) -> str:
+        return (f"(conv(substring(_h, ({off}) * 2 - 1, 8), 16, 10)"
+                f" + 0)")
+
+    # top-level walk: offset of the box whose type is 'mdat', or the
+    # accumulated offset walking past the end (gated below).  4 steps
+    # cover ftyp [+ free] + mdat with slack, same budget discipline
+    # as _MP4_TOP_STEPS.
+    mdat_walk = (
+        f"aggregate(sequence(1, 4), CAST(1 AS BIGINT), "
+        f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MDAT} THEN o "
+        f"ELSE o + {u32('o')} END)"
+    )
+    base = df.select(
+        F.col(id_col), hx.alias("_h"),
+        ((F.octet_length(payload_col) >= 12)
+         & (F.expr(f"{u32('5')}") == _MP4_FTYP)).alias("_is"),
+    ).select(
+        F.col(id_col), "_h", "_is",
+        F.expr(mdat_walk).cast("bigint").alias("_m"),
+    )
+    found = (
+        F.col("_is")
+        & (F.expr(u32("_m + 4")) == _MP4_MDAT)
+        & (F.expr(u32("_m")) >= 8 + 64 * n_frames)
+        & (F.octet_length(F.col("_h")) / 2 >= F.col("_m") + 7 + 64 * n_frames)
+    )
+    # frame data starts at byte _m + 8 (1-based); frame f pixel i
+    # lives at _m + 8 + 64*f + i.  Stage the luma array per frame so
+    # each byte decodes ONCE (the bmp_ahash lesson: inlining the
+    # 64-substring sum into all 60 bit terms builds a ~4000-node tree)
+    frames = (
+        base.filter(found)
+        .select(F.col(id_col), "_h", "_m",
+                F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1)))
+                .alias("frame"))
+        .select(
+            F.col(id_col), "frame",
+            F.expr(
+                "transform(sequence(0, 63), i -> cast(conv(substring("
+                "_h, (_m + 7 + 64*frame + i) * 2 + 1, 2), 16, 10)"
+                " as bigint))"
+            ).alias("_lumas"),
+        )
+        .select(
+            F.col(id_col), "frame", "_lumas",
+            F.expr("aggregate(_lumas, 0L, (a, x) -> a + x)")
+            .alias("_total"),
+        )
+    )
+    fp = F.expr(
+        "aggregate(sequence(0, 59), 0L, (a, i) -> "
+        "a + IF(element_at(_lumas, i + 1) * 64 > _total, "
+        "shiftleft(1L, i), 0L))"
+    )
+    return frames.select(
+        F.col(id_col), F.col("frame").cast("bigint").alias("frame"),
+        fp.alias("fp"),
+    )

@@ -266,7 +266,15 @@ _loaded = False
 # Names registered AFTER the r16 lock (the r17 never-graded pool);
 # the pin test excludes these when reproducing the r16/r15/r14 fronts
 # from the ledger (they were invisible at those lock times).
-_POST_LOCK_R16: "tuple[str, ...]" = ()
+#   round-16 additions: wave37 (mm_video_keyframe_dedup +
+#   mm_video_fp_recall_audit — MP4 box-walk keyframe aHash dedup
+#   through the shared Hamming-band machinery, completing the
+#   text/image/audio/video fingerprint quartet, and its measured
+#   recall/precision audit), oracled, registered AFTER the locked
+#   front.
+_POST_LOCK_R16: "tuple[str, ...]" = (
+    "mm_video_keyframe_dedup", "mm_video_fp_recall_audit",
+)
 
 _ROUND16_FRONT = [
     # 2 never-graded oracled queries (wave 36, registered after the
@@ -682,6 +690,7 @@ def _load_all() -> None:
         wave34,
         wave35,
         wave36,
+        wave37,
     )
     _reorder()
     _loaded = True

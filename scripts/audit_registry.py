@@ -116,6 +116,9 @@ ALLOW = {
         "mm_audio_fp_recall_audit": "two 1-row pair-count broadcasts "
                                     "crossjoined into the single "
                                     "audit row",
+        "mm_video_fp_recall_audit": "two 1-row pair-count broadcasts "
+                                    "crossjoined into the single "
+                                    "audit row",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),

@@ -16,7 +16,10 @@ stratum-by-residue choice is load-bearing there: content groups are
 inside the stratum and the planted duplicate/retouch pairs land
 within it.  ``--family audio`` checks the WAV energy-difference
 fingerprints (queries/wave36.py) — same ``doc_id % 100`` content
-groups, so the same residue trick applies.  ``--family simhash``
+groups, so the same residue trick applies.  ``--family video``
+checks the MP4 keyframe aHash fingerprints (queries/wave37.py) —
+same content groups again, with the GROUPED banded join audited
+frame-to-frame via ``group_col="frame"``.  ``--family simhash``
 checks the text path (dedup_simhash's portable 60-bit fingerprints,
 radius 2) — pair density comes from the corpus itself, so the
 non-vacuous guard below may require a wider stratum (smaller
@@ -57,6 +60,14 @@ def _fingerprints(family: str, spark, sf_dir: str):
         )
 
         return _audio_fingerprints(spark, sf_dir)
+    if family == "video":
+        # (doc, frame, fp) — the selfcheck audits the GROUPED banded
+        # join (frame-to-frame) via group_col="frame"
+        from cassandra_join_library_spark.queries.wave37 import (
+            _video_fingerprints,
+        )
+
+        return _video_fingerprints(spark, sf_dir)
     # text simhash: the exact fingerprints dedup_simhash bands
     # (portable 60-bit md5 path), materialized like every posting-
     # family input before the self-join
@@ -74,7 +85,8 @@ def _fingerprints(family: str, spark, sf_dir: str):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=("phash", "audio", "simhash"),
+    p.add_argument("--family",
+                   choices=("phash", "audio", "video", "simhash"),
                    default="phash")
     p.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
     p.add_argument("--modulus", type=int, default=25)
@@ -88,6 +100,7 @@ def main() -> None:
     out = hamming_band_selfcheck(
         fps, bits=60, max_hamming=2,
         stratum=(F.col("doc") % args.modulus == args.residue),
+        group_col="frame" if args.family == "video" else None,
     )
     # a stratum that captures no planted pair passes missing==extra==0
     # vacuously — refuse to print a green-looking row for it (pick a
