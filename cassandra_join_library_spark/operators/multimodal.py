@@ -1247,9 +1247,20 @@ def synthesize_mp4_keyframes(df: DataFrame, id_col: str,
 
       g = id % n_groups                (the clip's visual content)
       v = (id // n_groups) % 3         (variant within the group)
-      luma(f, i) = (g*37 + f*53 + i*29) % 160 + 40
+      luma(f, i) = md5("g_f_i")[:2] % 160 + 40
+                                       (hex-prefix of the md5 of the
+                                        "g_f_i" string — any SQL
+                                        engine replays it)
       v=1: frame 0 pixel 0 luma += 56  (single-frame retouch -> near-dup)
       v=2: pixels 0..3 of EVERY frame += 56   (re-grade -> distinct)
+
+    The base MUST be hash-derived, not linear: the wave-36 lesson
+    replayed verbatim here — a ``(g*37 + f*53 + i*29) % 160`` base
+    left cross-group aHashes colliding within radius 2 on all four
+    frames (measured precision 32% at sf0.01 with recall 100%, i.e.
+    two thirds of predicted pairs were formula artifacts, and the
+    collision clusters would grow quadratically with corpus size);
+    the md5 base makes the 100 group masters distinct.
 
     Box layout varies by group (brands g%3, free present iff g%2=0
     with g*7+v mod 16 payload bytes) so the walk is exercised across
@@ -1271,16 +1282,6 @@ def synthesize_mp4_keyframes(df: DataFrame, id_col: str,
         ]
         return F.concat(*parts)
 
-    def luma(f, i):
-        base = (gid * 37 + f * 53 + i * 29) % 160 + 40
-        if i == 0:
-            return base + F.when(
-                (var == 1) & F.lit(f == 0), 56
-            ).otherwise(F.when(var == 2, 56).otherwise(0))
-        if i < 4:
-            return base + F.when(var == 2, 56).otherwise(0)
-        return base
-
     n_compat = gid % 3
     has_free = gid % 2 == 0
     free_len = (gid * 7 + var) % 16
@@ -1293,10 +1294,23 @@ def synthesize_mp4_keyframes(df: DataFrame, id_col: str,
         be(free_len + 8, 4), F.lit("66726565"),               # 'free'
         F.expr("repeat('00', (g * 7 + v) % 16)"),
     )).otherwise(F.lit(""))
-    frames_hex = F.concat(*[
-        F.lpad(F.hex(luma(f, i)), 2, "0")
-        for f in range(n_frames) for i in range(64)
-    ])
+    # ONE loop expression for all n_frames*64 pixels, not an unrolled
+    # per-pixel subtree: 256 inlined md5/conv trees pushed the task
+    # binary to ~16 MiB; this transform keeps it small (the wave-36
+    # idiom).  k enumerates (frame, pixel) = (k div 64, k % 64); the
+    # v=1 retouch is exactly k=0 (frame 0, pixel 0)
+    luma_k = (
+        "CAST(conv(substring(md5(concat(cast(g AS string), '_', "
+        "cast(k div 64 AS string), '_', cast(k % 64 AS string))), "
+        "1, 2), 16, 10) AS BIGINT) % 160 + 40 "
+        "+ (CASE WHEN v = 1 AND k = 0 THEN 56 "
+        "   WHEN v = 2 AND k % 64 < 4 THEN 56 ELSE 0 END)"
+    )
+    frames_hex = F.expr(
+        "array_join(transform(sequence(0, {n}), k -> "
+        "lpad(hex({luma}), 2, '0')), '')".format(
+            n=n_frames * 64 - 1, luma=luma_k)
+    )
     mdat = F.concat(
         be(F.lit(8 + 64 * n_frames), 4), F.lit("6d646174"),   # 'mdat'
         frames_hex,
@@ -1330,11 +1344,16 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     # top-level walk: offset of the box whose type is 'mdat', or the
     # accumulated offset walking past the end (gated below).  4 steps
     # cover ftyp [+ free] + mdat with slack, same budget discipline
-    # as _MP4_TOP_STEPS.
+    # as _MP4_TOP_STEPS.  The step is CLAMPED to just past the hex
+    # view: a garbage payload can decode a ~4 GiB box size, and an
+    # unclamped offset would push the next substring position past
+    # INT under ANSI mode (CAST_OVERFLOW) — corrupt inputs must fall
+    # out of the `found` gate, never throw.
     mdat_walk = (
         f"aggregate(sequence(1, 4), CAST(1 AS BIGINT), "
         f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MDAT} THEN o "
-        f"ELSE o + {u32('o')} END)"
+        f"ELSE least(o + {u32('o')}, "
+        f"CAST(length(_h) AS BIGINT) + 8) END)"
     )
     base = df.select(
         F.col(id_col), hx.alias("_h"),

@@ -94,7 +94,8 @@ src AS (
   SELECT DISTINCT g, v FROM src
 ), px AS (
   SELECT g, v, f.f AS f, i.i AS i,
-         (g*37 + f.f*53 + i.i*29) % 160 + 40
+         ('0x' || substr(md5(g || '_' || f.f || '_' || i.i), 1, 2)
+         )::BIGINT % 160 + 40
          + CASE WHEN (v = 1 AND f.f = 0 AND i.i = 0)
                   OR (v = 2 AND i.i < 4) THEN 56 ELSE 0 END AS luma
   FROM gv, (SELECT unnest(generate_series(0, 3)) AS f) f,
