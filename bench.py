@@ -93,6 +93,9 @@ HEADLINE = [
     "corpus_contamination_bloom",  # benchmark-leak screen through the bench bloom
     # round-15 addition: the wave-36 head
     "mm_audio_fingerprint_dedup",  # audio energy-diff fingerprint near-dup (band join)
+    # round-16 addition: the wave-37 head (projected@60 budget check
+    # passes at 1879 chars — no TIER2 rotation needed this round)
+    "mm_video_keyframe_dedup",     # MP4 keyframe aHash near-dup (frame-keyed band join)
 ]
 
 # Second bench tier (r14 verdict ask #3): the oldest LLM-pipeline

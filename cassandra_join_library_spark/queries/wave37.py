@@ -136,11 +136,21 @@ src AS (
 
 @register("mm_video_keyframe_dedup", oracle=f"""
 WITH {_VIDEO_FP_CTE}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(MAX(bit_count(xor(a.fp, b.fp))) AS BIGINT) AS max_hamming
-FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+-- per-frame radius filter BELOW the pair aggregate (equivalent to
+-- HAVING MAX(hamming) <= 2 over all 4 frames, since each frame
+-- contributes at most one row per pair and a pair qualifies only
+-- with all 4 rows surviving) — the aggregate then sees ~planted-pair
+-- rows, not the full n^2/2 group space, keeping the sf1 brute gate
+-- inside DuckDB's memory
+SELECT doc_a, doc_b, CAST(MAX(h) AS BIGINT) AS max_hamming
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.fp, b.fp)) AS h
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 2
+)
 GROUP BY 1, 2
-HAVING MAX(bit_count(xor(a.fp, b.fp))) <= 2
+HAVING COUNT(*) = 4
 """)
 def mm_video_keyframe_dedup(spark, sf_dir):
     """Video near-dup pairs by keyframe perceptual hash: box-walk to
@@ -164,10 +174,14 @@ def mm_video_keyframe_dedup(spark, sf_dir):
 @register("mm_video_fp_recall_audit", oracle=f"""
 WITH {_VIDEO_FP_CTE},
 pred AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  -- same pushed-down per-frame radius filter as the dedup oracle
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+  )
   GROUP BY 1, 2
-  HAVING MAX(bit_count(xor(a.fp, b.fp))) <= 2
+  HAVING COUNT(*) = 4
 ), truth AS (
   -- planted ground truth: same content group, and either both sides
   -- are the base/retouch variants (v in 0,1) or the same variant
