@@ -609,8 +609,12 @@ def hamming_band_selfcheck(fps: DataFrame, bits: int, max_hamming: int,
     keys include the group.  Returns the measurement dict; raises
     AssertionError on any missing/extra pair."""
     sub = fps.filter(stratum).localCheckpoint(eager=True)
-    n_docs = sub.count()
-    extra = [group_col] if group_col else []
+    # stratum_docs must mean DOCS: in grouped mode the fps table has
+    # one row per (doc, group) and a raw count would overstate the
+    # stratum n_frames-fold (the quadratic brute bound is doc-sized)
+    n_docs = (sub.select("doc").distinct().count() if group_col
+              else sub.count())
+    grp_cols = [group_col] if group_col else []
     # production output, restricted to pairs internal to the stratum
     docs = F.broadcast(sub.select(F.col("doc").alias("d")).distinct())
     banded = (hamming_band_pairs(fps, bits, max_hamming,
@@ -624,7 +628,7 @@ def hamming_band_selfcheck(fps: DataFrame, bits: int, max_hamming: int,
     # trivially-true-equals lesson); doc_a < doc_b is a BNL theta join,
     # bounded by the stratum size by construction
     a = sub.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"),
-                   *extra)
+                   *grp_cols)
     b_cols = [F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")]
     if group_col:
         b_cols.append(F.col(group_col).alias("_grp_b"))
@@ -635,10 +639,10 @@ def hamming_band_selfcheck(fps: DataFrame, bits: int, max_hamming: int,
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     brute = (a.join(b, cond)
              .filter(ham <= max_hamming)
-             .select(*extra, "doc_a", "doc_b",
+             .select(*grp_cols, "doc_a", "doc_b",
                      ham.cast("bigint").alias("hamming"))
              .localCheckpoint(eager=True))
-    keys = extra + ["doc_a", "doc_b", "hamming"]
+    keys = grp_cols + ["doc_a", "doc_b", "hamming"]
     missing = brute.join(banded, keys, "left_anti").count()
     extra = banded.join(brute, keys, "left_anti").count()
     out = {

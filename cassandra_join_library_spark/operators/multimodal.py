@@ -1344,8 +1344,10 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     # top-level walk: offset of the box whose type is 'mdat', or the
     # accumulated offset walking past the end (gated below).  4 steps
     # cover ftyp [+ free] + mdat with slack, same budget discipline
-    # as _MP4_TOP_STEPS.  The step is CLAMPED to just past the hex
-    # view: a garbage payload can decode a ~4 GiB box size, and an
+    # as _MP4_TOP_STEPS.  The step is CLAMPED to just past the
+    # payload BYTE length (length(_h) DIV 2 — the offsets are byte
+    # units; clamping at hex-char length would leave the bound 2x too
+    # loose): a garbage payload can decode a ~4 GiB box size, and an
     # unclamped offset would push the next substring position past
     # INT under ANSI mode (CAST_OVERFLOW) — corrupt inputs must fall
     # out of the `found` gate, never throw.
@@ -1353,7 +1355,7 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
         f"aggregate(sequence(1, 4), CAST(1 AS BIGINT), "
         f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MDAT} THEN o "
         f"ELSE least(o + {u32('o')}, "
-        f"CAST(length(_h) AS BIGINT) + 8) END)"
+        f"CAST(length(_h) DIV 2 AS BIGINT) + 8) END)"
     )
     base = df.select(
         F.col(id_col), hx.alias("_h"),
