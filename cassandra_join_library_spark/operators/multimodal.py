@@ -1334,7 +1334,17 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     inputs are data, not exceptions, and a mixed-modality corpus must
     not grow garbage video fingerprints.  Map-only per clip —
     embarrassingly parallel at 100 TB; 8 bytes per (clip, frame).
-    Returns (id, frame, fp)."""
+    Returns (id, frame, fp).
+
+    The whole walk+gate+hash is ONE expression per clip, with every
+    reused intermediate bound through a one-element
+    ``transform(array(x), v -> ...)`` lambda (the walk offset, each
+    frame's luma array, its sum): staged columns re-derived across
+    Project boundaries are inlined by CollapseProject into EVERY
+    reference — including inside transform lambdas, where the walk
+    then re-runs per PIXEL (measured 20-25 s warm for 5k clips at
+    sf0.1; this single-expression form is ~2 s).  Same lesson as the
+    audio fold, one level deeper."""
     hx = F.hex(F.col(payload_col))
 
     def u32(off: str) -> str:
@@ -1350,56 +1360,52 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     # loose): a garbage payload can decode a ~4 GiB box size, and an
     # unclamped offset would push the next substring position past
     # INT under ANSI mode (CAST_OVERFLOW) — corrupt inputs must fall
-    # out of the `found` gate, never throw.
+    # out of the gate, never throw.
     mdat_walk = (
         f"aggregate(sequence(1, 4), CAST(1 AS BIGINT), "
         f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MDAT} THEN o "
         f"ELSE least(o + {u32('o')}, "
         f"CAST(length(_h) DIV 2 AS BIGINT) + 8) END)"
     )
-    base = df.select(
-        F.col(id_col), hx.alias("_h"),
-        ((F.octet_length(payload_col) >= 12)
-         & (F.expr(f"{u32('5')}") == _MP4_FTYP)).alias("_is"),
-    ).select(
-        F.col(id_col), "_h", "_is",
-        F.expr(mdat_walk).cast("bigint").alias("_m"),
+
+    def u32m(off: str) -> str:   # u32 with the bound walk offset `m`
+        return (f"(conv(substring(_h, ({off}) * 2 - 1, 8), 16, 10)"
+                f" + 0)")
+
+    data_bytes = 64 * n_frames
+    # frame data starts at byte m + 8 (1-based); frame f pixel i
+    # lives at m + 8 + 64*f + i.  Gate (ftyp magic, mdat found, box
+    # and payload big enough) INSIDE the binding lambda; a failed
+    # gate yields a NULL array, and exploding NULL produces no rows —
+    # corrupt inputs drop with zero extra plan nodes.
+    lumas = ("transform(sequence(0, 63), i -> CAST(conv(substring("
+             "_h, (m + 7 + 64*f + i) * 2 + 1, 2), 16, 10) AS BIGINT))")
+    fp_of_frame = (
+        f"element_at(transform(array({lumas}), L -> "
+        f"element_at(transform(array(aggregate(L, 0L, (sa, sx) -> sa + sx)), "
+        f"T -> aggregate(sequence(0, 59), 0L, (ba, bi) -> "
+        f"ba + IF(element_at(L, bi + 1) * 64 > T, "
+        f"shiftleft(1L, bi), 0L))), 1)), 1)"
     )
-    found = (
-        F.col("_is")
-        & (F.expr(u32("_m + 4")) == _MP4_MDAT)
-        & (F.expr(u32("_m")) >= 8 + 64 * n_frames)
-        & (F.octet_length(F.col("_h")) / 2 >= F.col("_m") + 7 + 64 * n_frames)
+    fps_arr = (
+        f"element_at(transform(array({mdat_walk}), m -> "
+        f"CASE WHEN {u32m('m + 4')} = {_MP4_MDAT} "
+        f"AND {u32m('m')} >= {8 + data_bytes} "
+        f"AND length(_h) DIV 2 >= m + {7 + data_bytes} "
+        f"THEN transform(sequence(0, {n_frames - 1}), f -> {fp_of_frame}) "
+        f"ELSE NULL END), 1)"
     )
-    # frame data starts at byte _m + 8 (1-based); frame f pixel i
-    # lives at _m + 8 + 64*f + i.  Stage the luma array per frame so
-    # each byte decodes ONCE (the bmp_ahash lesson: inlining the
-    # 64-substring sum into all 60 bit terms builds a ~4000-node tree)
-    frames = (
-        base.filter(found)
-        .select(F.col(id_col), "_h", "_m",
-                F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1)))
-                .alias("frame"))
-        .select(
-            F.col(id_col), "frame",
-            F.expr(
-                "transform(sequence(0, 63), i -> cast(conv(substring("
-                "_h, (_m + 7 + 64*frame + i) * 2 + 1, 2), 16, 10)"
-                " as bigint))"
-            ).alias("_lumas"),
+    staged = df.select(
+        F.col(id_col),
+        F.when((F.octet_length(payload_col) >= 12)
+               & (F.substring(hx, 9, 8) == F.lit("66747970")),  # 'ftyp'
+               hx).alias("_h"),
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.posexplode(F.expr(fps_arr)).alias("frame", "fp"),
         )
-        .select(
-            F.col(id_col), "frame", "_lumas",
-            F.expr("aggregate(_lumas, 0L, (a, x) -> a + x)")
-            .alias("_total"),
-        )
-    )
-    fp = F.expr(
-        "aggregate(sequence(0, 59), 0L, (a, i) -> "
-        "a + IF(element_at(_lumas, i + 1) * 64 > _total, "
-        "shiftleft(1L, i), 0L))"
-    )
-    return frames.select(
-        F.col(id_col), F.col("frame").cast("bigint").alias("frame"),
-        fp.alias("fp"),
+        .select(F.col(id_col), F.col("frame").cast("bigint").alias("frame"),
+                "fp")
     )

@@ -114,7 +114,10 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "modulus": args.modulus,
         "residue": args.residue,
-        "corpus_docs": fps.count(),
+        # distinct docs, not fp rows: grouped families (video) carry
+        # n_frames rows per doc and a raw count reads n_frames-fold
+        # high (same review finding as stratum_docs)
+        "corpus_docs": fps.select("doc").distinct().count(),
         "fingerprint_s": round(t1 - t0, 2),
         "check_s": round(time.time() - t1, 2),
     })
