@@ -1368,10 +1368,6 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
         f"CAST(length(_h) DIV 2 AS BIGINT) + 8) END)"
     )
 
-    def u32m(off: str) -> str:   # u32 with the bound walk offset `m`
-        return (f"(conv(substring(_h, ({off}) * 2 - 1, 8), 16, 10)"
-                f" + 0)")
-
     data_bytes = 64 * n_frames
     # frame data starts at byte m + 8 (1-based); frame f pixel i
     # lives at m + 8 + 64*f + i.  Gate (ftyp magic, mdat found, box
@@ -1389,8 +1385,8 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     )
     fps_arr = (
         f"element_at(transform(array({mdat_walk}), m -> "
-        f"CASE WHEN {u32m('m + 4')} = {_MP4_MDAT} "
-        f"AND {u32m('m')} >= {8 + data_bytes} "
+        f"CASE WHEN {u32('m + 4')} = {_MP4_MDAT} "
+        f"AND {u32('m')} >= {8 + data_bytes} "
         f"AND length(_h) DIV 2 >= m + {7 + data_bytes} "
         f"THEN transform(sequence(0, {n_frames - 1}), f -> {fp_of_frame}) "
         f"ELSE NULL END), 1)"
