@@ -1405,3 +1405,149 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
         .select(F.col(id_col), F.col("frame").cast("bigint").alias("frame"),
                 "fp")
     )
+
+
+def synthesize_wav_pcm_snippets(df: DataFrame, id_col: str,
+                                n_groups: int = 100) -> DataFrame:
+    """Longer PCM WAV clips (305 mono 16-bit samples, 654 bytes) whose
+    variant axis plants SUB-CLIP containment — the fixture for audio
+    snippet detection (windowed fingerprints, wave 38):
+
+      g = id % n_groups                 (the clip's own content)
+      v = (id // n_groups) % 3          (variant within the group)
+      s(i) = md5("g_i")[:4] % 160 - 80  (same md5 base as
+                                         synthesize_wav_pcm_groups)
+      v=1: samples 14,15 += 40          (one-frame wobble inside
+                                         window 0 -> near-dup)
+      v=2: samples 61..182 REPLACED by group (g+1) % n_groups's
+           samples 0..121               (a window-aligned BORROW: the
+                                         clip embeds 122 samples of
+                                         another group's audio)
+
+    With window 122 / hop 61 the borrow spans exactly the borrower's
+    window 1, so its sub-fingerprint equals the source group's
+    window-0 sub-fingerprint — the planted ground truth for snippet
+    detection.  Content is a pure function of (g, v), so the
+    _group_variant_payloads broadcast-dedup applies.  Returns
+    (id, payload)."""
+    n_samples = 305
+    rate, ch = 16000, 1
+    data_size = n_samples * 2
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / (256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    own = ("(conv(substring(md5(concat(cast(g AS string), '_', "
+           "cast(i AS string))), 1, 4), 16, 10) % 160 - 80)")
+    borrowed = ("(conv(substring(md5(concat(cast((g + 1) % "
+                f"{n_groups} AS string), '_', "
+                "cast(i - 61 AS string))), 1, 4), 16, 10) % 160 - 80)")
+    base = (f"(CASE WHEN v = 2 AND i BETWEEN 61 AND 182 "
+            f"THEN {borrowed} ELSE {own} END)")
+    bump = "(CASE WHEN v = 1 AND i IN (14, 15) THEN 40 ELSE 0 END)"
+    u16 = f"(({base} + {bump}) + 65536) % 65536"
+    pcm_hex = F.expr(
+        "array_join(transform("
+        "  transform(sequence(0, {n}), i -> {v}), u -> concat("
+        "  lpad(hex(u % 256), 2, '0'),"
+        "  lpad(hex(u div 256), 2, '0'))), '')".format(
+            n=n_samples - 1, v=u16)
+    )
+    header_hex = F.concat(
+        F.lit("52494646"), le(F.lit(36 + data_size), 4),
+        F.lit("57415645"), F.lit("666d7420"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(F.lit(ch), 2), le(F.lit(rate), 4),
+        le(F.lit(rate * ch * 2), 4), le(F.lit(ch * 2), 2),
+        le(F.lit(16), 2), F.lit("64617461"), le(F.lit(data_size), 4),
+    )
+    return _group_variant_payloads(
+        df, id_col, n_groups, F.unhex(F.concat(header_hex, pcm_hex)))
+
+
+def pcm_window_fingerprints(df: DataFrame, id_col: str,
+                            payload_col: str = "payload",
+                            window: int = 122,
+                            hop: int = 61,
+                            bits: int = 60) -> DataFrame:
+    """Overlapping-window sub-fingerprints over the WAV bytes — the
+    actual Haitsma-Kalker deployment shape (a stream of
+    sub-fingerprints per clip, not one hash): for window w starting
+    at sample ``w * hop``, the same 60-bit energy-difference sign
+    fingerprint as :func:`pcm_energy_diff_fingerprint` over that
+    window's ``window`` samples.  A clip of n samples yields
+    ``(n - window) div hop + 1`` windows.
+
+    Same RIFF/WAVE magic gate as the whole-clip path.  The entire
+    decode+window+fingerprint is ONE expression per clip with the
+    sample array bound once through a one-element
+    ``transform(array(...), S -> ...)`` lambda (the wave-37 lesson:
+    staged columns re-inline into lambda bodies and re-run per
+    element).  Map-only per clip; 8 bytes per (clip, window).
+    Returns (id, win, fp)."""
+    hx = F.hex(F.col(payload_col))
+
+    def le_at(byte_off, nbytes):
+        total = F.lit(0).cast("bigint")
+        for i in range(nbytes):
+            b = F.conv(
+                F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2), 16, 10
+            ).cast("bigint")
+            total = total + b * (256 ** i)
+        return total
+
+    is_wav = (
+        (F.octet_length(payload_col) >= 44)
+        & (F.substring(hx, 1, 8) == F.lit("52494646"))
+        & (F.substring(hx, 17, 8) == F.lit("57415645"))
+    )
+    n_frames = bits + 1
+    # signed samples decoded ONCE per clip (bound as S); window w's
+    # frame k squares S[w*hop + 2k] and S[w*hop + 2k + 1] (0-based ->
+    # element_at is 1-based)
+    s_i = (
+        "(conv(substring(_h, 89 + 4*i, 2), 16, 10) + "
+        " 256 * conv(substring(_h, 91 + 4*i, 2), 16, 10))"
+    )
+    samples = (
+        "transform(transform(sequence(0, _n - 1), i -> "
+        "CAST({s} AS BIGINT)), u -> "
+        "u - (CASE WHEN u >= 32768 THEN 65536 ELSE 0 END))"
+    ).format(s=s_i)
+    energies = (
+        f"transform(sequence(0, {n_frames - 1}), k -> "
+        f"element_at(S, w*{hop} + 2*k + 1) * "
+        f"element_at(S, w*{hop} + 2*k + 1) + "
+        f"element_at(S, w*{hop} + 2*k + 2) * "
+        f"element_at(S, w*{hop} + 2*k + 2))"
+    )
+    fp_of_window = (
+        f"element_at(transform(array({energies}), E -> "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (ba, bi) -> "
+        f"ba + IF(element_at(E, bi + 2) > element_at(E, bi + 1), "
+        f"shiftleft(1L, bi), 0L))), 1)"
+    )
+    # the window sequence bound is CAST to INT so `w` (and with it
+    # every element_at index) stays INT — element_at rejects BIGINT
+    # positions
+    fps_arr = (
+        f"element_at(transform(array({samples}), S -> "
+        f"transform(sequence(0, CAST((_n - {window}) DIV {hop} AS INT)), "
+        f"w -> {fp_of_window})), 1)"
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.when(is_wav, hx).alias("_h"),
+        F.when(is_wav, (le_at(41, 4) / 2).cast("bigint")).alias("_n"),
+    ).filter(F.col("_n") >= window)
+    return (
+        staged.select(
+            F.col(id_col),
+            F.posexplode(F.expr(fps_arr)).alias("win", "fp"),
+        )
+        .select(F.col(id_col), F.col("win").cast("bigint").alias("win"),
+                "fp")
+    )

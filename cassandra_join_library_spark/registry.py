@@ -270,10 +270,14 @@ _loaded = False
 #   mm_video_fp_recall_audit — MP4 box-walk keyframe aHash dedup
 #   through the shared Hamming-band machinery, completing the
 #   text/image/audio/video fingerprint quartet, and its measured
-#   recall/precision audit), oracled, registered AFTER the locked
-#   front.
+#   recall/precision audit) and wave38 (mm_audio_snippet_pairs +
+#   mm_audio_snippet_recall_audit — overlapping-window audio
+#   sub-fingerprints and sub-clip containment detection, the
+#   deployment shape whole-clip fingerprints cannot express), all
+#   oracled, registered AFTER the locked front.
 _POST_LOCK_R16: "tuple[str, ...]" = (
     "mm_video_keyframe_dedup", "mm_video_fp_recall_audit",
+    "mm_audio_snippet_pairs", "mm_audio_snippet_recall_audit",
 )
 
 _ROUND16_FRONT = [
@@ -691,6 +695,7 @@ def _load_all() -> None:
         wave35,
         wave36,
         wave37,
+        wave38,
     )
     _reorder()
     _loaded = True

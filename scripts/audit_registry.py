@@ -119,6 +119,9 @@ ALLOW = {
         "mm_video_fp_recall_audit": "two 1-row pair-count broadcasts "
                                     "crossjoined into the single "
                                     "audit row",
+        "mm_audio_snippet_recall_audit": "two 1-row pair-count "
+                                         "broadcasts crossjoined into "
+                                         "the single audit row",
     },
     "unpartitioned_window": {
         # windows over cluster-sized frames (#partitions / #groups rows),

@@ -19,7 +19,13 @@ fingerprints (queries/wave36.py) — same ``doc_id % 100`` content
 groups, so the same residue trick applies.  ``--family video``
 checks the MP4 keyframe aHash fingerprints (queries/wave37.py) —
 same content groups again, with the GROUPED banded join audited
-frame-to-frame via ``group_col="frame"``.  ``--family simhash``
+frame-to-frame via ``group_col="frame"``.  ``--family snippet``
+checks the windowed audio sub-fingerprints (queries/wave38.py) on
+their composite (clip*8 + window) key — the stratum keys on the CLIP
+id so all of a clip's windows stay together; borrow pairs span
+(g, g+1) and mostly cross the stratum boundary, which is fine: the
+selfcheck grades banded == brute on within-stratum pairs, and the
+same-group pairs keep it non-vacuous.  ``--family simhash``
 checks the text path (dedup_simhash's portable 60-bit fingerprints,
 radius 2) — pair density comes from the corpus itself, so the
 non-vacuous guard below may require a wider stratum (smaller
@@ -68,6 +74,19 @@ def _fingerprints(family: str, spark, sf_dir: str):
         )
 
         return _video_fingerprints(spark, sf_dir)
+    if family == "snippet":
+        # composite-key windowed sub-fingerprints (doc*8 + win) — the
+        # exact table mm_audio_snippet_pairs bands; the stratum
+        # expression keys on the CLIP id (doc div 8), keeping all of a
+        # clip's windows together (main() special-cases this)
+        from cassandra_join_library_spark.queries.wave38 import (
+            _KEY_STRIDE, _snippet_window_fps,
+        )
+
+        fps = _snippet_window_fps(spark, sf_dir)
+        return fps.select(
+            (F.col("doc") * _KEY_STRIDE + F.col("win")).alias("doc"),
+            "fp")
     # text simhash: the exact fingerprints dedup_simhash bands
     # (portable 60-bit md5 path), materialized like every posting-
     # family input before the self-join
@@ -86,7 +105,7 @@ def _fingerprints(family: str, spark, sf_dir: str):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--family",
-                   choices=("phash", "audio", "video", "simhash"),
+                   choices=("phash", "audio", "video", "snippet", "simhash"),
                    default="phash")
     p.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
     p.add_argument("--modulus", type=int, default=25)
@@ -99,7 +118,10 @@ def main() -> None:
     t1 = time.time()
     out = hamming_band_selfcheck(
         fps, bits=60, max_hamming=2,
-        stratum=(F.col("doc") % args.modulus == args.residue),
+        stratum=(
+            (F.expr("doc div 8") % args.modulus == args.residue)
+            if args.family == "snippet"
+            else (F.col("doc") % args.modulus == args.residue)),
         group_col="frame" if args.family == "video" else None,
     )
     # a stratum that captures no planted pair passes missing==extra==0
