@@ -266,12 +266,16 @@ def contamination_overlap(
                 "bench_bloom requires bloom_bits — pass the exact "
                 "num_bits the words table was built with"
             )
-    # (doc, shingle), distinct — persisted: hits AND totals both read
-    # it, and without the cache the expensive corpus-wide gram
-    # transform executes twice per action (the same reason every
-    # sibling posting-list operator persists its shingles)
-    doc_sh = shingles(df, id_col, text_col, n=n).persist()
-    doc_sh.count()
+    # (doc, shingle), distinct — eagerly materialized: hits AND totals
+    # both read it, and without the cut the expensive corpus-wide gram
+    # transform executes twice per action.  localCheckpoint (module
+    # pattern, operators/dedup.py) rather than persist+count: it also
+    # TRUNCATES the lineage, so the totals aggregate, the hits join,
+    # and every caller-side action downstream plan over a LogicalRDD
+    # leaf instead of re-optimizing the full upstream tree (measured
+    # on corpus_e2e_pipeline: the repeated planning was a visible
+    # slice of the warm wall)
+    doc_sh = shingles(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     bench_sh = bench_index if bench_index is not None else \
         bench_shingle_index(bench, id_col, text_col, n=n,
                             max_bench_doc_freq=max_bench_doc_freq)
@@ -439,15 +443,14 @@ def pack_sequences(
     degrade toward fewer effective buckets but never change results.
 
     The operator needs the input THREE times (bounds, bucket totals,
-    final join), so it persists the narrow (doc, chunk, tokens)
-    projection and the one-row-per-doc totals table up front —
-    whatever transform produced ``chunks`` (typically an explode)
-    executes exactly once, materialized into the cache by the first
-    internal action.  ``tests/test_plans.py`` pins this with an
-    accumulator-counted input.  The cache is left in place because the
-    returned (lazy) DataFrame still reads it; callers may
-    ``unpersist()`` the input projection once they have acted on the
-    result.
+    final join), so it eagerly localCheckpoints the narrow (doc,
+    chunk, tokens) projection and persists the one-row-per-doc totals
+    table up front — whatever transform produced ``chunks`` (typically
+    an explode) executes exactly once, and the checkpoint also
+    truncates the lineage so the operator's four internal actions plan
+    over a leaf instead of re-optimizing the producer pipeline each
+    time.  ``tests/test_plans.py`` pins the input-executes-once
+    contract with an accumulator-counted input.
     """
     from pyspark import StorageLevel
 
@@ -455,6 +458,13 @@ def pack_sequences(
     # a NULL doc id would flow into a NULL range bucket and crash the
     # driver-side bucket-offset fold with int(None) — assert loudly per
     # row instead (in a FILTER so column pruning can't elide the check)
+    # eager localCheckpoint, not a lazy persist: the operator drives
+    # FOUR actions over this projection (doc totals, bounds, bucket
+    # totals, final join) — with a lazy persist every one of them
+    # re-analyzes the whole upstream plan (explode + whatever pipeline
+    # produced ``chunks``) before hitting the cache; the checkpoint
+    # truncates the lineage so they all plan over a LogicalRDD leaf
+    # (cluster caveat: operators/dedup.py module doc)
     c = chunks.filter(F.assert_true(
         F.col(doc_col).isNotNull(),
         F.lit("pack_sequences: NULL doc id in chunk input"),
@@ -462,7 +472,7 @@ def pack_sequences(
         F.col(doc_col).cast("bigint").alias("doc_id"),
         F.col(chunk_col).alias("chunk_id"),
         tok.alias("n_tokens"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     intra = F.sum("n_tokens").over(
         Window.partitionBy("doc_id").orderBy("chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

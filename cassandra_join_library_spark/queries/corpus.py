@@ -342,20 +342,41 @@ def corpus_e2e_pipeline(spark, sf_dir):
     two semi/anti joins, one posting join — no cartesian, no
     unpartitioned window, no driver data path.  The oracle spells the
     identical pipeline in SQL CTEs."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     kept = C.quality_quantile_filter(docs, "doc_id", "text", "lang",
                                      keep_frac=0.5)
     surv = docs.join(kept.select("doc_id"), "doc_id", "semi")
-    canon = (
-        surv.groupBy(F.sha2(F.col("text"), 256).alias("_digest"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # exact dedup: keep the min-id copy per 256-bit text digest.  ONE
+    # row_number window over the digest — identical row set to the
+    # old groupBy(digest).agg(min) + semi-join-back (doc_id is unique,
+    # so rn=1 ordered by doc_id IS the min-id row), but the window
+    # form references ``surv`` once where the join form embedded the
+    # whole scan+quality-window subtree TWICE (Spark has no DataFrame
+    # CTE reuse; the duplicated subtree doubled stages 1-2 and blew
+    # the final plan up to 121 Exchange nodes — planning itself was a
+    # measurable cost at every downstream action).  The digest shuffle
+    # carries the doc payload once, same as the old semi-join did.
+    #
     # deduped feeds BOTH the contamination check and the final
-    # anti-join — persist so the quality-window + digest-groupBy chain
-    # upstream executes once, not twice (cache backs the returned lazy
-    # frame; Spark evicts LRU under pressure)
-    deduped = surv.join(canon, "doc_id", "semi").persist()
+    # anti-join — eager localCheckpoint (not persist) so the upstream
+    # chain executes exactly once AND the lineage is truncated:
+    # decontamination / chunk / pack then plan over a LogicalRDD leaf
+    # instead of re-optimizing the full pipeline tree per action
+    # (guide §3.3: very large plans make planning time the
+    # bottleneck; cluster caveat in operators/dedup.py module doc)
+    deduped = (
+        surv.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.sha2(F.col("text"), 256))
+                .orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     overlap = C.contamination_overlap(deduped, "doc_id", "text", bench, n=3)
     contaminated = overlap.filter(F.col("is_contaminated")).select("doc_id")
