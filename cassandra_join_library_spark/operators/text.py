@@ -736,8 +736,21 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
         f" 'fp_hash', CAST({win_min} AS BIGINT))) "
         f"ELSE array() END"
     )
+    # parallelize the (CPU-heavy) gram-hash + window-min transform:
+    # small corpora often arrive as ONE input split (the sf fixtures
+    # are single parquet files), which serializes the whole scan-stage
+    # transform on a single task — measured 4.0 s -> 1.0 s warm at
+    # sf0.1 with the spread.  Hash-partitioning on the id ALSO
+    # pre-clusters for the trailing (id, pos, hash) distinct, so that
+    # exchange is satisfied for free (same rationale as
+    # dedup.shingles; explicit count because AQE would coalesce a
+    # column-only repartition of a small input back to 1-2 partitions)
+    base = df.filter(F.length(text_col) >= k + window - 1)
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return (
-        df.filter(F.length(text_col) >= k + window - 1)
+        base
         .select(F.col(id_col), F.col(text_col),
                 F.expr(f"transform(split({text_col}, ''), c -> ascii(c))")
                 .alias("_codes"))
