@@ -164,6 +164,7 @@ def bloom_words_table(
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
     shard: "Column | None" = None,
+    portable: bool = True,
 ) -> DataFrame:
     """The Bloom membership filter as a PERSISTABLE (w, word) table —
     the at-rest store twin of :func:`bloom_build` (which collects the
@@ -187,12 +188,25 @@ def bloom_words_table(
     leading ``shard_id`` column and holds one word table PER SHARD,
     built in a single pass over ``df`` (the per-day / per-partition
     build shape); ``bit_or`` over ``w`` folds them into the corpus
-    filter."""
+    filter.
+
+    ``portable=False`` swaps the md5 positions for seeded xxhash64
+    (:func:`_positions`) — measurably cheaper per key (one JVM hash vs
+    concat+md5+substring+conv per probe), for stores whose DERIVED
+    answers are what matters (a Bloom prefilter's output is invariant
+    to the hash family: no false negatives either way).  Keep the
+    default when the bit content itself must be reproducible across
+    engines (the fp-audit queries' oracles rebuild it in DuckDB).
+    Build and probe MUST agree: pass the same flag to
+    :func:`bloom_pass_keys` or member keys probe the wrong positions
+    (silent false negatives — same failure class as a wrong
+    num_bits)."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"
         )
     key = F.col(key) if isinstance(key, str) else key
+    pos_fn = _portable_positions if portable else _positions
     probes = F.array(*[
         F.struct(
             (p / 64).cast("bigint").alias("w"),
@@ -200,7 +214,7 @@ def bloom_words_table(
                 "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
             ).alias("mask"),
         )
-        for p in _portable_positions(key, num_bits, num_hashes)
+        for p in pos_fn(key, num_bits, num_hashes)
     ])
     cols = ([shard.alias("shard_id")] if shard is not None else []) \
         + [F.explode(probes).alias("p")]
@@ -216,6 +230,7 @@ def bloom_pass_keys(
     words: DataFrame,
     num_bits: int,
     num_hashes: int = 5,
+    portable: bool = True,
 ) -> DataFrame:
     """Filter ANY frame to rows whose ``key_col`` passes the portable
     Bloom store: all ``num_hashes`` probed bits set.  Duplicates are
@@ -251,7 +266,11 @@ def bloom_pass_keys(
     k DIFFERENTLY-ALIASED selects of it, which defeats Spark's
     ReusedExchange, and without materialization each broadcast
     re-runs the full build aggregate — the store was being exploded
-    and re-aggregated k times (seen in the sf10 executed plan)."""
+    and re-aggregated k times (seen in the sf10 executed plan).
+
+    ``portable`` must MATCH the words table's build flag (see
+    :func:`bloom_words_table`): mixed families probe the wrong
+    positions and silently drop member keys."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"
@@ -261,7 +280,8 @@ def bloom_pass_keys(
     in_cols = df.columns
     out = df
     tests = []
-    for i, p in enumerate(_portable_positions(key, num_bits, num_hashes)):
+    pos_fn = _portable_positions if portable else _positions
+    for i, p in enumerate(pos_fn(key, num_bits, num_hashes)):
         wcol, mcol, vcol, jcol = f"_bw{i}", f"_bm{i}", f"_bv{i}", f"_bj{i}"
         out = (
             out.withColumn(wcol, (p / 64).cast("bigint"))

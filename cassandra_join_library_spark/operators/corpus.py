@@ -202,6 +202,7 @@ def contamination_overlap(
     bench_bloom: "DataFrame | None" = None,
     bloom_bits: "int | None" = None,
     bloom_hashes: int = 5,
+    bloom_portable: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of a document's distinct
     word n-grams that appear in a benchmark/eval set.
@@ -283,8 +284,11 @@ def contamination_overlap(
     if bench_bloom is not None:
         from .bloom import bloom_pass_keys
 
+        # bloom_portable must match the words table's build flag
+        # (bloom_words_table contract)
         probe = bloom_pass_keys(doc_sh, "shingle", bench_bloom,
-                                bloom_bits, bloom_hashes)
+                                bloom_bits, bloom_hashes,
+                                portable=bloom_portable)
     hits = (
         probe.join(
             bench_sh,

@@ -1106,7 +1106,8 @@ def cross_snapshot_containment(new_df: DataFrame,
                                n: int = 5,
                                store_bloom: "DataFrame | None" = None,
                                bloom_bits: "int | None" = None,
-                               bloom_hashes: int = 5) -> DataFrame:
+                               bloom_hashes: int = 5,
+                               bloom_portable: bool = True) -> DataFrame:
     """Incremental (cross-snapshot) dedup: per-NEW-document containment
     of its shingle set in a PRIOR-corpus fingerprint store.
 
@@ -1163,8 +1164,11 @@ def cross_snapshot_containment(new_df: DataFrame,
         # map-side prune: each (doc, shingle) row probes the broadcast
         # word table in place — no distinct, no join-back, no shuffle
         # before the store join itself
+        # bloom_portable must match the words table's build flag
+        # (bloom_words_table contract)
         probe = bloom_pass_keys(
-            sh, "shingle", store_bloom, bloom_bits, bloom_hashes)
+            sh, "shingle", store_bloom, bloom_bits, bloom_hashes,
+            portable=bloom_portable)
     # sort-merge, not broadcast: both sides are uncapped and corpus-
     # sized (the store IS the prior corpus's vocabulary), and a
     # checkpointed store's estimated stats can sneak under the

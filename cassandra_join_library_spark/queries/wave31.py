@@ -85,10 +85,20 @@ def dedup_cross_snapshot_bloom(spark, sf_dir):
     # cardinality is known when it is written); here the count is one
     # cheap job over the checkpointed store
     bits = _sized_bits(store.count())
-    words = bloom_words_table(store, "shingle", bits, _K)
+    # portable=False (seeded xxhash64 positions): the screen's OUTPUT
+    # is invariant to the hash family (no false negatives either way
+    # — the oracle is the exact containment SQL), and xxhash64 drops
+    # the concat+md5+substring+conv chain the build pays per store
+    # key and the probe pays 5x per new-crawl (doc, shingle) row —
+    # the dominant CPU of this query's filter stage.  The PORTABLE
+    # family stays on ``bloom_store_fp_audit``, whose oracle rebuilds
+    # the exact bit content; build and probe flags travel together.
+    words = bloom_words_table(store, "shingle", bits, _K,
+                              portable=False)
     out = D.cross_snapshot_containment(
         new, store, "doc_id", "text", n=5,
-        store_bloom=words, bloom_bits=bits, bloom_hashes=_K)
+        store_bloom=words, bloom_bits=bits, bloom_hashes=_K,
+        bloom_portable=False)
     return out.withColumn("is_dup", F.col("containment_ppm") >= 800000)
 
 

@@ -119,11 +119,18 @@ def corpus_contamination_bloom(spark, sf_dir):
     # consumers: count (sizing) + words build
     store = idx.select("shingle").distinct().localCheckpoint(eager=True)
     bits = _sized_bits(store.count())
-    words = bloom_words_table(store, "shingle", bits, _K)
+    # portable=False (seeded xxhash64): the screen's output is
+    # invariant to the position family (no false negatives), and the
+    # md5 chain cost 5 hashes per SNAPSHOT (doc, shingle) row at probe
+    # time — the 100 TB side.  The portable family stays on
+    # ``contamination_bloom_cut_audit``, whose oracle rebuilds the
+    # exact bit content; build and probe flags travel together.
+    words = bloom_words_table(store, "shingle", bits, _K,
+                              portable=False)
     return C.contamination_overlap(
         new, "doc_id", "text", bench, n=3,
         bench_index=idx, bench_bloom=words,
-        bloom_bits=bits, bloom_hashes=_K)
+        bloom_bits=bits, bloom_hashes=_K, bloom_portable=False)
 
 
 @register("contamination_bloom_cut_audit", oracle=f"""
