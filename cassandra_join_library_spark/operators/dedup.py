@@ -348,16 +348,35 @@ def minhash_lsh_pairs(
         ).select("doc", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
 
     a, b = bands.alias("a"), bands.alias("b")
+    # eager localCheckpoint: cand feeds the candidate-doc projection
+    # AND the final verify join — without the cut the band self-join
+    # (the expensive stage) would run twice; candidates are
+    # band-bounded, so the materialization is small by construction
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    # verify candidates with exact shingle-set jaccard (no false positives)
-    sets_a = sh.groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    # verify candidates with exact shingle-set jaccard (no false
+    # positives).  Build shingle SETS for CANDIDATE docs only — the
+    # full-corpus collect_set shuffled every doc's shingle strings
+    # through the aggregate even though the verify join immediately
+    # discarded all non-candidates; semi-joining the postings down to
+    # candidate docs first moves only the verified sliver (guide §2.3:
+    # shuffle fewer bytes — at 100 TB the candidate fraction of a
+    # healthy corpus is tiny, and it is band-bounded by construction)
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+    )
+    sets_a = (
+        sh.join(cand_docs, "doc", "semi")
+        .groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    )
     sets_b = sets_a.select(F.col("doc").alias("doc_b_key"), F.col("set_a").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
@@ -980,8 +999,20 @@ def minhash_lsh_pairs_portable(
     if not verify:
         return cand
     # exact-Jaccard verification of candidates only (same tail as
-    # minhash_lsh_pairs): candidate count is band-bounded, never n²
-    sets_a = sh.groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    # minhash_lsh_pairs): candidate count is band-bounded, never n².
+    # cand feeds the candidate-doc projection AND the verify join —
+    # checkpoint so the band self-join runs once, and build shingle
+    # sets for CANDIDATE docs only (the full-corpus collect_set
+    # shuffled every doc's shingles; see minhash_lsh_pairs)
+    cand = cand.localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+    )
+    sets_a = (
+        sh.join(cand_docs, "doc", "semi")
+        .groupBy("doc").agg(F.collect_set("shingle").alias("set_a"))
+    )
     sets_b = sets_a.select(F.col("doc").alias("doc_b_key"),
                            F.col("set_a").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
