@@ -383,15 +383,6 @@ def embedding_jl_projection(spark, sf_dir):
                                  lambda x: x.cast("double")))
         .alias("pos", "val"),
     ).withColumn("v6", F.round("val", 6))
-    rng = el.groupBy("pos").agg(F.min("v6").alias("lo"),
-                                F.max("v6").alias("hi"))
-    code = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
-        F.round((F.col("v6") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / F.lit(255.0)), 0))
-    codes = (el.join(F.broadcast(rng), "pos")
-             .select("vec_id", "label", "pos",
-                     (code.cast("bigint") - 128).alias("c")))
-
     def sign(r: int):
         h = F.conv(F.substring(
             F.md5(F.concat(F.lit(f"{r}_"),
@@ -399,10 +390,28 @@ def embedding_jl_projection(spark, sf_dir):
             16, 10).cast("bigint")
         return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
 
+    # the ±1 signs depend on (r, pos) ONLY — computing them inside the
+    # per-vector aggregate re-ran k md5 hashes per exploded ROW
+    # (k·n_vecs·dim hashes); hoisting them onto the per-pos range
+    # table computes k·dim hashes once and ships them on the same
+    # broadcast the quantization ranges already ride (guide §1.2:
+    # per-task work, after the plan shape is right)
+    rng = (el.groupBy("pos").agg(F.min("v6").alias("lo"),
+                                 F.max("v6").alias("hi"))
+           .select("pos", "lo", "hi",
+                   *[sign(r).alias(f"_s{r}") for r in range(_JL_K)]))
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.round((F.col("v6") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(255.0)), 0))
+    codes = (el.join(F.broadcast(rng), "pos")
+             .select("vec_id", "label", "pos",
+                     (code.cast("bigint") - 128).alias("c"),
+                     *[f"_s{r}" for r in range(_JL_K)]))
+
     per_vec = codes.groupBy("vec_id", "label").agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("orig_sq"),
-        *[F.sum(sign(r) * F.col("c")).cast("bigint").alias(f"p{r}")
-          for r in range(_JL_K)])
+        *[F.sum(F.col(f"_s{r}") * F.col("c")).cast("bigint")
+          .alias(f"p{r}") for r in range(_JL_K)])
     proj_sq = sum(F.col(f"p{r}") * F.col(f"p{r}")
                   for r in range(_JL_K))
     per_label = per_vec.groupBy("label").agg(
