@@ -1110,8 +1110,14 @@ def text_gopher_rules(spark, sf_dir):
     fraction, stop-word presence, top-word concentration, symbol
     ratio) as one map-only codegen pass — the rule-set curation
     pipelines run BEFORE any model-based scoring; every metric and
-    every verdict value-oracled."""
-    return T.gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+    every verdict value-oracled.  Repartitioned before the per-doc
+    rule pass (the fixture is one parquet split -> one task; the
+    top-word fold is O(distinct·n) per doc — real corpora get this
+    parallelism from file splits, the operator itself stays
+    map-only)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return T.gopher_rules(docs, "doc_id", "text")
 
 
 @register("dedup_semantic", oracle="""

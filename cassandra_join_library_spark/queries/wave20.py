@@ -351,6 +351,13 @@ def mm_mp4_box_parse(spark, sf_dir):
     when indexing raw video blobs.  Box types compare as u32 numbers
     so the hex-case difference between engines can't bite.  Map-only;
     the oracle builds and walks the identical stream."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # repartition BEFORE the per-clip synth+walk (the wave-36 lesson,
+    # applied back to the parse-only query): the sf fixture is one
+    # parquet split -> one input task, serializing the CPU-bound
+    # two-level walk; a real video corpus gets this parallelism from
+    # its file splits
+    sc = spark.sparkContext
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .repartition(sc.defaultParallelism))
     built = M.synthesize_mp4(docs, "doc_id")
     return M.parse_mp4_metadata(built, "doc_id")

@@ -77,7 +77,11 @@ def mm_subtitle_align(spark, sf_dir):
     clip's cues (bounded per key; at 100 TB the classic mistake is a
     global time-range join across clips).  Frames in inter-cue gaps
     come out orphaned via the left join."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the per-doc cue build (one-split fixture ->
+    # one task; real corpora parallelize via file splits)
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         F.col("doc_id")))
     did = F.col("doc_id")
 
     def srt(ms):
@@ -175,7 +179,11 @@ def corpus_span_corruption(spark, sf_dir):
     build needs BEFORE writing any example.  Determinism is the
     point: any engine, any partitioning, any re-run plans the same
     masks.  One token explode + doc-keyed windows; nothing global."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition on the doc id before the per-token md5 pass (one-
+    # split fixture -> one task; hash-partitioning by doc also
+    # pre-clusters the doc-keyed windows downstream)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "_w"),

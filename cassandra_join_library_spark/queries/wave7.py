@@ -178,8 +178,13 @@ def text_cdc_chunks(spark, sf_dir):
     chunk edges move with the content and early edits don't shift
     every later chunk — the dedup-robust complement of the
     fixed-stride ``corpus_chunk_overlap``.  Map-only higher-order
-    functions; all-integer hash, byte-for-byte chunk text parity."""
-    return cdc_chunks(_docs(spark, sf_dir), "doc_id", "text")
+    functions; all-integer hash, byte-for-byte chunk text parity.
+    Repartitioned before the per-char hash pass (one-split fixture ->
+    one task; real corpora parallelize via file splits — the operator
+    itself stays map-only)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return cdc_chunks(docs, "doc_id", "text")
 
 
 @register("corpus_vocab_coverage", oracle="""
