@@ -485,6 +485,12 @@ def pack_sequences(
     doc_totals = c.groupBy("doc_id").agg(
         F.sum("n_tokens").alias("_doc_tot")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # bounds collect stays a driver round-trip on purpose: the
+    # broadcast-one-row-frame alternative plans as a (bounded, 1-row)
+    # BroadcastNestedLoopJoin, which the scale-safety guards
+    # (tests/test_plans.py, plans/audit.py) deliberately refuse to
+    # whitelist — two scalars over a persisted table are cheaper than
+    # loosening that guard
     bounds = doc_totals.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]

@@ -1094,39 +1094,48 @@ def prefix_filter_jaccard_pairs(
 
     # eager localCheckpoint (module docstring: materialization pattern)
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    pref, counts = jaccard_prefix_lists(sh, threshold)
-    # every relation in the candidate/verify joins is corpus-sized
-    # (prefix lists, candidate pairs, full shingle sets), but the
-    # checkpointed plans' estimated stats can sneak under the
-    # broadcast threshold — at sf10 Spark tried to broadcast one and
-    # blew the 8g driver.  Sort-merge (spillable), not shuffle_hash:
-    # these sides are uncapped (see jaccard_prefix_lists) — the only
-    # shape that survives 100 TB.
+    pref, _counts = jaccard_prefix_lists(sh, threshold)
+    # the prefix relations are corpus-sized, and the checkpointed
+    # plans' estimated stats can sneak under the broadcast threshold —
+    # at sf10 Spark tried to broadcast one and blew the 8g driver.
+    # Sort-merge (spillable), not shuffle_hash: these sides are
+    # uncapped (see jaccard_prefix_lists) — the only shape that
+    # survives 100 TB.
     a = pref.select(F.col("doc").alias("doc_a"),
                     F.col("shingle").alias("s")).hint("merge")
     b = pref.select(F.col("doc").alias("doc_b"),
                     F.col("shingle").alias("s")).hint("merge")
+    # checkpoint: cand feeds the candidate-doc projection AND the
+    # verify join — without the cut the prefix self-join (the
+    # expensive stage) would run twice
     cand = (a.join(b, "s")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
-    x = sh.select(F.col("doc").alias("doc_a"),
-                  F.col("shingle").alias("s")).hint("merge")
-    y = sh.select(F.col("doc").alias("doc_b"),
-                  F.col("shingle").alias("s")).hint("merge")
-    common = (cand.hint("merge")
-              .join(x, "doc_a").join(y, ["doc_b", "s"])
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("common")))
-    ca = counts.select(F.col("doc").alias("doc_a"),
-                       F.col("n_sh").alias("na")).hint("merge")
-    cb = counts.select(F.col("doc").alias("doc_b"),
-                       F.col("n_sh").alias("nb")).hint("merge")
+            .select("doc_a", "doc_b").distinct()
+            .localCheckpoint(eager=True))
+    # verify via candidate-restricted shingle-set ARRAYS (the
+    # minhash-verify shape): the previous form expanded every
+    # candidate pair by doc_a's full posting list (Σ|A| join rows
+    # over candidate pairs, two more SMJs for the sizes); one row per
+    # candidate doc moves instead, |A∩B| is a hash-set intersect per
+    # pair, and the sizes ride along as size(set) — sh is distinct
+    # per (doc, shingle), so size(set) == the old n_sh exactly.
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+    )
+    sets = (sh.join(cand_docs, "doc", "semi")
+            .groupBy("doc").agg(F.collect_set("shingle").alias("ss")))
+    sa = sets.select(F.col("doc").alias("doc_a"),
+                     F.col("ss").alias("sa")).hint("merge")
+    sb = sets.select(F.col("doc").alias("doc_b"),
+                     F.col("ss").alias("sb")).hint("merge")
+    common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
     # filter on the UNROUNDED ratio, round only for output — exactly
     # like jaccard_pairs_exact, so the two strategies can never
     # disagree at a rounding boundary of the threshold
-    jac = (F.col("common") * F.lit(1.0)
-           / (F.col("na") + F.col("nb") - F.col("common")))
-    return (common.join(ca, "doc_a").join(cb, "doc_b")
+    jac = (common * F.lit(1.0)
+           / (F.size("sa") + F.size("sb") - common))
+    return (cand.hint("merge").join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
