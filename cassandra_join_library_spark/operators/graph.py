@@ -120,8 +120,17 @@ def per_node_triangles(edges: DataFrame) -> DataFrame:
     up on hub nodes, which is what makes triangle counting feasible on
     a power-law 100 TB graph.  Three equi-joins, no cartesian; the
     count is orientation-invariant, so the id-ordered SQL twin matches
-    exactly.  Reference has no graph surface (SURVEY.md §2.6)."""
-    deg = degrees(edges)
+    exactly.  Reference has no graph surface (SURVEY.md §2.6).
+
+    The edge list and the node-sized degree table are materialized at
+    this operator's boundary (the _copurchase_edges convention: lazy
+    producers; consumers that cannot prune materialize themselves) —
+    edges feeds the degree build AND the orientation join, deg joins
+    twice, and with a lazy producer the co-purchase self-join re-ran
+    per branch (the edge_jaccard sibling measured 7.8 -> 4.3 s at
+    sf0.01 from the same cut)."""
+    edges = edges.localCheckpoint(eager=True)
+    deg = degrees(edges).localCheckpoint(eager=True)
     e = (
         edges.join(deg.withColumnRenamed("n", "u")
                    .withColumnRenamed("deg", "du"), "u")
@@ -419,8 +428,17 @@ def edge_jaccard(edges: DataFrame, top: int = 20) -> DataFrame:
     credits its THREE id-ordered edges, then one edge-keyed count and
     a degree join.  Top-``top`` edges by (jaccard, u, v); the score is
     a rounded integer division in micro-units — exact on both
-    engines.  Reference has no graph surface (SURVEY.md §2.6)."""
-    deg = degrees(edges)
+    engines.  Reference has no graph surface (SURVEY.md §2.6).
+
+    Every branch here (degree build, orientation, closing-edge probe,
+    final score join) needs the FULL edge list, so it is materialized
+    at this operator's boundary (the _copurchase_edges convention:
+    lazy producers; consumers that cannot prune materialize
+    themselves) — with a lazy producer the co-purchase self-join
+    re-ran per branch (measured 7.8 -> 4.3 s at sf0.01).  The
+    node-sized degree table is cut too (three consumers)."""
+    edges = edges.localCheckpoint(eager=True)
+    deg = degrees(edges).localCheckpoint(eager=True)
     e = (
         edges.join(deg.withColumnRenamed("n", "u")
                    .withColumnRenamed("deg", "du"), "u")
@@ -504,7 +522,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     textbook ``m*sxy`` form overflowed int64 on the sf1 co-purchase
     graph — measured, fixed; the raw sums stay under 2^63 to ~1e12
     edge-ends at degree ~1000).  Returns one row:
-    (m, sxy, sx, sxx, sy, syy, assortativity)."""
+    (m, sxy, sx, sxx, sy, syy, assortativity).
+
+    Edge list materialized at the boundary (three consumers: degree
+    build + both union directions — the _copurchase_edges
+    convention)."""
+    edges = edges.localCheckpoint(eager=True)
     deg = degrees(edges)
     both = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
