@@ -1338,75 +1338,74 @@ def mp4_keyframe_ahash(df: DataFrame, id_col: str,
     embarrassingly parallel at 100 TB; 8 bytes per (clip, frame).
     Returns (id, frame, fp).
 
-    The whole walk+gate+hash is ONE expression per clip, with every
-    reused intermediate bound through a one-element
-    ``transform(array(x), v -> ...)`` lambda (the walk offset, each
-    frame's luma array, its sum): staged columns re-derived across
-    Project boundaries are inlined by CollapseProject into EVERY
-    reference — including inside transform lambdas, where the walk
-    then re-runs per PIXEL (measured 20-25 s warm for 5k clips at
-    sf0.1; this single-expression form is ~2 s).  Same lesson as the
-    audio fold, one level deeper."""
-    hx = F.hex(F.col(payload_col))
-
-    def u32(off: str) -> str:
-        return (f"(conv(substring(_h, ({off}) * 2 - 1, 8), 16, 10)"
-                f" + 0)")
-
-    # top-level walk: offset of the box whose type is 'mdat', or the
-    # accumulated offset walking past the end (gated below).  4 steps
-    # cover ftyp [+ free] + mdat with slack, same budget discipline
-    # as _MP4_TOP_STEPS.  The step is CLAMPED to just past the
-    # payload BYTE length (length(_h) DIV 2 — the offsets are byte
-    # units; clamping at hex-char length would leave the bound 2x too
-    # loose): a garbage payload can decode a ~4 GiB box size, and an
-    # unclamped offset would push the next substring position past
-    # INT under ANSI mode (CAST_OVERFLOW) — corrupt inputs must fall
-    # out of the gate, never throw.
-    mdat_walk = (
-        f"aggregate(sequence(1, 4), CAST(1 AS BIGINT), "
-        f"(o, _s) -> CASE WHEN {u32('(o) + 4')} = {_MP4_MDAT} THEN o "
-        f"ELSE least(o + {u32('o')}, "
-        f"CAST(length(_h) DIV 2 AS BIGINT) + 8) END)"
-    )
-
+    Decode is ``mapInArrow`` + NumPy over the raw payload bytes
+    (optimization guide §4.2/§8.3 — the same vectorized-native swap
+    as bmp_ahash / the audio fingerprints): the box walk reads u32s
+    straight off the buffer and each frame's 64 lumas come from one
+    strided view — no hex image, no interpreted lambdas.  Integer
+    arithmetic end to end, so the fingerprints are bit-identical to
+    the previous single-expression form and the DuckDB oracle.  The
+    walk mirrors that form's corrupt-input semantics exactly: 4
+    chained steps, offsets clamped to payload-length + 8 (a garbage
+    ~4 GiB box size must fall out of the gate, never throw), a u32
+    read past the end parses however many bytes remain (``conv`` of a
+    short hex image == ``int.from_bytes`` of the short slice) and an
+    EMPTY read walks to the clamp (SQL ``least`` skips the NULL sum);
+    the final gate (mdat found, box and payload big enough) drops the
+    clip.  Only (id, payload) crosses the Python boundary."""
     data_bytes = 64 * n_frames
-    # frame data starts at byte m + 8 (1-based); frame f pixel i
-    # lives at m + 8 + 64*f + i.  Gate (ftyp magic, mdat found, box
-    # and payload big enough) INSIDE the binding lambda; a failed
-    # gate yields a NULL array, and exploding NULL produces no rows —
-    # corrupt inputs drop with zero extra plan nodes.
-    lumas = ("transform(sequence(0, 63), i -> CAST(conv(substring("
-             "_h, (m + 7 + 64*f + i) * 2 + 1, 2), 16, 10) AS BIGINT))")
-    fp_of_frame = (
-        f"element_at(transform(array({lumas}), L -> "
-        f"element_at(transform(array(aggregate(L, 0L, (sa, sx) -> sa + sx)), "
-        f"T -> aggregate(sequence(0, 59), 0L, (ba, bi) -> "
-        f"ba + IF(element_at(L, bi + 1) * 64 > T, "
-        f"shiftleft(1L, bi), 0L))), 1)), 1)"
-    )
-    fps_arr = (
-        f"element_at(transform(array({mdat_walk}), m -> "
-        f"CASE WHEN {u32('m + 4')} = {_MP4_MDAT} "
-        f"AND {u32('m')} >= {8 + data_bytes} "
-        f"AND length(_h) DIV 2 >= m + {7 + data_bytes} "
-        f"THEN transform(sequence(0, {n_frames - 1}), f -> {fp_of_frame}) "
-        f"ELSE NULL END), 1)"
-    )
-    staged = df.select(
-        F.col(id_col),
-        F.when((F.octet_length(payload_col) >= 12)
-               & (F.substring(hx, 9, 8) == F.lit("66747970")),  # 'ftyp'
-               hx).alias("_h"),
-    )
-    return (
-        staged.select(
-            F.col(id_col),
-            F.posexplode(F.expr(fps_arr)).alias("frame", "fp"),
-        )
-        .select(F.col(id_col), F.col("frame").cast("bigint").alias("frame"),
-                "fp")
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, frame bigint, fp bigint"
+    mdat = _MP4_MDAT
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def u32(b, off1):  # 1-based byte offset, partial-read faithful
+            seg = b[off1 - 1:off1 + 3]
+            return int.from_bytes(seg, "big") if seg else None
+
+        for batch in batches:
+            ids, pls = batch.column(0), batch.column(1)
+            keep, frames, fps = [], [], []
+            for j in range(len(pls)):
+                v = pls[j].as_py()
+                if v is None or len(v) < 12 or v[4:8] != b"ftyp":
+                    continue
+                clamp = len(v) + 8
+                o = 1
+                for _ in range(4):
+                    t = u32(v, o + 4)
+                    if t == mdat:
+                        continue  # found: o stays (remaining steps idle)
+                    s = u32(v, o)
+                    o = clamp if s is None else min(o + s, clamp)
+                box = u32(v, o)
+                if (u32(v, o + 4) != mdat or box is None
+                        or box < 8 + data_bytes
+                        or len(v) < o + 7 + data_bytes):
+                    continue
+                # frame f pixel i at 1-based byte m + 8 + 64f + i
+                data = np.frombuffer(v, dtype=np.uint8, offset=o + 7,
+                                     count=data_bytes).astype(np.int64)
+                for f in range(n_frames):
+                    lumas = data[64 * f:64 * (f + 1)]
+                    total = int(lumas.sum())
+                    fp = 0
+                    for i in np.nonzero(lumas[:60] * 64 > total)[0]:
+                        fp += 1 << int(i)
+                    keep.append(j)
+                    frames.append(f)
+                    fps.append(fp)
+            yield pa.RecordBatch.from_arrays(
+                [pc.take(ids, pa.array(keep, pa.int32())),
+                 pa.array(frames, pa.int64()),
+                 pa.array(fps, pa.int64())],
+                names=batch.schema.names[:1] + ["frame", "fp"])
+
+    return df.select(id_col, payload_col).mapInArrow(_decode, out_schema)
 
 
 def synthesize_wav_pcm_snippets(df: DataFrame, id_col: str,

@@ -112,20 +112,25 @@ def corpus_contamination_bloom(spark, sf_dir):
     # definition): the capped index feeds both the words table and the
     # exact join side, so the cap semantics physically cannot diverge
     # between the filter and the join it prunes.
-    # consumers: distinct (sizing + words build), exact hits join
+    # consumers: sizing count-distinct, words build, exact hits join
     idx = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
                                  max_bench_doc_freq=1)
            .localCheckpoint(eager=True))
-    # consumers: count (sizing) + words build
-    store = idx.select("shingle").distinct().localCheckpoint(eager=True)
-    bits = _sized_bits(store.count())
+    # sizing: one count-distinct job over the checkpointed index — no
+    # separate distinct store materialization: bit_or is idempotent,
+    # so building the words table straight from the (shingle, bdoc)
+    # index sets exactly the same bits as building it from the
+    # distinct shingle set (duplicate shingles re-set their own bits),
+    # and the exact join side IS the index already
+    bits = _sized_bits(
+        idx.agg(F.count_distinct("shingle")).collect()[0][0])
     # portable=False (seeded xxhash64): the screen's output is
     # invariant to the position family (no false negatives), and the
     # md5 chain cost 5 hashes per SNAPSHOT (doc, shingle) row at probe
     # time — the 100 TB side.  The portable family stays on
     # ``contamination_bloom_cut_audit``, whose oracle rebuilds the
     # exact bit content; build and probe flags travel together.
-    words = bloom_words_table(store, "shingle", bits, _K,
+    words = bloom_words_table(idx, "shingle", bits, _K,
                               portable=False)
     return C.contamination_overlap(
         new, "doc_id", "text", bench, n=3,
