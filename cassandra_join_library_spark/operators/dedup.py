@@ -446,6 +446,8 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -468,9 +470,13 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         final_label = F.least(
             F.col("label"), F.coalesce("jlabel", F.col("label"))
         )
-        # convergence flag rides INSIDE the checkpointed frame (labels
-        # only ever decrease, so changed == new < old) — checking it is
-        # a filter over cached rows, not another per-round join job
+        # convergence count rides the checkpoint job itself as an
+        # observe() metric (labels only ever decrease, so changed ==
+        # new < old) — the old filter-over-cached-rows count was still
+        # one extra JOB per round (scheduling + result round-trip);
+        # folding it in halves the per-round action count (r16 verdict
+        # ask #2)
+        obs = Observation()
         new_labels = (
             propagated.join(jump, propagated.label == jump.jnode, "left")
             .select(
@@ -478,11 +484,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 final_label.alias("label"),
                 (final_label < F.col("old_label")).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long"))
+                     .alias("n_changed"))
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        if int(obs.get["n_changed"] or 0) == 0:
             break
     else:
         edges.unpersist()
