@@ -271,13 +271,42 @@ def bloom_pass_keys(
     ``portable`` must MATCH the words table's build flag (see
     :func:`bloom_words_table`): mixed families probe the wrong
     positions and silently drop member keys."""
+    out, passed = _bloom_probe(df, key_col, words, num_bits,
+                               num_hashes, portable)
+    return out.filter(passed).select(*df.columns)
+
+
+def bloom_flag_keys(
+    df: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    num_bits: int,
+    num_hashes: int = 5,
+    portable: bool = True,
+    flag_col: str = "_bloom_pass",
+) -> DataFrame:
+    """:func:`bloom_pass_keys`, but the membership test is APPENDED as
+    a boolean column instead of filtering — for consumers that need
+    every input row downstream (e.g. a totals aggregate) and only want
+    the Bloom verdict folded into a join condition.  Same probe
+    machinery, same no-false-negative guarantee: ``flag_col`` is true
+    iff all ``num_hashes`` probed bits are set.  Every input column is
+    kept; build parameters must match the store, as in
+    :func:`bloom_pass_keys`."""
+    out, passed = _bloom_probe(df, key_col, words, num_bits,
+                               num_hashes, portable)
+    return out.select(*df.columns, passed.alias(flag_col))
+
+
+def _bloom_probe(df, key_col, words, num_bits, num_hashes, portable):
+    """Shared probe plumbing: chained broadcast word lookups.  Returns
+    (frame with probe temp columns, the all-bits-set predicate)."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"
         )
     words = words.localCheckpoint(eager=True)
     key = F.col(key_col)
-    in_cols = df.columns
     out = df
     tests = []
     pos_fn = _portable_positions if portable else _positions
@@ -296,4 +325,4 @@ def bloom_pass_keys(
         tests.append(
             F.coalesce(F.col(vcol), F.lit(0)).bitwiseAND(F.col(mcol))
             != 0)
-    return out.filter(reduce(lambda a, b: a & b, tests)).select(*in_cols)
+    return out, reduce(lambda a, b: a & b, tests)

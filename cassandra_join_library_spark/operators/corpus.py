@@ -232,16 +232,16 @@ def contamination_overlap(
     ``bench_bloom``: optionally, the benchmark's persisted Bloom
     filter as a (w, word) table (operators/bloom.py
     ``bloom_words_table``, built over the SAME index's distinct
-    shingles).  When given, the corpus side of the ``hits`` join is
-    pre-pruned MAP-SIDE through ``bloom_pass_keys``: shingles failing
-    the probe are provably absent from the benchmark (no false
-    negatives) and never shuffle into the join.  This is the 100 TB
-    screening shape — the benchmark is fixed and tiny, the snapshot
-    is the 100 TB side, and a healthy snapshot's shingles are
-    overwhelmingly benchmark-absent, so the exact join moves only the
-    (overlap + measured fp) fraction.  Output is bit-identical with
-    or without the filter; the totals denominator reads the UNPRUNED
-    shingle table (pruning it would deflate n_shingles).
+    shingles).  When given, the Bloom verdict is probed MAP-SIDE
+    (``bloom_flag_keys``) and folded into the join condition:
+    shingles failing the probe are provably absent from the benchmark
+    (no false negatives) and never match, while still counting toward
+    the ``n_shingles`` denominator.  This is the 100 TB screening
+    shape — the benchmark is fixed and tiny (broadcast join side), the
+    snapshot is the 100 TB side, and a healthy snapshot's shingles
+    are overwhelmingly benchmark-absent, so the flag prunes the match
+    expansion to the (overlap + measured fp) fraction.  Output is
+    bit-identical with or without the filter.
 
     ``bench_bloom`` REQUIRES ``bench_index``: the filter and the
     store it was built over must travel together — a Bloom built over
@@ -267,44 +267,58 @@ def contamination_overlap(
                 "bench_bloom requires bloom_bits — pass the exact "
                 "num_bits the words table was built with"
             )
-    # (doc, shingle), distinct — eagerly materialized: hits AND totals
-    # both read it, and without the cut the expensive corpus-wide gram
-    # transform executes twice per action.  localCheckpoint (module
-    # pattern, operators/dedup.py) rather than persist+count: it also
-    # TRUNCATES the lineage, so the totals aggregate, the hits join,
-    # and every caller-side action downstream plan over a LogicalRDD
-    # leaf instead of re-optimizing the full upstream tree (measured
-    # on corpus_e2e_pipeline: the repeated planning was a visible
-    # slice of the warm wall)
-    doc_sh = shingles(df, id_col, text_col, n=n).localCheckpoint(eager=True)
+    # ONE corpus pass (fused totals + hits): the bench side LEFT-joins
+    # onto the (doc, shingle) table, so a per-(doc, shingle) hit flag
+    # and the totals denominator come out of the SAME aggregate —
+    # where the previous shape scanned the shingle table twice (probe
+    # join + separate totals aggregate) and paid a third doc-keyed
+    # join to stitch hits back onto totals.  That also removes the
+    # eager doc_sh materialization job: the shingle transform now has
+    # exactly one consumer, so there is nothing to share (guide §2.4:
+    # remove shuffles/passes outright).  ``shingles`` emits DISTINCT
+    # (doc, shingle) rows, so count(*) over the first-level groups ==
+    # the old totals count and sum(hit) == the old count_distinct.
+    doc_sh = shingles(df, id_col, text_col, n=n)
     bench_sh = bench_index if bench_index is not None else \
         bench_shingle_index(bench, id_col, text_col, n=n,
                             max_bench_doc_freq=max_bench_doc_freq)
-    probe = doc_sh
     if bench_bloom is not None:
-        from .bloom import bloom_pass_keys
+        from .bloom import bloom_flag_keys
 
+        # the Bloom verdict rides along as a COLUMN (not a filter):
+        # rows failing the probe are provably benchmark-absent (no
+        # false negatives) and simply never match in the left join,
+        # while still counting toward the n_shingles denominator —
+        # the flag folds the prune into the join condition without a
+        # second unpruned pass for totals.
         # bloom_portable must match the words table's build flag
         # (bloom_words_table contract)
-        probe = bloom_pass_keys(doc_sh, "shingle", bench_bloom,
+        probe = bloom_flag_keys(doc_sh, "shingle", bench_bloom,
                                 bloom_bits, bloom_hashes,
-                                portable=bloom_portable)
-    hits = (
-        probe.join(
-            bench_sh,
-            (probe["shingle"] == bench_sh["shingle"])
-            & (probe["doc"] != bench_sh["bdoc"]),
-        )
-        .groupBy(probe["doc"])
-        .agg(F.count_distinct(probe["shingle"]).cast("bigint").alias("n_overlap"))
+                                portable=bloom_portable,
+                                flag_col="_bloom_pass")
+        pass_pred = probe["_bloom_pass"]
+    else:
+        probe = doc_sh
+        pass_pred = F.lit(True)
+    j = probe.join(
+        bench_sh,
+        (probe["shingle"] == bench_sh["shingle"])
+        & (probe["doc"] != bench_sh["bdoc"])
+        & pass_pred,
+        "left",
     )
-    totals = doc_sh.groupBy("doc").agg(
-        F.count("*").cast("bigint").alias("n_shingles")
+    # level 1: per-(doc, shingle) hit flag — dedups the bench-side
+    # match expansion exactly like the old count_distinct did
+    per_sh = j.groupBy(probe["doc"], probe["shingle"]).agg(
+        F.max(bench_sh["bdoc"].isNotNull()).alias("_hit")
     )
-    joined = totals.join(hits, "doc", "left").select(
-        F.col("doc").alias("doc_id"),
-        F.col("n_shingles"),
-        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+    joined = per_sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.col("_hit").cast("bigint")).cast("bigint")
+        .alias("n_overlap"),
+    ).select(
+        F.col("doc").alias("doc_id"), "n_shingles", "n_overlap",
     )
     ratio = F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")
     return joined.select(
@@ -428,18 +442,19 @@ def pack_sequences(
     offset: pack_id = (running_token_count - own_tokens) div budget in
     (doc, chunk) order.
 
-    The global prefix sum is computed scalably in THREE levels, with
-    no unpartitioned window anywhere in the plan:
+    The global prefix sum is computed scalably in THREE levels; the
+    only unpartitioned window runs over at most ``n_buckets`` rows (a
+    knob, never data-sized):
 
     1. intra-document cumulative sum — window partitioned by doc
        (fully parallel);
     2. per-document offsets within a doc-id RANGE BUCKET — window
        partitioned by bucket over the doc-level totals table (one row
        per doc, ≤ ~N/n_buckets rows per partition for uniform ids);
-    3. per-bucket offsets — an exclusive prefix over at most
-       ``n_buckets`` (bucket, total) rows, collected to the driver
-       (constant-size state, same pattern as the bloom filter) and
-       joined back as a broadcast literal frame.
+    3. per-bucket offsets — an exclusive prefix window over at most
+       ``n_buckets`` (bucket, total) rows (constant-size state, same
+       bounded-frame pattern as corpus.shuffle_shards), joined back as
+       a broadcast.
 
     Equivalent to — and oracle-checked against — a flat
     ``SUM() OVER (ORDER BY doc, chunk)``.  Bucketing is by doc-id
@@ -451,13 +466,14 @@ def pack_sequences(
     tokens) projection and persists the one-row-per-doc totals table
     up front — whatever transform produced ``chunks`` (typically an
     explode) executes exactly once, and the checkpoint also truncates
-    the lineage so the operator's internal actions plan over a leaf
-    instead of re-optimizing the producer pipeline each time.  The
-    doc-id bounds for the range bucketing ride the checkpoint job as
-    an ``observe()`` metric, so the only extra driver round-trip is
-    the constant-size bucket-totals collect.  ``tests/test_plans.py``
-    pins the input-executes-once contract with an accumulator-counted
-    input.
+    the lineage so everything downstream plans over a leaf instead of
+    re-optimizing the producer pipeline.  The doc-id bounds for the
+    range bucketing ride the checkpoint job as an ``observe()``
+    metric, and the bucket offsets are computed in-plan, so the
+    checkpoint is the operator's ONLY internal action — everything
+    else (totals fill, bucket window, final join) rides the caller's
+    action.  ``tests/test_plans.py`` pins the input-executes-once
+    contract with an accumulator-counted input.
 
     Lifecycle note: the checkpointed projection's executor storage
     blocks are released by the ContextCleaner only once the RDD is
@@ -468,16 +484,16 @@ def pack_sequences(
     from pyspark.sql import Observation
 
     tok = F.ceil(F.col(chars_col) / 4.0).cast("bigint")
-    # a NULL doc id would flow into a NULL range bucket and crash the
-    # driver-side bucket-offset fold with int(None) — assert loudly per
-    # row instead (in a FILTER so column pruning can't elide the check)
-    # eager localCheckpoint, not a lazy persist: the operator drives
-    # THREE actions over this projection (doc totals, bucket totals,
-    # final join) — with a lazy persist every one of them re-analyzes
-    # the whole upstream plan (explode + whatever pipeline produced
-    # ``chunks``) before hitting the cache; the checkpoint truncates
-    # the lineage so they all plan over a LogicalRDD leaf (cluster
-    # caveat: operators/dedup.py module doc).  The doc-id BOUNDS the
+    # a NULL doc id would flow into a NULL range bucket and break the
+    # bucket-offset running sum ordering — assert loudly per row
+    # instead (in a FILTER so column pruning can't elide the check)
+    # eager localCheckpoint, not a lazy persist: both downstream
+    # consumers (doc totals, final join) re-analyze this projection —
+    # with a lazy persist each re-analyzes the whole upstream plan
+    # (explode + whatever pipeline produced ``chunks``) before hitting
+    # the cache; the checkpoint truncates the lineage so they plan
+    # over a LogicalRDD leaf (cluster caveat: operators/dedup.py
+    # module doc).  The doc-id BOUNDS the
     # range bucketing needs ride the SAME checkpoint job as an
     # ``observe()`` metric — the r16-verdict action-folding ask: the
     # old separate min/max collect was a full extra driver round-trip
@@ -520,22 +536,26 @@ def pack_sequences(
         "_boff",
         F.coalesce(F.sum("_doc_tot").over(w_bkt), F.lit(0)).cast("bigint"),
     )
-    # level 3: exclusive bucket-offset — ≤ n_buckets rows, driver-side
-    btotals = sorted(
-        (int(r["_bkt"]), int(r["_tot"]))
-        for r in dt.groupBy("_bkt").agg(
-            F.sum("_doc_tot").alias("_tot")
-        ).collect()
+    # level 3: exclusive bucket-offset — ≤ n_buckets rows.  Computed
+    # as a running sum over the per-bucket totals INSIDE the plan (a
+    # window over a bounded, cluster-property-sized frame — the same
+    # shape corpus.shuffle_shards' global index already uses) instead
+    # of the old driver-side collect+fold: the collect was a full
+    # extra driver action per pack_sequences call (r16 verdict ask #1,
+    # cut the internal action count), where the window rides the
+    # caller's action for free.  The unpartitioned window is bounded
+    # by n_buckets (1024), never data-sized.
+    w_bkt_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boff_rows, running = [], 0
-    for b, t in btotals:
-        boff_rows.append((b, running))
-        running += t
-    spark = chunks.sparkSession
-    from ..sources.catalog import local_frame
-
-    boffs = local_frame(
-        spark, boff_rows or [(0, 0)], "_bkt bigint, _bkt_off bigint"
+    boffs = (
+        dt.groupBy("_bkt").agg(F.sum("_doc_tot").alias("_tot"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_tot").over(w_bkt_off), F.lit(0))
+            .cast("bigint").alias("_bkt_off"),
+        )
     )
     offsets = (
         dt.join(F.broadcast(boffs), "_bkt")

@@ -76,15 +76,21 @@ def dedup_cross_snapshot_bloom(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     prior = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    # consumers: count (sizing), words build, exact verify join
-    # (module materialization pattern)
+    # consumers: words build, exact verify join (module
+    # materialization pattern).  The sizing count rides the checkpoint
+    # job as an observe() metric (the store is DISTINCT, so count(*)
+    # is its key cardinality) — sizing happens at store-build time in
+    # production (the store's cardinality is known when it is
+    # written), and folding it here drops a whole driver action per
+    # query (r16 verdict ask #1 action-count discipline).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     store = (D.shingles(prior, "doc_id", "text", 5)
              .select("shingle").distinct()
+             .observe(obs, F.count(F.lit(1)).alias("n_keys"))
              .localCheckpoint(eager=True))
-    # sizing happens at store-build time in production (the store's
-    # cardinality is known when it is written); here the count is one
-    # cheap job over the checkpointed store
-    bits = _sized_bits(store.count())
+    bits = _sized_bits(int(obs.get["n_keys"] or 0))
     # portable=False (seeded xxhash64 positions): the screen's OUTPUT
     # is invariant to the hash family (no false negatives either way
     # — the oracle is the exact containment SQL), and xxhash64 drops

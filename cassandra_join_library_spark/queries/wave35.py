@@ -113,17 +113,22 @@ def corpus_contamination_bloom(spark, sf_dir):
     # exact join side, so the cap semantics physically cannot diverge
     # between the filter and the join it prunes.
     # consumers: sizing count-distinct, words build, exact hits join
+    from pyspark.sql import Observation
+
+    obs = Observation()
     idx = (C.bench_shingle_index(bench, "doc_id", "text", n=3,
                                  max_bench_doc_freq=1)
+           .observe(obs, F.count(F.lit(1)).alias("n_keys"))
            .localCheckpoint(eager=True))
-    # sizing: one count-distinct job over the checkpointed index — no
-    # separate distinct store materialization: bit_or is idempotent,
-    # so building the words table straight from the (shingle, bdoc)
-    # index sets exactly the same bits as building it from the
-    # distinct shingle set (duplicate shingles re-set their own bits),
-    # and the exact join side IS the index already
-    bits = _sized_bits(
-        idx.agg(F.count_distinct("shingle")).collect()[0][0])
+    # sizing rides the checkpoint job as an observe() metric — one
+    # fewer driver action than the old separate count-distinct job
+    # (r16 verdict ask #1 discipline).  count(*) IS the distinct
+    # shingle count here: max_bench_doc_freq=1 caps every shingle to
+    # at most one (shingle, bdoc) row.  No separate distinct store
+    # materialization either: bit_or is idempotent, so building the
+    # words table straight from the (shingle, bdoc) index sets exactly
+    # the same bits, and the exact join side IS the index already
+    bits = _sized_bits(int(obs.get["n_keys"] or 0))
     # portable=False (seeded xxhash64): the screen's output is
     # invariant to the position family (no false negatives), and the
     # md5 chain cost 5 hashes per SNAPSHOT (doc, shingle) row at probe

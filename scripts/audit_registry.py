@@ -184,6 +184,13 @@ ALLOW = {
         "approx_quantile_logbins": "cumulative window over the "
                                    "<= 64-row log-bin sketch state, "
                                    "never the orders table",
+        "corpus_pack_sequences": "bucket-offset prefix window over "
+                                 "the <= n_buckets(1024)-row bucket-"
+                                 "totals aggregate (pack_sequences "
+                                 "level 3), never the chunk table",
+        "corpus_e2e_pipeline": "same pack_sequences bucket-offset "
+                               "window (<= 1024 rows) in the packing "
+                               "stage",
     },
     "cartesian_product": {},
     "python_udf": {},

@@ -139,27 +139,31 @@ def test_cosine_pairs_blocked_no_cartesian(spark):
 
 
 def test_pack_sequences_no_unpartitioned_window(spark):
-    """pack_sequences: every window in the plan must be partitioned —
-    the global prefix sum is two-level (doc, then doc-range bucket),
-    never a single-task ORDER BY over all rows."""
+    """pack_sequences: every DATA-SIZED window in the plan must be
+    partitioned — the global prefix sum is two-level (doc, then
+    doc-range bucket), never a single-task ORDER BY over all rows.
+    The one allowed exception is the level-3 bucket-offset prefix
+    window (output ``_bkt_off``), which runs over the ≤ n_buckets
+    (1024) bucket-totals aggregate — bounded by a knob, not by data."""
     plan = _plan(QUERIES["corpus_pack_sequences"](spark, SF_SMOKE))
     # Spark renders `Window [exprs], [partitionSpec], [orderSpec]` but
     # omits the partition group entirely when empty — so a partitioned
     # window line has two `], [` separators, a global one has one.
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert line.count("], [") >= 2, (
+            assert line.count("], [") >= 2 or "_bkt#" in line, (
                 f"unpartitioned window:\n{line}\n{plan}"
             )
 
 
 def test_pack_sequences_computes_input_once(spark):
-    """pack_sequences runs two internal driver actions (id bounds,
-    bucket totals) before the caller's final action — without the
-    operator-internal persist the upstream transform (typically a
-    chunk explode) would execute 3-4×.  Count actual row evaluations
-    with an accumulator on the input scan and require exactly one
-    pass."""
+    """pack_sequences materializes its input projection once (the
+    checkpoint job, which also carries the id-bounds observe metric)
+    and every later consumer (doc totals, bucket window, final join)
+    reads the materialized leaf — without the operator-internal
+    persist the upstream transform (typically a chunk explode) would
+    execute 3-4×.  Count actual row evaluations with an accumulator
+    on the input scan and require exactly one pass."""
     from cassandra_join_library_spark.operators import corpus as C
 
     rows = [(d, c, 80 + 10 * c) for d in range(1, 21) for c in range(3)]
@@ -212,7 +216,10 @@ def test_e2e_pipeline_plan_is_scale_safe(spark):
     """corpus_e2e_pipeline (the composed filter->dedup->decontam->
     chunk->pack run) must inherit every stage's scale property at
     once: no cartesian, no inequality-only nested loop, and no
-    unpartitioned window anywhere in the fused plan."""
+    DATA-SIZED unpartitioned window anywhere in the fused plan (the
+    pack stage's ≤ n_buckets bucket-offset window, recognizable by its
+    ``_bkt`` ordering key, is the one bounded exception — see
+    test_pack_sequences_no_unpartitioned_window)."""
     plan = _plan(QUERIES["corpus_e2e_pipeline"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     bnlj_lines = [ln for ln in plan.splitlines()
@@ -220,7 +227,7 @@ def test_e2e_pipeline_plan_is_scale_safe(spark):
     assert not bnlj_lines, f"nested-loop join in plan:\n{plan}"
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert line.count("], [") >= 2, (
+            assert line.count("], [") >= 2 or "_bkt#" in line, (
                 f"unpartitioned window:\n{line}\n{plan}"
             )
 
