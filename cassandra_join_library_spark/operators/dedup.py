@@ -543,7 +543,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 def hamming_band_pairs(fps: DataFrame, bits: int,
                        max_hamming: int,
-                       group_col: "str | None" = None) -> DataFrame:
+                       group_col: "str | None" = None,
+                       by_value: bool = False) -> DataFrame:
     """EXACT Hamming-radius pairs over a (doc, fp) fingerprint table
     via pigeonhole banding: the fingerprint is split into
     ``max_hamming + 1`` chunks that PARTITION all ``bits`` bits (the
@@ -563,7 +564,26 @@ def hamming_band_pairs(fps: DataFrame, bits: int,
     key stays (chunk, key, group): candidates never cross groups,
     which matters when the same fingerprint value recurs across
     frames).  Output then carries the group column too:
-    (group, doc_a, doc_b, hamming)."""
+    (group, doc_a, doc_b, hamming).
+
+    ``by_value``: run the banded self-join over the DISTINCT
+    fingerprint VALUES and expand the qualifying value pairs back onto
+    the doc table afterwards (guide §8: decide on a lightweight proxy,
+    attach the decision once).  For duplicate-heavy fingerprint
+    distributions (perceptual hashes over an image/audio/video corpus,
+    where exact re-encodes collapse onto few values) this bounds the
+    candidate blowup by the DISTINCT-value structure instead of the
+    doc count — Σ collisions drop by the square of the duplication
+    factor — and the doc-pair output needs no trailing distinct (each
+    doc carries one value, each unordered value pair is enumerated
+    once).  Requires one row per (doc[, group]) in ``fps`` (true for
+    every fingerprint operator here); identical output row set either
+    way.  Near-unique fingerprint spaces (text SimHash) should keep
+    the default: the value table would be corpus-sized and the
+    expansion joins pure overhead."""
+    if by_value:
+        return _hamming_band_pairs_by_value(
+            fps, bits, max_hamming, group_col)
     n_chunks = max_hamming + 1
     base_w = bits // n_chunks
     widths = [base_w + (1 if c < bits % n_chunks else 0)
@@ -613,6 +633,103 @@ def hamming_band_pairs(fps: DataFrame, bits: int,
                 ham.cast("bigint").alias("hamming"))
         .distinct()
     )
+
+
+def _hamming_band_pairs_by_value(fps: DataFrame, bits: int,
+                                 max_hamming: int,
+                                 group_col: "str | None") -> DataFrame:
+    """:func:`hamming_band_pairs` with the band join run at
+    fingerprint-VALUE granularity (see its ``by_value`` doc).  Two
+    branches, unioned:
+
+    - cross-value pairs: banded self-join over the distinct (fp[,
+      group]) table (fp_a < fp_b orders each unordered value pair
+      once), broadcast back onto the doc table twice — each qualifying
+      doc pair materializes exactly once, ordered by least/greatest;
+    - same-value pairs (hamming 0): a plain equi-self-join on fp[,
+      group] with doc_a < doc_b — the exact-duplicate expansion never
+      touches the band machinery.
+
+    The branches are disjoint (fp_a < fp_b vs fp_a = fp_b) and each is
+    duplicate-free given one row per (doc[, group]), so no trailing
+    distinct is needed."""
+    n_chunks = max_hamming + 1
+    base_w = bits // n_chunks
+    widths = [base_w + (1 if c < bits % n_chunks else 0)
+              for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    extra = [group_col] if group_col else []
+    vals = fps.select("fp", *extra).distinct()
+    vchunks = vals.select(
+        "fp", *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("fp"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("fp", *extra, F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    # per-side renames, not alias() — the self-join attribute-id trap
+    # documented in hamming_band_pairs
+    va = vchunks.select(F.col("fp").alias("fp_a"), *extra,
+                        "chunk", "key")
+    vb_cols = [F.col("fp").alias("fp_b"),
+               F.col("chunk").alias("chunk_b"),
+               F.col("key").alias("key_b")]
+    if group_col:
+        vb_cols.append(F.col(group_col).alias("_grp_b"))
+    vb = vchunks.select(*vb_cols)
+    vcond = ((F.col("chunk") == F.col("chunk_b"))
+             & (F.col("key") == F.col("key_b"))
+             & (F.col("fp_a") < F.col("fp_b")))
+    if group_col:
+        vcond = vcond & (F.col(group_col) == F.col("_grp_b"))
+    vham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    vpairs = (
+        va.join(vb, vcond)
+        .filter(vham <= max_hamming)
+        .select(*extra, "fp_a", "fp_b",
+                vham.cast("bigint").alias("hamming"))
+        .distinct()
+    )
+    left = fps.select(F.col("doc").alias("_da"),
+                      F.col("fp").alias("fp_a"), *extra)
+    right_cols = [F.col("doc").alias("_db"),
+                  F.col("fp").alias("_fpb")]
+    if group_col:
+        right_cols.append(F.col(group_col).alias("_grp_b"))
+    right = fps.select(*right_cols)
+    rcond = F.col("fp_b") == F.col("_fpb")
+    if group_col:
+        rcond = rcond & (F.col(group_col) == F.col("_grp_b"))
+    cross = (
+        left.join(F.broadcast(vpairs), ["fp_a"] + extra)
+        .join(right, rcond)
+        .select(*extra,
+                F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"),
+                F.col("hamming"))
+    )
+    scond = (F.col("fp") == F.col("_fpb")) & (F.col("_da") < F.col("_db"))
+    if group_col:
+        scond = scond & (F.col(group_col) == F.col("_grp_b"))
+    same = (
+        fps.select(F.col("doc").alias("_da"), "fp", *extra)
+        .join(right, scond)
+        .select(*extra,
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                F.lit(0).cast("bigint").alias("hamming"))
+    )
+    return cross.unionByName(same)
 
 
 def hamming_band_selfcheck(fps: DataFrame, bits: int, max_hamming: int,

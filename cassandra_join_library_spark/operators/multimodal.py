@@ -38,11 +38,19 @@ def _group_variant_payloads(df: DataFrame, id_col: str, n_groups: int,
     """Shared fixture-synthesis dedup for the content-group
     synthesizers (BMP pixels, WAV PCM): payload content depends only
     on (g = id % n_groups, v = (id // n_groups) % 3), so build the
-    ``n_groups * 3`` distinct byte strings once and broadcast-join
-    them back instead of running the byte build per doc (measured
-    7 s -> ~0.5 s for 5k docs at sf0.1).  ``payload`` is a Column
-    over the (g, v) key frame.  Synthesis is fixture plumbing — real
-    corpora read real bytes — so its cost must not drown the
+    distinct byte strings once and broadcast-join them back instead of
+    running the byte build per doc (measured 7 s -> ~0.5 s for 5k docs
+    at sf0.1).  ``payload`` is a Column over the (g, v) key frame.
+
+    The (g, v) key table is GENERATED (one ``spark.range`` over the
+    full key grid), not aggregated: the key domain is known from the
+    formula, so the old corpus-wide ``distinct()`` shuffle bought
+    nothing (guide §2.4 — remove shuffles outright).  The grid covers
+    negative ids too (Spark's ``%`` follows the dividend's sign, so
+    g ∈ (-n_groups, n_groups), v ∈ (-2, 2]); combos absent from the
+    corpus are dropped by the inner join, exactly as the distinct
+    would have never produced them.  Synthesis is fixture plumbing —
+    real corpora read real bytes — so its cost must not drown the
     per-item decode+fingerprint the queries measure.
     Returns (id, payload)."""
     keyed = df.select(
@@ -50,10 +58,12 @@ def _group_variant_payloads(df: DataFrame, id_col: str, n_groups: int,
         (F.col(id_col) % n_groups).alias("g"),
         ((F.col(id_col) / n_groups).cast("bigint") % 3).alias("v"),
     )
-    payloads = (
-        keyed.select("g", "v").distinct()
-        .select("g", "v", payload.alias("payload"))
+    n_g = 2 * n_groups - 1  # g values -(n_groups-1) .. n_groups-1
+    grid = df.sparkSession.range(n_g * 5).select(
+        (F.col("id") % n_g - (n_groups - 1)).alias("g"),
+        ((F.col("id") / n_g).cast("bigint") - 2).alias("v"),
     )
+    payloads = grid.select("g", "v", payload.alias("payload"))
     return (keyed.join(F.broadcast(payloads), ["g", "v"])
             .select(F.col(id_col), "payload"))
 

@@ -115,7 +115,8 @@ def mm_phash_dedup(spark, sf_dir):
     radius and must NOT pair — the oracle brute-forces the full pair
     space to grade exactly that cut."""
     fps = _phash_fingerprints(spark, sf_dir)
-    return D.hamming_band_pairs(fps, bits=60, max_hamming=2)
+    return D.hamming_band_pairs(fps, bits=60, max_hamming=2,
+                                by_value=True)
 
 
 _PHASH_FP_CTE = """
@@ -182,7 +183,8 @@ def mm_phash_recall_audit(spark, sf_dir):
     presumed.  Truth side is formula-bounded (group-sized join, never
     the image pair space); predicted side is the banded join."""
     fps = _phash_fingerprints(spark, sf_dir)
-    pred = D.hamming_band_pairs(fps, bits=60, max_hamming=2) \
+    pred = D.hamming_band_pairs(fps, bits=60, max_hamming=2,
+                                by_value=True) \
         .select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     lab = docs.select(

@@ -73,7 +73,8 @@ def _snippet_pairs(fps):
     keyed = fps.select(
         (F.col("doc") * _KEY_STRIDE + F.col("win")).alias("doc"),
         "fp")
-    pairs = D.hamming_band_pairs(keyed, bits=60, max_hamming=2)
+    pairs = D.hamming_band_pairs(keyed, bits=60, max_hamming=2,
+                                 by_value=True)
     return (pairs.select(
         (F.col("doc_a") / _KEY_STRIDE).cast("bigint").alias("doc_a"),
         (F.col("doc_a") % _KEY_STRIDE).cast("bigint").alias("win_a"),
