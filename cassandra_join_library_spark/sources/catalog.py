@@ -36,7 +36,7 @@ class ParquetCatalog(Catalog):
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         path = os.path.join(self.directory, f"{table}.parquet")
-        return spark.read.parquet(path)
+        return read_parquet_cached(spark, path)
 
     def table_names(self) -> "list[str]":
         return sorted(
@@ -224,7 +224,43 @@ RUNTIME_PARITY_CONFS = {
 }
 
 
+#: Per-(application, path) parquet SCHEMA cache — metadata only, never
+#: data or results.  ``spark.read.parquet(path)`` re-reads and
+#: re-parses the file footer on EVERY call to infer the schema
+#: (measured ~100 ms per table load at sf0.1, roughly half of a cheap
+#: query's total build+run floor); a real deployment gets the schema
+#: from its metastore/manifest instead of the footer, and this cache
+#: is the equivalent for bare-path reads.  Keyed by applicationId so a
+#: new session (or a restarted cluster pointing at changed files)
+#: re-infers from the footer.
+_SCHEMA_CACHE: "dict[tuple[str, str], object]" = {}
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the inferred schema memoized
+    per (application, path) — the first read per session pays the
+    footer parse, every later query build skips it."""
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
+#: applications whose parity confs are already pinned — ensure_ runs
+#: per table load (several times per query build), and each conf
+#: set/get is a py4j round-trip; once pinned for a session there is
+#: nothing left to do.  Keyed by applicationId like _SCHEMA_CACHE.
+_CONFS_PINNED: "set[str]" = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    app = spark.sparkContext.applicationId
+    if app in _CONFS_PINNED:
+        return spark
+    _CONFS_PINNED.add(app)
     for k, v in RUNTIME_PARITY_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -265,7 +301,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_parquet_cached(spark, f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
@@ -284,7 +320,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def qualify(df: DataFrame, alias: str) -> DataFrame:
