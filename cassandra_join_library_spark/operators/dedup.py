@@ -57,12 +57,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame
     # arrive as a single input split; hash-repartition on doc spreads the
     # work AND pre-partitions for the per-doc groupBys downstream
     # (EnsureRequirements reuses this exchange, so it costs one tiny
-    # shuffle and saves the wide ones)
-    # explicit partition count: AQE coalesces column-only repartitions
-    # of small inputs back to 1-2 partitions, serializing the transform
-    base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
-    )
+    # shuffle and saves the wide ones).  spread_input keeps an explicit
+    # count (AQE coalesces column-only repartitions of small inputs
+    # back to 1-2 partitions) and never DOWN-partitions a large input
+    # (r16 verdict ask #5)
+    from ..sources.catalog import spread_input
+
+    base = spread_input(base, F.col("doc"))
     grams = F.when(
         F.size(F.col("w")) >= n,
         F.expr(f"transform(sequence(0, size(w) - {n}), "
@@ -155,10 +156,11 @@ def positional_grams(
     base = df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("w")
     )
-    # same single-split parallelization rationale as shingles()
-    base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism, F.col("doc")
-    )
+    # same single-split parallelization rationale (and gate) as
+    # shingles()
+    from ..sources.catalog import spread_input
+
+    base = spread_input(base, F.col("doc"))
     grams = F.when(
         F.size(F.col("w")) >= k,
         F.expr(

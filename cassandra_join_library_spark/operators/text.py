@@ -746,9 +746,9 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     # dedup.shingles; explicit count because AQE would coalesce a
     # column-only repartition of a small input back to 1-2 partitions)
     base = df.filter(F.length(text_col) >= k + window - 1)
-    base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    from ..sources.catalog import spread_input
+
+    base = spread_input(base, F.col(id_col))
     return (
         base
         .select(F.col(id_col), F.col(text_col),

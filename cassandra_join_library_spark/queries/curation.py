@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 
 def _docs(spark, sf_dir):
@@ -1115,8 +1115,7 @@ def text_gopher_rules(spark, sf_dir):
     top-word fold is O(distinct·n) per doc — real corpora get this
     parallelism from file splits, the operator itself stays
     map-only)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
+    docs = spread_input(_docs(spark, sf_dir))
     return T.gopher_rules(docs, "doc_id", "text")
 
 

@@ -19,7 +19,7 @@ from ..operators.sketch import (
     cms_estimate,
 )
 from ..registry import register
-from ..sources.catalog import load_events, load_table
+from ..sources.catalog import load_events, load_table, spread_input
 from .wave9 import _rdiv_sql
 from ..operators.stats import _RDIV, staged_ppm
 
@@ -356,8 +356,6 @@ def mm_mp4_box_parse(spark, sf_dir):
     # parquet split -> one input task, serializing the CPU-bound
     # two-level walk; a real video corpus gets this parallelism from
     # its file splits
-    sc = spark.sparkContext
-    docs = (_t(spark, sf_dir, "documents").select("doc_id")
-            .repartition(sc.defaultParallelism))
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
     built = M.synthesize_mp4(docs, "doc_id")
     return M.parse_mp4_metadata(built, "doc_id")

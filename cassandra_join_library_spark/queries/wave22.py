@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 from .wave9 import _rdiv_sql
 from ..operators.stats import _RDIV
 
@@ -79,9 +79,8 @@ def mm_subtitle_align(spark, sf_dir):
     come out orphaned via the left join."""
     # repartition before the per-doc cue build (one-split fixture ->
     # one task; real corpora parallelize via file splits)
-    docs = (_t(spark, sf_dir, "documents").select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism,
-                         F.col("doc_id")))
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"),
+                        F.col("doc_id"))
     did = F.col("doc_id")
 
     def srt(ms):
@@ -182,8 +181,7 @@ def corpus_span_corruption(spark, sf_dir):
     # repartition on the doc id before the per-token md5 pass (one-
     # split fixture -> one task; hash-partitioning by doc also
     # pre-clusters the doc-keyed windows downstream)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    docs = spread_input(_t(spark, sf_dir, "documents"), F.col("doc_id"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "_w"),

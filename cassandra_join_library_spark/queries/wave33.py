@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 
 def _phash_fingerprints(spark, sf_dir):
@@ -55,9 +55,8 @@ def _phash_fingerprints(spark, sf_dir):
     -> one input split, which serializes the CPU-bound decode+hash on
     a single task; a real image corpus gets the parallelism from its
     file splits — the explicit repartition stands in for that."""
-    sc = spark.sparkContext
-    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
-            .repartition(sc.defaultParallelism))
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
     imgs = M.synthesize_bmp_pixels(docs, "doc_id", n_groups=100)
     fps = M.bmp_ahash(imgs, "doc_id")
     return (fps.filter(F.col("is_bmp"))

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 # 44-byte PCM WAV header for 122 mono 16-bit samples at 16 kHz
 # (RIFF size 280, fmt chunk 16, PCM=1, ch=1, rate 16000, byte rate
@@ -71,9 +71,8 @@ def _audio_fingerprints(spark, sf_dir):
     serializes (10.6 s for 5k clips; ~1.5 s spread over the cores).
     A real audio corpus gets this parallelism from its file splits;
     the explicit repartition stands in for exactly that."""
-    sc = spark.sparkContext
-    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
-            .repartition(sc.defaultParallelism))
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
     wav = M.synthesize_wav_pcm_groups(docs, "doc_id")
     fps = M.pcm_energy_diff_fingerprint(wav, "doc_id")
     return (fps.select(F.col("doc_id").alias("doc"), "fp")

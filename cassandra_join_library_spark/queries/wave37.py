@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 _N_FRAMES = 4
 
@@ -70,9 +70,8 @@ def _video_fingerprints(spark, sf_dir):
     input task, which serializes the CPU-bound walk+hash; a real video
     corpus gets its parallelism from file splits — the explicit
     repartition stands in for that."""
-    sc = spark.sparkContext
-    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
-            .repartition(sc.defaultParallelism))
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
     clips = M.synthesize_mp4_keyframes(docs, "doc_id", n_groups=100,
                                        n_frames=_N_FRAMES)
     fps = M.mp4_keyframe_ahash(clips, "doc_id", n_frames=_N_FRAMES)

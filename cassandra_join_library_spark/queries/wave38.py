@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 # composite-key stride: doc * _KEY_STRIDE + win encodes (clip, window)
 # in one BIGINT band-join key; 4 windows per 305-sample clip, stride 8
@@ -57,9 +57,8 @@ def _snippet_window_fps(spark, sf_dir):
     synthesized snippet corpus — shared by both queries and the
     stratum script (--family snippet).  Same materialization +
     repartition rationale as the other fingerprint families."""
-    sc = spark.sparkContext
-    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
-            .repartition(sc.defaultParallelism))
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
     clips = M.synthesize_wav_pcm_snippets(docs, "doc_id")
     fps = M.pcm_window_fingerprints(clips, "doc_id")
     return (fps.select(F.col("doc_id").alias("doc"), "win", "fp")

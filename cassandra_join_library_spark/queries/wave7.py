@@ -20,7 +20,7 @@ from ..operators.graph import bfs_hops, bfs_sql
 from ..operators.layout import zonemap_report
 from ..operators.text import cdc_chunks, cdc_chunks_sql
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_input
 
 
 def _t(spark, sf_dir, name):
@@ -182,8 +182,7 @@ def text_cdc_chunks(spark, sf_dir):
     Repartitioned before the per-char hash pass (one-split fixture ->
     one task; real corpora parallelize via file splits — the operator
     itself stays map-only)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
+    docs = spread_input(_docs(spark, sf_dir))
     return cdc_chunks(docs, "doc_id", "text")
 
 

@@ -323,6 +323,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
+def spread_input(df: DataFrame, *key_cols) -> DataFrame:
+    """Fixture stand-in for file-split parallelism, gated on the
+    input's ACTUAL split count (r16 verdict ask #5).
+
+    The sf fixtures are single-row-group parquet files — one input
+    split — so a CPU-heavy map transform right after the scan
+    serializes on one task; the explicit repartition stands in for the
+    parallelism a real corpus gets from its thousands of file splits.
+    On such a corpus the unconditional form would still execute: a
+    full extra shuffle of the payload before a map-only transform,
+    pure overhead.  Gate:
+
+    - unkeyed (``spread_input(df)``): skip entirely when the source
+      already has >= defaultParallelism partitions;
+    - keyed (``spread_input(df, F.col("doc_id"))``): repartition to
+      ``max(defaultParallelism, current)`` — the keyed exchange
+      pre-clusters downstream keyed aggregates/windows/distincts
+      (EnsureRequirements reuses it, so it is net-free at scale), and
+      the max() keeps large inputs from being DOWN-partitioned
+      (r16 ADVICE on winnowing_fingerprints).
+
+    ``df.rdd.getNumPartitions()`` compiles the physical plan but runs
+    no job — call this on bare scans/projections, not on frames whose
+    planning is expensive."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if key_cols:
+        return df.repartition(max(n, cur), *key_cols)
+    return df if cur >= n else df.repartition(n)
+
+
 def qualify(df: DataFrame, alias: str) -> DataFrame:
     """Flatten the reference's ``(column, table)`` tuple row keys
     (``cassandra_joinlib/hash_join.py:418-426``) into ``{alias}_{col}``

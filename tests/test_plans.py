@@ -422,3 +422,26 @@ def test_prefix_dedup_window_is_keyed(spark):
 
     findings = audit_plan(QUERIES["dedup_prefix_key"](spark, SF_SMOKE))
     assert not findings["unpartitioned_window"]
+
+
+def test_spread_input_gates_on_split_count(spark):
+    """spread_input (the fixture stand-in for file-split parallelism)
+    must be a NO-OP on inputs that already have >= defaultParallelism
+    partitions — on a real corpus with thousands of file splits the
+    unconditional repartition would be a full extra shuffle of the
+    payload before a map-only transform (r16 verdict ask #5).  The
+    keyed form may still repartition (its exchange substitutes for a
+    downstream keyed exchange) but must never DOWN-partition."""
+    from cassandra_join_library_spark.sources.catalog import spread_input
+
+    n = spark.sparkContext.defaultParallelism
+    pre = spark.range(10_000).repartition(n + 4)
+    # unkeyed: identical frame back -> no Exchange added anywhere
+    assert spread_input(pre) is pre
+    # single-split input still gets spread
+    few = spark.range(100).coalesce(1)
+    assert spread_input(few).rdd.getNumPartitions() == n
+    # keyed: repartitions (pre-clusters) but never below the input's
+    # natural split count
+    keyed = spread_input(pre, F.col("id"))
+    assert keyed.rdd.getNumPartitions() == n + 4
