@@ -4,8 +4,12 @@
 per query — the before/after evidence trail for the optimization
 round (guide §1: measure first; §7.2: read the plan).
 
-Explain-only: nothing is executed, so this is safe to run alongside
-other work (the AQE note: plans show isFinalPlan=false; runtime
+No query RESULTS are materialized, but constructing registered
+queries does run real Spark jobs: operator-internal eager
+localCheckpoints (contamination/pack/minhash/graph), observe-carried
+sizing metrics, and store materializations all execute during plan
+capture — don't point this at an expensive sf dir assuming zero
+execution (the AQE note: plans show isFinalPlan=false; runtime
 re-optimization is visible only in the UI after execution — the shape
 facts we assert (exchange count upper bound, join strategy, pushdown)
 are all initial-plan facts).
