@@ -162,7 +162,7 @@ def mm_video_keyframe_dedup(spark, sf_dir):
     space to grade exactly that cut."""
     fps = _video_fingerprints(spark, sf_dir)
     per_frame = D.hamming_band_pairs(fps, bits=60, max_hamming=2,
-                                     group_col="frame", by_value=True)
+                                     group_col="frame")
     return (per_frame.groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("_n"),
                  F.max("hamming").cast("bigint").alias("max_hamming"))
@@ -218,7 +218,7 @@ def mm_video_fp_recall_audit(spark, sf_dir):
     the banded join."""
     fps = _video_fingerprints(spark, sf_dir)
     pred = (D.hamming_band_pairs(fps, bits=60, max_hamming=2,
-                                 group_col="frame", by_value=True)
+                                 group_col="frame")
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") == _N_FRAMES)
